@@ -1,0 +1,313 @@
+"""Offline inverted-index build — the Spark re-expression of
+``grn_ii_build`` (reference lib/ii.c:8029-8078; pipeline documented in
+SURVEY §3.3).
+
+Groonga's blocked sort-based build (tokenize → block spill → k-way merge by
+term → delta+varbyte/PFoR chunks) maps onto Spark stages:
+
+  stage T (tokenize):  vectorized pandas-UDF tokenize → explode →
+                       ``groupBy(term, doc_id, sid)`` partial+final hash agg
+                       (map-side combine replaces Groonga's per-block local
+                       lexicon counters, ii.c:7397-7480)
+  stage D (dictionary): ``groupBy(term)`` → df/cf + dense term_id
+  stage P (postings):  repartition by (term, salt) — **salting splits heavy
+                       terms** (a term with df > postings_per_bucket is
+                       spread over ceil(df/bucket) salted reducers; Groonga's
+                       analogue is multi-chunk terms, ii.c:7855-7937) — then
+                       per-group sort by (doc_id, sid), chunk into blocks of
+                       UNIT_SIZE postings, delta+varbyte/PFoR encode, attach
+                       block-max metadata (first/last doc id = chunk_info
+                       skip data ii.c:2491-2495; max BM25 bound is our WAND
+                       addition).
+
+The resulting index is three DataFrames + scalar stats:
+
+  dictionary(term, term_id, df, cf)
+  postings(term, pbucket, bucket, n_postings, blocks[...])
+  doclens(doc_id, sid, dl)
+  stats: n_docs, per-section {total_tokens, avgdl} (exact-integer division)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import encoding, scoring
+from ..tokenize import tokenize_batch
+
+BLOCK_SIZE = encoding.UNIT_SIZE  # 128 postings per block (ii.c:451)
+DEFAULT_POSTINGS_PER_BUCKET = 65536
+DEFAULT_N_PBUCKETS = 64  # term-hash partition buckets for partition pruning
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("first_doc_id", LongType()),
+        StructField("last_doc_id", LongType()),
+        StructField("n", IntegerType()),
+        StructField("enc", IntegerType()),  # bit0 docs / bit1 tfs / bit2 pos are PFoR
+        StructField("doc_deltas", BinaryType()),
+        StructField("sids", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("dls", BinaryType()),  # per-posting section doc length —
+        # denormalized at build so query scoring never joins the big doclens
+        # table (Groonga keeps norms via lexicon-adjacent stores; at 100 TB a
+        # query-time shuffle join on doc_id would dominate latency)
+        StructField("pos_deltas", BinaryType()),
+        StructField("max_tf", IntegerType()),
+        StructField("max_score", DoubleType()),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("pbucket", IntegerType()),
+        StructField("bucket", IntegerType()),
+        StructField("df", LongType()),
+        StructField("n_postings", LongType()),
+        StructField("blocks", ArrayType(BLOCK_SCHEMA)),
+    ]
+)
+
+
+@dataclass
+class IndexStats:
+    n_docs: int
+    section_tokens: dict[int, int]  # sid -> exact total token count
+    sections: dict[int, str]  # sid -> column name
+
+    def avgdl(self, sid: int) -> float:
+        return float(self.section_tokens[sid]) / float(self.n_docs)
+
+
+@dataclass
+class InvertedIndex:
+    dictionary: DataFrame
+    postings: DataFrame
+    doclens: DataFrame
+    stats: IndexStats
+    tokenizer: str = "bigram"
+
+    def persist(self) -> "InvertedIndex":
+        self.dictionary = self.dictionary.persist()
+        self.postings = self.postings.persist()
+        self.doclens = self.doclens.persist()
+        # materialize now so query latency measurements are honest
+        self.dictionary.count()
+        self.postings.count()
+        self.doclens.count()
+        return self
+
+
+def _tokenize_udf(mode: str):
+    ret = StructType(
+        [
+            StructField("terms", ArrayType(StringType())),
+            StructField("poss", ArrayType(IntegerType())),
+        ]
+    )
+
+    def fn(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in it:
+            res = tokenize_batch(s.fillna("").tolist(), mode)
+            yield pd.DataFrame(
+                {"terms": [r[0] for r in res], "poss": [r[1] for r in res]}
+            )
+
+    return F.pandas_udf(fn, ret)
+
+
+def tokens_df(
+    df: DataFrame, text_cols: list[str], tokenizer: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sid, term, pos) — sid is the 1-based section ordinal
+    (WITH_SECTION semantics, groonga.h:314)."""
+    tok = _tokenize_udf(tokenizer)
+    parts = []
+    for i, c in enumerate(text_cols):
+        t = df.select(
+            F.col(id_col).alias("doc_id"), F.lit(i + 1).alias("sid"), tok(F.col(c)).alias("tk")
+        )
+        t = t.select(
+            "doc_id",
+            "sid",
+            F.explode(
+                F.expr("transform(tk.terms, (t, i) -> struct(t as term, tk.poss[i] as pos))")
+            ).alias("tp"),
+        ).select("doc_id", "sid", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+        parts.append(t)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _encode_group(pdf: pd.DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]) -> pd.DataFrame:
+    """Encode one (term, salt) group of postings into block structs.
+    Mirrors merge_hit_blocks + grn_p_encv (ii.c:7578-7676): sort by
+    (doc_id, sid), delta-encode, choose varbyte vs PFoR per vector."""
+    term = pdf["term"].iloc[0]
+    pbucket = int(pdf["pbucket"].iloc[0])
+    bucket = int(pdf["salt"].iloc[0])
+    df_term = int(pdf["df"].iloc[0])
+    pdf = pdf.sort_values(["doc_id", "sid"], kind="mergesort")
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    sids = pdf["sid"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    poss = pdf["positions"].tolist()
+    n = doc_ids.size
+    term_idf = scoring.idf(n_docs, df_term)
+
+    blocks = []
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        b_docs = doc_ids[s:e]
+        b_sids = sids[s:e]
+        b_tfs = tfs[s:e]
+        b_dls = dls[s:e]
+        deltas = np.diff(b_docs, prepend=b_docs[0]).astype(np.uint32)  # first delta 0
+        # positions: per posting, first absolute then within-doc gaps
+        flat_pos: list[int] = []
+        for p in poss[s:e]:
+            prev = 0
+            for x in p:
+                flat_pos.append(x - prev)
+                prev = x
+        pos_arr = np.asarray(flat_pos, dtype=np.uint32)
+        tf_enc_vals = (b_tfs - 1).astype(np.uint32)  # tf-1 (ii.c:7446)
+        sid_vals = (b_sids - 1).astype(np.uint32)
+
+        max_gap = int(deltas.max()) if deltas.size else 0
+        enc = 0
+        if encoding.choose_encoding(int(e - s), max_gap) == "pfor":
+            enc |= 1
+            doc_b = encoding.pfor_encode(deltas)
+        else:
+            doc_b = encoding.vb_encode(deltas)
+        if encoding.choose_encoding(int(e - s), int(tf_enc_vals.max()) if tf_enc_vals.size else 0) == "pfor":
+            enc |= 2
+            tf_b = encoding.pfor_encode(tf_enc_vals)
+        else:
+            tf_b = encoding.vb_encode(tf_enc_vals)
+        pos_b = encoding.vb_encode(pos_arr)
+        sid_b = encoding.vb_encode(sid_vals)
+        dl_b = encoding.vb_encode(b_dls.astype(np.uint32))
+
+        # block-max BM25 bound (WAND metadata; generalizes chunk_info.dgap)
+        tfc = b_tfs * (scoring.K1 + 1.0) / (
+            b_tfs + scoring.K1 * (1.0 - scoring.B + scoring.B * b_dls / np.array([avgdl_by_sid[int(x)] for x in b_sids]))
+        )
+        max_score = float(term_idf * tfc.max())
+        blocks.append(
+            {
+                "first_doc_id": int(b_docs[0]),
+                "last_doc_id": int(b_docs[-1]),
+                "n": int(e - s),
+                "enc": enc,
+                "doc_deltas": bytes(doc_b),
+                "sids": bytes(sid_b),
+                "tfs": bytes(tf_b),
+                "dls": bytes(dl_b),
+                "pos_deltas": bytes(pos_b),
+                "max_tf": int(b_tfs.max()),
+                "max_score": max_score,
+            }
+        )
+    return pd.DataFrame(
+        [
+            {
+                "term": term,
+                "pbucket": pbucket,
+                "bucket": bucket,
+                "df": df_term,
+                "n_postings": int(n),
+                "blocks": blocks,
+            }
+        ]
+    )
+
+
+def build_index(
+    df: DataFrame,
+    text_cols: list[str],
+    tokenizer: str = "bigram",
+    id_col: str = "doc_id",
+    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
+    n_pbuckets: int = DEFAULT_N_PBUCKETS,
+) -> InvertedIndex:
+    spark = df.sparkSession
+    toks = tokens_df(df, text_cols, tokenizer, id_col)
+
+    # stage T: (term, doc_id, sid) -> tf + sorted positions.
+    # partial aggregation (map-side combine) happens before the shuffle.
+    tf = toks.groupBy("term", "doc_id", "sid").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+    # doc lengths per section (exact integers)
+    doclens = toks.groupBy("doc_id", "sid").agg(F.count("*").cast("long").alias("dl"))
+
+    n_docs = df.count()
+    sec_rows = doclens.groupBy("sid").agg(F.sum("dl").alias("total")).collect()
+    section_tokens = {int(r["sid"]): int(r["total"]) for r in sec_rows}
+    stats = IndexStats(
+        n_docs=int(n_docs),
+        section_tokens=section_tokens,
+        sections={i + 1: c for i, c in enumerate(text_cols)},
+    )
+    avgdl_by_sid = {sid: stats.avgdl(sid) for sid in section_tokens}
+
+    # stage D: dictionary with df/cf; term_id dense in term sort order
+    # (PAT-key-order analogue).
+    from ..ids import assign_dense_ids
+
+    dictionary = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    dictionary = assign_dense_ids(dictionary, ["term"], "term_id")
+
+    # stage P: salted repartition by term. salt spreads a heavy term's docs
+    # over ceil(df / postings_per_bucket) buckets (explicit skew split).
+    tf2 = (
+        tf.join(doclens, ["doc_id", "sid"])
+        .join(dictionary.select("term", "df"), "term")
+        .withColumn(
+            "n_salts",
+            F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(postings_per_bucket))).cast("int"),
+        )
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"))
+        .withColumn("pbucket", F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)).cast("int"))
+    )
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_group(pdf, int(n_docs), avgdl_by_sid)
+
+    postings = tf2.groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+
+    return InvertedIndex(
+        dictionary=dictionary,
+        postings=postings,
+        doclens=doclens,
+        stats=stats,
+        tokenizer=tokenizer,
+    )

@@ -1,0 +1,117 @@
+"""Block decode — Arrow-batched pandas UDF turning posting blocks back into
+(doc_id, sid, tf, dl[, positions]) rows.
+
+Mirrors the index-cursor decode path (reference ``grn_ii_cursor_next``
+lib/ii.c:4174, delta decode lib/ii.c:4180-4196).  Block pruning happens
+BEFORE this UDF, JVM-side, on the block metadata columns
+(first/last_doc_id, max_score) — the Spark analogue of
+``grn_ii_cursor_set_min`` skipping whole chunks via ``chunk_info.dgap``
+(ii.c:4144-4172).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .. import encoding
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("sids", ArrayType(IntegerType())),
+        StructField("tfs", ArrayType(IntegerType())),
+        StructField("dls", ArrayType(LongType())),
+        StructField("poss", ArrayType(ArrayType(IntegerType()))),
+    ]
+)
+
+
+def _decode_one(first_doc, n, enc, doc_b, sid_b, tf_b, dl_b, pos_b, with_pos):
+    n = int(n)
+    deltas = (
+        encoding.pfor_decode(doc_b, n) if (enc & 1) else encoding.vb_decode(doc_b, n)
+    ).astype(np.int64)
+    # first stored delta is 0 relative to first_doc_id
+    doc_ids = np.cumsum(deltas) - int(deltas[0]) + int(first_doc)
+    tfs = (
+        encoding.pfor_decode(tf_b, n) if (enc & 2) else encoding.vb_decode(tf_b, n)
+    ).astype(np.int64) + 1
+    sids = encoding.vb_decode(sid_b, n).astype(np.int64) + 1
+    dls = encoding.vb_decode(dl_b, n).astype(np.int64)
+    poss: list[list[int]] | None = None
+    if with_pos:
+        total = int(tfs.sum())
+        gaps = encoding.vb_decode(pos_b, total).astype(np.int64)
+        poss = []
+        off = 0
+        for t in tfs.tolist():
+            poss.append(np.cumsum(gaps[off : off + t]).tolist())
+            off += t
+    return doc_ids, sids, tfs, dls, poss
+
+
+def make_decode_udf(with_pos: bool):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_ids": [], "sids": [], "tfs": [], "dls": [], "poss": []}
+            for first_doc, n, enc, db, sb, tb, lb, pb in zip(
+                pdf["first_doc_id"],
+                pdf["n"],
+                pdf["enc"],
+                pdf["doc_deltas"],
+                pdf["sids"],
+                pdf["tfs"],
+                pdf["dls"],
+                pdf["pos_deltas"],
+            ):
+                doc_ids, sids, tfs, dls, poss = _decode_one(
+                    first_doc, n, enc, db, sb, tb, lb, pb, with_pos
+                )
+                rows["doc_ids"].append(doc_ids.tolist())
+                rows["sids"].append(sids.tolist())
+                rows["tfs"].append(tfs.tolist())
+                rows["dls"].append(dls.tolist())
+                rows["poss"].append(poss if with_pos else [])
+            yield pd.DataFrame(rows)
+
+    return F.pandas_udf(fn, _DECODED_SCHEMA)
+
+
+def decoded_postings(blocks_df, with_pos: bool):
+    """blocks_df: (term, df, block struct fields...) → exploded
+    (term, df, doc_id, sid, tf, dl[, positions]) — the explode and field
+    projection stay JVM-side."""
+    udf = make_decode_udf(with_pos)
+    d = blocks_df.withColumn(
+        "d",
+        udf(
+            F.struct(
+                "first_doc_id", "n", "enc", "doc_deltas", "sids", "tfs", "dls", "pos_deltas"
+            )
+        ),
+    )
+    if with_pos:
+        row_expr = (
+            "transform(d.doc_ids, (x, i) -> struct(x as doc_id, d.sids[i] as sid,"
+            " d.tfs[i] as tf, d.dls[i] as dl, d.poss[i] as positions))"
+        )
+    else:
+        row_expr = (
+            "transform(d.doc_ids, (x, i) -> struct(x as doc_id, d.sids[i] as sid,"
+            " d.tfs[i] as tf, d.dls[i] as dl))"
+        )
+    out = d.select("term", "df", F.explode(F.expr(row_expr)).alias("p")).select(
+        "term", "df", "p.*"
+    )
+    return out

@@ -1,0 +1,459 @@
+"""Top-k BM25 query engine over the inverted index.
+
+Spark re-expression of ``grn_ii_select`` (reference lib/ii.c:6319-6569):
+
+1. GET-mode tokenize the query (token_info_build, ii.c:5539-5637);
+2. look the tokens up in the dictionary — the tiny query-term frame is
+   **broadcast** against the postings frame, and the postings scan is
+   filtered on (pbucket, term) so partition pruning + predicate pushdown
+   reach the index files;
+3. order AND-children by ascending df (token_compare, ii.c:5532-5537 —
+   rarest-first intersection; Catalyst can't know document frequencies, so
+   the planner fixes the join order);
+4. block pruning BEFORE decode, JVM-side, on block metadata: doc-range skip
+   (grn_ii_cursor_set_min / chunk_info.dgap, ii.c:4144-4172) for AND, and a
+   two-phase block-max top-k bound (Block-Max WAND, Ding & Suel) for
+   single-term queries;
+5. positional phrase verification entirely JVM-side via array_intersect on
+   offset-shifted position arrays (token_info_skip_pos, ii.c:5515-5530,
+   phrase loop ii.c:6499-6527);
+6. result-set algebra per grn_table_setoperation (lib/db.c:3896-4007):
+   OR = full-outer join + score sum, AND = inner join + score sum,
+   AND_NOT = left-anti;
+7. top-k = orderBy(score desc, doc_id asc).limit(k) — Spark's
+   TakeOrderedAndProject is Groonga's partial sort (db.c:10184-10240);
+   the (score desc, doc_id asc) tie-break pins rank identity;
+8. zero hits optionally escalate to looser matching (match escalation,
+   ii.c:6659-6721).
+
+Scoring is pinned BM25 (see scoring.py).  Pinned semantics for composite
+atoms: a phrase/NEAR atom FILTERS on the positional condition but SCORES as
+the sum of its unique tokens' BM25 contributions (documented deviation from
+Groonga's noccur-based default scorer; Groonga itself treats the scorer as
+pluggable, lib/scorers.c).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from .. import scoring
+from ..index.build import InvertedIndex
+from ..tokenize import tokenize_batch
+from . import parser as qp
+from .decode import decoded_postings
+
+MAX_EXPANSIONS = 1024  # prefix-expansion cap
+
+
+@dataclass
+class _Atom:
+    tokens: list[str]
+    offsets: list[int]
+    kind: str = "term"  # term | phrase | near | prefix
+    expansions: list[str] | None = None
+    max_interval: int = 10
+    est_df: int = 0
+
+
+class SearchEngine:
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self._n_pbuckets = None
+
+    @classmethod
+    def build(cls, df: DataFrame, text_cols: list[str], tokenizer: str = "bigram", **kw):
+        from ..index.build import build_index
+
+        return cls(build_index(df, text_cols, tokenizer=tokenizer, **kw))
+
+    # -- query tokenization (GET mode) ------------------------------------
+    def _get_tokens(self, text: str) -> tuple[list[str], list[int]]:
+        terms, poss = tokenize_batch([text], self.index.tokenizer)[0]
+        if self.index.tokenizer == "code":
+            # GET mode: ADD emits full-identifier extras at duplicate
+            # positions (tokenize.py _emit_code).  Skip them — Groonga's GET
+            # cursor skips overlapping tokens (token_cursor.c:241-251) —
+            # EXCEPT when the whole query is a single multi-segment
+            # identifier: then the full token is the exact, rarer key
+            # (UNSPLIT preference, ii.c:5555-5559).
+            by_pos: dict[int, list[str]] = {}
+            for t, p in zip(terms, poss):
+                by_pos.setdefault(p, []).append(t)
+            seg_pos = sorted(by_pos)
+            seg_terms = [by_pos[p][0] for p in seg_pos]
+            fulls = [v[1] for v in by_pos.values() if len(v) > 1]
+            if len(fulls) == 1 and fulls[0].replace("_", "") == "".join(seg_terms):
+                return [fulls[0]], [0]
+            return seg_terms, seg_pos
+        return terms, poss
+
+    # -- atom construction --------------------------------------------------
+    def _compile_atoms(self, node, atoms: list[_Atom]):
+        if isinstance(node, qp.Term):
+            terms, offs = self._get_tokens(node.text)
+            if node.prefix:
+                if len(terms) != 1:
+                    raise qp.QueryParseError("prefix query must be single-token")
+                a = _Atom(tokens=terms, offsets=offs, kind="prefix")
+            elif len(terms) == 1:
+                a = _Atom(tokens=terms, offsets=offs, kind="term")
+            else:
+                a = _Atom(tokens=terms, offsets=offs, kind="phrase")
+            atoms.append(a)
+            return a
+        if isinstance(node, qp.Phrase):
+            terms, offs = self._get_tokens(node.text)
+            a = _Atom(tokens=terms, offsets=offs, kind="phrase" if len(terms) > 1 else "term")
+            atoms.append(a)
+            return a
+        if isinstance(node, qp.Near):
+            terms, offs = self._get_tokens(node.text)
+            a = _Atom(tokens=terms, offsets=offs, kind="near", max_interval=node.max_interval)
+            atoms.append(a)
+            return a
+        if isinstance(node, (qp.And, qp.Or)):
+            return type(node)([self._compile_atoms(c, atoms) for c in node.children])
+        if isinstance(node, qp.Not):
+            return qp.Not(
+                self._compile_atoms(node.positive, atoms),
+                self._compile_atoms(node.negative, atoms),
+            )
+        raise TypeError(node)
+
+    # -- main entry ----------------------------------------------------------
+    def select(
+        self,
+        query: str,
+        match_columns: str | None = None,
+        k: int = 10,
+        escalate: bool = True,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Returns (doc_id, score) top-k, rank-identical ordering."""
+        idx = self.index
+        spark = idx.dictionary.sparkSession
+        ast = qp.parse_query(query)
+        atoms: list[_Atom] = []
+        plan = self._compile_atoms(ast, atoms)
+
+        if match_columns is None:
+            weights = {sid: 1.0 for sid in idx.stats.sections}
+        else:
+            col_to_sid = {c: sid for sid, c in idx.stats.sections.items()}
+            weights = {}
+            for col, w in qp.parse_match_columns(match_columns):
+                if col not in col_to_sid:
+                    raise ValueError(f"{col} is not an indexed section")
+                weights[col_to_sid[col]] = w
+
+        # resolve prefix expansions + per-term df on the driver (tiny)
+        exact_terms = sorted({t for a in atoms for t in a.tokens if a.kind != "prefix"})
+        term_meta: dict[str, int] = {}
+        if exact_terms:
+            rows = idx.dictionary.filter(F.col("term").isin(exact_terms)).select(
+                "term", "df"
+            ).collect()
+            term_meta.update({r["term"]: int(r["df"]) for r in rows})
+        for a in atoms:
+            if a.kind == "prefix":
+                pfx = a.tokens[0]
+                rows = (
+                    idx.dictionary.filter(F.col("term").startswith(pfx))
+                    .select("term", "df")
+                    .orderBy(F.desc("df"))
+                    .limit(MAX_EXPANSIONS)
+                    .collect()
+                )
+                a.expansions = [r["term"] for r in rows]
+                term_meta.update({r["term"]: int(r["df"]) for r in rows})
+                a.est_df = sum(int(r["df"]) for r in rows)
+            else:
+                a.est_df = min((term_meta.get(t, 0) for t in a.tokens), default=0)
+
+        all_terms = sorted(
+            {t for a in atoms for t in (a.expansions if a.kind == "prefix" else a.tokens)}
+        )
+        if not all_terms or all(term_meta.get(t, 0) == 0 for t in all_terms):
+            empty = spark.createDataFrame([], "doc_id long, score double")
+            if escalate:
+                return self._escalated(query, match_columns, k)
+            return empty
+
+        need_pos = any(a.kind in ("phrase", "near") for a in atoms)
+        term_doc, pos_rows = self._scored_term_doc(all_terms, term_meta, weights, need_pos)
+
+        # single simple-term query → block-max two-phase pruning
+        if (
+            prune
+            and isinstance(plan, _Atom)
+            and plan.kind == "term"
+            and not need_pos
+        ):
+            result = self._single_term_topk(plan.tokens[0], term_meta, weights, k)
+        else:
+            result = self._eval(plan, term_doc, pos_rows, term_meta)
+        out = (
+            result.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+        if escalate:
+            if out.limit(1).count() == 0:
+                return self._escalated(query, match_columns, k)
+        return out
+
+    def _escalated(self, query: str, match_columns, k: int) -> DataFrame:
+        """Match escalation (ii.c:6700-6717): re-run single-word queries as
+        prefix (EXACT → UNSPLIT/PARTIAL analogue). One level only."""
+        spark = self.index.dictionary.sparkSession
+        words = query.split()
+        if len(words) == 1 and not query.endswith("*") and '"' not in query:
+            try:
+                return self.select(
+                    query + "*", match_columns, k, escalate=False, prune=False
+                )
+            except qp.QueryParseError:
+                pass
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    # -- decoded + scored rows --------------------------------------------
+    def _filtered_blocks(self, terms: list[str], term_meta: dict[str, int]):
+        idx = self.index
+        tiny = idx.dictionary.sparkSession.createDataFrame(
+            [(t,) for t in terms], "term string"
+        )
+        posts = idx.postings.join(F.broadcast(tiny), "term")
+        blocks = posts.select(
+            "term", "df", F.explode("blocks").alias("b")
+        ).select("term", "df", "b.*")
+        return blocks
+
+    def _scored_term_doc(self, terms, term_meta, weights, need_pos):
+        """decoded rows → (term, doc_id) BM25 contributions; optionally the
+        per-(term, doc, sid) position arrays for phrase/NEAR checks."""
+        idx = self.index
+        blocks = self._filtered_blocks(terms, term_meta)
+        rows = decoded_postings(blocks, with_pos=need_pos)
+        contrib = self._contrib_col(rows, weights)
+        scored = rows.withColumn("contrib", contrib).filter(F.col("contrib").isNotNull())
+        term_doc = scored.groupBy("term", "doc_id").agg(F.sum("contrib").alias("score"))
+        pos_rows = scored.select("term", "doc_id", "sid", "positions") if need_pos else None
+        return term_doc, pos_rows
+
+    def _contrib_col(self, rows, weights):
+        idx = self.index
+        n = idx.stats.n_docs
+        # weight + avgdl dispatch per section: tiny CASE WHEN chains (JVM)
+        w_col = None
+        for sid, w in weights.items():
+            cond = F.col("sid") == sid
+            w_col = F.when(cond, F.lit(w)) if w_col is None else w_col.when(cond, F.lit(w))
+        avg_col = None
+        for sid in weights:
+            cond = F.col("sid") == sid
+            a = float(idx.stats.avgdl(sid))
+            avg_col = (
+                F.when(cond, F.lit(a)) if avg_col is None else avg_col.when(cond, F.lit(a))
+            )
+        idf_c = F.log(
+            1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        tfc = (F.col("tf") * (scoring.K1 + 1.0)) / (
+            F.col("tf")
+            + scoring.K1 * (1.0 - scoring.B + scoring.B * F.col("dl") / avg_col)
+        )
+        return w_col * idf_c * tfc
+
+    # -- plan evaluation ----------------------------------------------------
+    def _eval(self, node, term_doc, pos_rows, term_meta) -> DataFrame:
+        if isinstance(node, _Atom):
+            return self._eval_atom(node, term_doc, pos_rows)
+        if isinstance(node, qp.And):
+            children = sorted(node.children, key=_est_df)
+            out = self._eval(children[0], term_doc, pos_rows, term_meta)
+            for c in children[1:]:
+                nxt = self._eval(c, term_doc, pos_rows, term_meta).withColumnRenamed(
+                    "score", "_s2"
+                )
+                out = out.join(nxt, "doc_id").withColumn(
+                    "score", F.col("score") + F.col("_s2")
+                ).drop("_s2")
+            return out
+        if isinstance(node, qp.Or):
+            out = self._eval(node.children[0], term_doc, pos_rows, term_meta)
+            for c in node.children[1:]:
+                nxt = self._eval(c, term_doc, pos_rows, term_meta).withColumnRenamed(
+                    "score", "_s2"
+                )
+                out = (
+                    out.join(nxt, "doc_id", "full_outer")
+                    .withColumn(
+                        "score",
+                        F.coalesce(F.col("score"), F.lit(0.0))
+                        + F.coalesce(F.col("_s2"), F.lit(0.0)),
+                    )
+                    .drop("_s2")
+                )
+            return out
+        if isinstance(node, qp.Not):
+            pos = self._eval(node.positive, term_doc, pos_rows, term_meta)
+            neg = self._eval(node.negative, term_doc, pos_rows, term_meta)
+            return pos.join(neg.select("doc_id"), "doc_id", "left_anti")
+        raise TypeError(node)
+
+    def _eval_atom(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
+        if a.kind == "term":
+            return term_doc.filter(F.col("term") == a.tokens[0]).select("doc_id", "score")
+        if a.kind == "prefix":
+            if not a.expansions:
+                return term_doc.sparkSession.createDataFrame([], "doc_id long, score double")
+            return (
+                term_doc.filter(F.col("term").isin(a.expansions))
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        if a.kind == "phrase":
+            return self._eval_phrase(a, term_doc, pos_rows)
+        if a.kind == "near":
+            return self._eval_near(a, term_doc, pos_rows)
+        raise ValueError(a.kind)
+
+    def _phrase_candidates(self, a: _Atom, pos_rows) -> DataFrame:
+        """(doc_id) where the token sequence occurs at consecutive offsets in
+        at least one section — array_intersect over offset-shifted position
+        arrays, all JVM-side."""
+        uniq = list(dict.fromkeys(a.tokens))
+        base = None
+        for i, (t, off) in enumerate(zip(a.tokens, a.offsets)):
+            r = (
+                pos_rows.filter(F.col("term") == t)
+                .select(
+                    "doc_id",
+                    "sid",
+                    F.expr(f"transform(positions, x -> x - {off})").alias(f"_p{i}"),
+                )
+            )
+            base = r if base is None else base.join(r, ["doc_id", "sid"])
+        inter = F.col("_p0")
+        for i in range(1, len(a.tokens)):
+            inter = F.array_intersect(inter, F.col(f"_p{i}"))
+        return (
+            base.withColumn("_noccur", F.size(inter))
+            .filter(F.col("_noccur") > 0)
+            .select("doc_id")
+            .distinct()
+        )
+
+    def _phrase_score(self, a: _Atom, term_doc, cands: DataFrame) -> DataFrame:
+        uniq = list(dict.fromkeys(a.tokens))
+        sc = (
+            term_doc.filter(F.col("term").isin(uniq))
+            .join(cands, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        return sc
+
+    def _eval_phrase(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
+        return self._phrase_score(a, term_doc, self._phrase_candidates(a, pos_rows))
+
+    def _eval_near(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
+        """NEAR (*N): all tokens within max_interval positions
+        (sliding min-heap in Groonga, ii.c:6471-6497) — candidates come from
+        the (doc, sid) intersection; the window check runs as a vectorized
+        UDF over the (small) per-candidate position arrays."""
+        offsets = a.offsets
+        max_iv = a.max_interval
+
+        base = None
+        for i, t in enumerate(a.tokens):
+            r = pos_rows.filter(F.col("term") == t).select(
+                "doc_id", "sid", F.col("positions").alias(f"_p{i}")
+            )
+            base = r if base is None else base.join(r, ["doc_id", "sid"])
+
+        n_tok = len(a.tokens)
+
+        @F.pandas_udf(BooleanType())
+        def near_ok(*cols: pd.Series) -> pd.Series:
+            out = []
+            for row in zip(*cols):
+                lists = [sorted(x - offsets[i] for x in row[i]) for i in range(n_tok)]
+                ok = _near_window(lists, max_iv)
+                out.append(ok)
+            return pd.Series(out)
+
+        cands = (
+            base.withColumn("_ok", near_ok(*[F.col(f"_p{i}") for i in range(n_tok)]))
+            .filter(F.col("_ok"))
+            .select("doc_id")
+            .distinct()
+        )
+        return self._phrase_score(a, term_doc, cands)
+
+    # -- block-max top-k (single term) --------------------------------------
+    def _single_term_topk(self, term: str, term_meta, weights, k: int) -> DataFrame:
+        """Two-phase Block-Max pruning: phase 1 decodes just enough
+        highest-max_score blocks to cover k postings and fixes a true lower
+        bound θ on the k-th score; phase 2 decodes only blocks with
+        max_score >= θ.  Strictly-below-θ blocks cannot affect the top-k
+        (ties keep, so rank identity is preserved)."""
+        blocks = self._filtered_blocks([term], term_meta)
+        w = Window.orderBy(F.desc("max_score"), F.asc("first_doc_id"))
+        blocks = blocks.withColumn("_cum", F.sum("n").over(w))
+        phase1 = blocks.filter(F.col("_cum") - F.col("n") < k).drop("_cum")
+        rows1 = decoded_postings(phase1, with_pos=False)
+        scored1 = rows1.withColumn("contrib", self._contrib_col(rows1, weights))
+        td1 = scored1.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        top1 = td1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        if len(top1) < k:
+            theta = float("-inf")
+        else:
+            theta = top1[-1]["score"]
+        surv = blocks.filter(F.col("max_score") >= F.lit(theta)).drop("_cum")
+        rows2 = decoded_postings(surv, with_pos=False)
+        scored2 = rows2.withColumn("contrib", self._contrib_col(rows2, weights))
+        return scored2.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def _est_df(node) -> int:
+    if isinstance(node, _Atom):
+        return node.est_df
+    if isinstance(node, (qp.And,)):
+        return min((_est_df(c) for c in node.children), default=0)
+    if isinstance(node, (qp.Or,)):
+        return sum(_est_df(c) for c in node.children)
+    if isinstance(node, qp.Not):
+        return _est_df(node.positive)
+    return 1 << 60
+
+
+def _near_window(lists: list[list[int]], max_iv: int) -> bool:
+    """exists (p_0..p_m), p_i in lists[i], max-min <= max_iv."""
+    import heapq
+
+    iters = [iter(sorted(l)) for l in lists]
+    heap = []
+    cur_max = None
+    for i, it in enumerate(iters):
+        v = next(it, None)
+        if v is None:
+            return False
+        heap.append((v, i))
+        cur_max = v if cur_max is None else max(cur_max, v)
+    heapq.heapify(heap)
+    while True:
+        mn, i = heap[0]
+        if cur_max - mn <= max_iv:
+            return True
+        v = next(iters[i], None)
+        if v is None:
+            return False
+        heapq.heapreplace(heap, (v, i))
+        cur_max = max(cur_max, v)

@@ -1,0 +1,265 @@
+"""Tokenizers, re-expressed as vectorized batch kernels.
+
+Semantics follow Groonga's tokenizer suite (reference
+``lib/tokenizers.c:348-455`` ``ngram_next`` for TokenBigram and variants,
+``lib/tokenizers.c:224-236`` for TokenDelimit), over NormalizerAuto
+character classes (see :mod:`groonga_spark.normalize`):
+
+* ``bigram`` — TokenBigram with uni_alpha/uni_digit/uni_symbol = 1: maximal
+  runs of same-class ALPHA/DIGIT/SYMBOL characters become ONE token each;
+  blanks break runs and emit nothing; non-ASCII letter runs become
+  overlapping character bigrams (skip=1) with a trailing unigram.
+  Position = emitted-token index (Groonga's sequential token position).
+* ``delimit`` — TokenDelimit: split on blanks only.
+* ``code`` — our code-aware identifier tokenizer (the north-star addition,
+  consistent with the ALPHA-run semantics of normalizer.c:823-836): alpha
+  runs split at camelCase humps; ``_`` inside identifiers is consumed (not
+  emitted); each segment takes one position; multi-segment identifiers
+  additionally emit the full lowercased identifier at the position of their
+  first segment, so both ``getUserName`` and ``get user name`` queries hit.
+
+All tokenizers are implemented over one concatenated byte buffer per Arrow
+batch — boundary detection is pure numpy; only the final substring
+extraction loops in Python (over tokens, not characters).
+
+The pure-Python oracle imports these same functions, so engine and oracle
+share tokenization by construction; rank-identity tests then only exercise
+scoring/top-k independence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+from .normalize import (
+    ALPHA,
+    BLANK,
+    CLS_LUT,
+    DIGIT,
+    IS_LOWER,
+    IS_UPPER,
+    LOWER_LUT,
+    NONASCII,
+    SYMBOL,
+    char_class,
+)
+import unicodedata
+
+TOKENIZERS = ("bigram", "delimit", "code")
+
+
+def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[list[str], list[int]]]:
+    """Tokenize a batch. Returns per-text ``(terms, positions)``."""
+    if mode == "delimit":
+        return [_delimit(t) for t in texts]
+    if mode not in TOKENIZERS:
+        raise ValueError(f"unknown tokenizer {mode!r}")
+    out: list[tuple[list[str], list[int]]] = []
+    ascii_idx: list[int] = []
+    ascii_texts: list[bytes] = []
+    items = list(texts)
+    for i, t in enumerate(items):
+        t = t or ""
+        if t.isascii():
+            ascii_idx.append(i)
+            ascii_texts.append(t.encode("ascii"))
+            out.append(([], []))  # placeholder
+        else:
+            out.append(_tokenize_unicode(t, mode))
+    if ascii_texts:
+        fast = _tokenize_ascii_batch(ascii_texts, mode)
+        for i, res in zip(ascii_idx, fast):
+            out[i] = res
+    return out
+
+
+def tokenize(text: str, mode: str = "bigram") -> list[tuple[str, int]]:
+    """Single-text convenience (the ``tokenize`` command, lib/proc.c:6897)."""
+    terms, poss = tokenize_batch([text], mode)[0]
+    return list(zip(terms, poss))
+
+
+def _delimit(text: str) -> tuple[list[str], list[int]]:
+    terms = text.split()
+    return terms, list(range(len(terms)))
+
+
+# ---------------------------------------------------------------------------
+# ASCII fast path: one numpy pass over a concatenated batch buffer.
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_ascii_batch(texts: list[bytes], mode: str) -> list[tuple[list[str], list[int]]]:
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    if buf.size == 0:
+        return [([], []) for _ in texts]
+    doc_ends = np.cumsum(lens)
+    doc_starts = doc_ends - lens
+
+    cls = CLS_LUT[buf]
+    low = LOWER_LUT[buf]
+
+    # boundaries: position i starts a new run
+    bound = np.zeros(buf.size, dtype=bool)
+    bound[0] = True
+    bound[1:] |= cls[1:] != cls[:-1]
+    bound[doc_starts[doc_starts < buf.size]] = True
+    if mode == "code":
+        # camel humps (computed on the RAW bytes, pre-lowercase):
+        #   aB   -> boundary before B
+        #   ABc  -> boundary before B (acronym followed by lowercase word)
+        up = IS_UPPER[buf]
+        lo = IS_LOWER[buf]
+        hump = np.zeros(buf.size, dtype=bool)
+        hump[1:] = lo[:-1] & up[1:]
+        acr = np.zeros(buf.size, dtype=bool)
+        acr[1:-1] = up[:-2] & up[1:-1] & lo[2:]
+        bound |= hump | acr
+
+    starts = np.nonzero(bound)[0]
+    ends = np.append(starts[1:], buf.size)
+    run_cls = cls[starts]
+    keep = run_cls != BLANK
+    starts, ends, run_cls = starts[keep], ends[keep], run_cls[keep]
+
+    # doc id per run
+    run_doc = np.searchsorted(doc_ends, starts, side="right")
+
+    if mode == "code":
+        return _emit_code(texts, low, buf, starts, ends, run_cls, run_doc, n_docs)
+    return _emit_runs(texts, low, starts, ends, run_doc, n_docs)
+
+
+def _emit_runs(
+    texts, low, starts, ends, run_doc, n_docs
+) -> list[tuple[list[str], list[int]]]:
+    low_bytes = low.tobytes()
+    out: list[tuple[list[str], list[int]]] = [([], []) for _ in range(n_docs)]
+    for s, e, d in zip(starts.tolist(), ends.tolist(), run_doc.tolist()):
+        terms, poss = out[d]
+        poss.append(len(terms))
+        terms.append(low_bytes[s:e].decode("ascii"))
+    return out
+
+
+def _emit_code(
+    texts, low, raw, starts, ends, run_cls, run_doc, n_docs
+) -> list[tuple[list[str], list[int]]]:
+    """Code tokenizer emission: identifier = maximal span of ALPHA/DIGIT/'_'
+    runs; '_' runs inside identifiers are consumed; multi-segment identifiers
+    also emit the full identifier (lowercased, '_' kept) at the first
+    segment's position."""
+    low_bytes = low.tobytes()
+    n = starts.size
+    # identifier-class runs: ALPHA, DIGIT, or a pure-underscore SYMBOL run
+    und = np.zeros(n, dtype=bool)
+    sym = run_cls == SYMBOL
+    if sym.any():
+        # a symbol run is "underscore" if its first char is '_' (runs are
+        # same-class but may mix symbols; split out exact underscore runs)
+        first_char = raw[starts]
+        und = sym & (first_char == ord("_"))
+        # mixed runs like "_+" — treat as underscore only if ALL chars are _
+        for i in np.nonzero(und)[0].tolist():
+            seg = raw[starts[i] : ends[i]]
+            if not (seg == ord("_")).all():
+                und[i] = False
+    ident_cls = (run_cls == ALPHA) | (run_cls == DIGIT) | und
+
+    out: list[tuple[list[str], list[int]]] = [([], []) for _ in range(n_docs)]
+    i = 0
+    while i < n:
+        d = run_doc[i]
+        terms, poss = out[d]
+        if not ident_cls[i] or und[i]:
+            # bare symbol run (or leading underscores outside identifier):
+            # emit as one token, one position
+            if not und[i]:
+                poss.append(_next_pos(poss))
+                terms.append(low_bytes[starts[i] : ends[i]].decode("ascii"))
+            else:
+                # leading '_' run: attach to following identifier if adjacent
+                if (
+                    i + 1 < n
+                    and run_doc[i + 1] == d
+                    and ident_cls[i + 1]
+                    and not und[i + 1]
+                    and starts[i + 1] == ends[i]
+                ):
+                    pass  # consumed as part of the identifier below
+                else:
+                    poss.append(_next_pos(poss))
+                    terms.append(low_bytes[starts[i] : ends[i]].decode("ascii"))
+            i += 1
+            continue
+        # identifier: greedily take runs while same doc, contiguous, ident class
+        j = i
+        seg_spans: list[tuple[int, int]] = []
+        span_start = starts[i]
+        while (
+            j < n
+            and run_doc[j] == d
+            and ident_cls[j]
+            and (j == i or starts[j] == ends[j - 1])
+        ):
+            if not und[j]:
+                seg_spans.append((starts[j], ends[j]))
+            j += 1
+        span_end = ends[j - 1]
+        # trailing underscores belong to the identifier text
+        first_pos = _next_pos(poss)
+        for k, (s, e) in enumerate(seg_spans):
+            poss.append(first_pos + k)
+            terms.append(low_bytes[s:e].decode("ascii"))
+        if len(seg_spans) > 1:
+            terms.append(low_bytes[span_start:span_end].decode("ascii"))
+            poss.append(first_pos)
+        i = j
+    return out
+
+
+def _next_pos(poss: list[int]) -> int:
+    return (max(poss) + 1) if poss else 0
+
+
+# ---------------------------------------------------------------------------
+# Unicode fallback (per-string; NFKC + lower, CJK-ish letters → bigrams)
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_unicode(text: str, mode: str) -> tuple[list[str], list[int]]:
+    norm = unicodedata.normalize("NFKC", text).lower()
+    classes = [char_class(c) for c in norm]
+    terms: list[str] = []
+    poss: list[int] = []
+    i, n = 0, len(norm)
+    while i < n:
+        c = classes[i]
+        if c == BLANK:
+            i += 1
+            continue
+        j = i
+        while j < n and classes[j] == c:
+            j += 1
+        run = norm[i:j]
+        if c == NONASCII:
+            # overlapping bigrams with skip=1 + trailing unigram
+            # (tokenizers.c:312-313,430-447 ADD-mode behavior)
+            if len(run) == 1:
+                poss.append(_next_pos(poss))
+                terms.append(run)
+            else:
+                for k in range(len(run) - 1):
+                    poss.append(_next_pos(poss))
+                    terms.append(run[k : k + 2])
+                poss.append(_next_pos(poss))
+                terms.append(run[-1])
+        else:
+            poss.append(_next_pos(poss))
+            terms.append(run)
+        i = j
+    return terms, poss
