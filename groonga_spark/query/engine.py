@@ -188,12 +188,18 @@ class SearchEngine:
         need_pos = any(a.kind in ("phrase", "near") for a in atoms)
         term_doc, pos_rows = self._scored_term_doc(all_terms, term_meta, weights, need_pos)
 
-        # single simple-term query → block-max two-phase pruning
+        # single simple-term query → block-max two-phase pruning.
+        # Only sound when exactly ONE section is matched: then each doc has
+        # at most one posting for the term, so a block's max_score (scaled
+        # by the section weight) upper-bounds every doc score inside it.
+        # With multiple sections a doc's score sums across blocks and
+        # per-block bounds no longer bound the total.
         if (
             prune
             and isinstance(plan, _Atom)
             and plan.kind == "term"
             and not need_pos
+            and len(weights) == 1
         ):
             result = self._single_term_topk(plan.tokens[0], term_meta, weights, k)
         else:
@@ -403,23 +409,33 @@ class SearchEngine:
         highest-max_score blocks to cover k postings and fixes a true lower
         bound θ on the k-th score; phase 2 decodes only blocks with
         max_score >= θ.  Strictly-below-θ blocks cannot affect the top-k
-        (ties keep, so rank identity is preserved)."""
+        (ties keep, so rank identity is preserved).  The caller guarantees a
+        single matched section, so the weighted block bound is sound."""
+        (sec_weight,) = weights.values()
         blocks = self._filtered_blocks([term], term_meta)
         w = Window.orderBy(F.desc("max_score"), F.asc("first_doc_id"))
         blocks = blocks.withColumn("_cum", F.sum("n").over(w))
         phase1 = blocks.filter(F.col("_cum") - F.col("n") < k).drop("_cum")
         rows1 = decoded_postings(phase1, with_pos=False)
         scored1 = rows1.withColumn("contrib", self._contrib_col(rows1, weights))
-        td1 = scored1.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        td1 = scored1.filter(F.col("contrib").isNotNull()).groupBy("doc_id").agg(
+            F.sum("contrib").alias("score")
+        )
         top1 = td1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         if len(top1) < k:
             theta = float("-inf")
         else:
             theta = top1[-1]["score"]
-        surv = blocks.filter(F.col("max_score") >= F.lit(theta)).drop("_cum")
+        surv = blocks.filter(
+            F.col("max_score") * F.lit(float(sec_weight)) >= F.lit(theta)
+        ).drop("_cum")
         rows2 = decoded_postings(surv, with_pos=False)
         scored2 = rows2.withColumn("contrib", self._contrib_col(rows2, weights))
-        return scored2.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        return (
+            scored2.filter(F.col("contrib").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
 
 
 def _est_df(node) -> int:
