@@ -245,50 +245,53 @@ def _encode_group(pdf: pd.DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]
     )
 
 
-def build_index(
-    df: DataFrame,
-    text_cols: list[str],
-    tokenizer: str = "bigram",
-    id_col: str = "doc_id",
-    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
-    n_pbuckets: int = DEFAULT_N_PBUCKETS,
-) -> InvertedIndex:
-    spark = df.sparkSession
+def tf_stage(df: DataFrame, text_cols: list[str], tokenizer: str, id_col: str = "doc_id"):
+    """Stage T: tokenize + (term, doc_id, sid) → tf, positions; doc lengths.
+    Partial aggregation (map-side combine) runs before the shuffle."""
     toks = tokens_df(df, text_cols, tokenizer, id_col)
-
-    # stage T: (term, doc_id, sid) -> tf + sorted positions.
-    # partial aggregation (map-side combine) happens before the shuffle.
     tf = toks.groupBy("term", "doc_id", "sid").agg(
         F.count("*").cast("long").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-
-    # doc lengths per section (exact integers)
     doclens = toks.groupBy("doc_id", "sid").agg(F.count("*").cast("long").alias("dl"))
+    return tf, doclens
 
+
+def collect_stats(df: DataFrame, doclens: DataFrame, text_cols: list[str]) -> IndexStats:
     n_docs = df.count()
     sec_rows = doclens.groupBy("sid").agg(F.sum("dl").alias("total")).collect()
     section_tokens = {int(r["sid"]): int(r["total"]) for r in sec_rows}
-    stats = IndexStats(
+    return IndexStats(
         n_docs=int(n_docs),
         section_tokens=section_tokens,
         sections={i + 1: c for i, c in enumerate(text_cols)},
     )
-    avgdl_by_sid = {sid: stats.avgdl(sid) for sid in section_tokens}
 
-    # stage D: dictionary with df/cf; term_id dense in term sort order
-    # (PAT-key-order analogue).
+
+def make_dictionary(tf: DataFrame) -> DataFrame:
+    """Stage D: df/cf per term; dense term_id in term sort order (PAT-key
+    order analogue)."""
     from ..ids import assign_dense_ids
 
     dictionary = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
-    dictionary = assign_dense_ids(dictionary, ["term"], "term_id")
+    return assign_dense_ids(dictionary, ["term"], "term_id")
 
-    # stage P: salted repartition by term. salt spreads a heavy term's docs
-    # over ceil(df / postings_per_bucket) buckets (explicit skew split).
-    tf2 = (
+
+def salted_tf(
+    tf: DataFrame,
+    doclens: DataFrame,
+    dictionary: DataFrame,
+    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
+    n_pbuckets: int = DEFAULT_N_PBUCKETS,
+) -> DataFrame:
+    """Attach dl, df, salt and pbucket.  The salt spreads a heavy term's
+    docs over ceil(df / postings_per_bucket) reducers — explicit skew split;
+    pbucket = hash(term) % n_pbuckets gives partition pruning on the
+    persisted postings table."""
+    return (
         tf.join(doclens, ["doc_id", "sid"])
         .join(dictionary.select("term", "df"), "term")
         .withColumn(
@@ -299,11 +302,30 @@ def build_index(
         .withColumn("pbucket", F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)).cast("int"))
     )
 
+
+def encode_postings(tf2: DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]) -> DataFrame:
+    """Stage P: per-(term, salt) block encode (merge_hit_blocks analogue)."""
+
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _encode_group(pdf, int(n_docs), avgdl_by_sid)
 
-    postings = tf2.groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+    return tf2.groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
 
+
+def build_index(
+    df: DataFrame,
+    text_cols: list[str],
+    tokenizer: str = "bigram",
+    id_col: str = "doc_id",
+    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
+    n_pbuckets: int = DEFAULT_N_PBUCKETS,
+) -> InvertedIndex:
+    tf, doclens = tf_stage(df, text_cols, tokenizer, id_col)
+    stats = collect_stats(df, doclens, text_cols)
+    avgdl_by_sid = {sid: stats.avgdl(sid) for sid in stats.section_tokens}
+    dictionary = make_dictionary(tf)
+    tf2 = salted_tf(tf, doclens, dictionary, postings_per_bucket, n_pbuckets)
+    postings = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
     return InvertedIndex(
         dictionary=dictionary,
         postings=postings,
