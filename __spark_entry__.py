@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operator surface (SURVEY.md §2 + the
+training-data pipeline ops) over the driver-provisioned parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each.  Fulltext entries
+run through the real inverted-index engine (groonga_spark.SearchEngine) —
+index built once per (sf_dir) and cached across calls.
+
+Float discipline: every floating-point output column is round()ed to a
+fixed number of decimals ON BOTH SIDES, and every ORDER BY/LIMIT uses the
+same deterministic (value, id) tie-break, so value-hash comparison is
+stable.  BM25 inputs (N, df, tf, dl, Σdl) are exact integers everywhere, so
+Spark and DuckDB compute the same float64 expression DAG.
 """
 
 from __future__ import annotations
@@ -12,27 +18,562 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from groonga_spark import scoring
+
+SF001 = "/root/testdata/sf0.001"
+
+_ENGINES: dict[str, object] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Inverted index over documents(text), whitespace (TokenDelimit)
+    tokenizer — cached per scale factor."""
+    from groonga_spark import SearchEngine
+
+    if sf_dir not in _ENGINES:
+        docs = _read(spark, sf_dir, "documents")
+        eng = SearchEngine.build(
+            docs, ["text"], tokenizer="delimit", id_col="doc_id", n_pbuckets=16
+        )
+        eng.index.persist()
+        _ENGINES[sf_dir] = eng
+    return _ENGINES[sf_dir]
+
+
+def _topk(eng, query: str, k: int = 10) -> DataFrame:
+    res = eng.select(query, k=k, escalate=False)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 AND query through the inverted index at
+    sf0.001."""
+    eng = _engine(spark, SF001)
+    return _topk(eng, "table scan", k=10)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- fulltext core (engine-backed) ----------------------------------
+    def ft_match_single(spark, sf):
+        return _topk(_engine(spark, sf), "spark", 10)
+
+    def ft_match_and(spark, sf):
+        return _topk(_engine(spark, sf), "filter query", 10)
+
+    def ft_match_or(spark, sf):
+        return _topk(_engine(spark, sf), "filter OR slow", 10)
+
+    def ft_match_not(spark, sf):
+        return _topk(_engine(spark, sf), "query -slow", 10)
+
+    def ft_phrase(spark, sf):
+        return _topk(_engine(spark, sf), '"key order"', 10)
+
+    def ft_prefix(spark, sf):
+        return _topk(_engine(spark, sf), "sc*", 10)
+
+    def ft_near(spark, sf):
+        return _topk(_engine(spark, sf), "*N3 table scan", 10)
+
+    def ft_topk_tf(spark, sf):
+        # raw decoded postings for one term — integer check of the
+        # tokenize → posting-list → block-encode → decode round trip
+        from groonga_spark.query.decode import decoded_postings
+
+        eng = _engine(spark, sf)
+        blocks = eng._filtered_blocks(["data"], {})
+        rows = decoded_postings(blocks, with_pos=False)
+        return rows.select("doc_id", F.col("tf").cast("long").alias("tf"))
+
+    def dict_stats(spark, sf):
+        eng = _engine(spark, sf)
+        return eng.index.dictionary.select("term", "term_id", "df", "cf")
+
+    def doclen_stats(spark, sf):
+        eng = _engine(spark, sf)
+        return eng.index.doclens.select(
+            "doc_id", F.col("sid").cast("int").alias("sid"), "dl"
+        )
+
+    # ---- drilldown / aggregation (§2.5) ----------------------------------
+    def drilldown_lang(spark, sf):
+        eng = _engine(spark, sf)
+        docs = _read(spark, sf, "documents")
+        matched = eng.select(
+            "spark", k=eng.index.stats.n_docs, escalate=False, prune=False
+        ).select("doc_id")
+        return (
+            matched.join(docs, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            )
+        )
+
+    def drilldown_calc(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+
+    # ---- result-set algebra (§2.6) ---------------------------------------
+    def _setop_inputs(spark, sf):
+        docs = _read(spark, sf, "documents")
+        a = docs.filter(F.array_contains(F.split("text", " "), "spark")).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+        b = docs.filter(F.col("n_chars") > 300).select(
+            "doc_id", F.lit(2.0).alias("score")
+        )
+        return a, b
+
+    def setop_or(spark, sf):
+        a, b = _setop_inputs(spark, sf)
+        return (
+            a.withColumnRenamed("score", "sa")
+            .join(b.withColumnRenamed("score", "sb"), "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (F.coalesce("sa", F.lit(0.0)) + F.coalesce("sb", F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        )
+
+    def setop_and(spark, sf):
+        a, b = _setop_inputs(spark, sf)
+        return (
+            a.withColumnRenamed("score", "sa")
+            .join(b.withColumnRenamed("score", "sb"), "doc_id")
+            .select("doc_id", (F.col("sa") + F.col("sb")).alias("score"))
+        )
+
+    def setop_and_not(spark, sf):
+        a, b = _setop_inputs(spark, sf)
+        return a.join(b.select("doc_id"), "doc_id", "left_anti")
+
+    # ---- scans / sorts / predicates (§2.1, §2.7, §2.8) -------------------
+    def scan_topn(spark, sf):
+        return (
+            _read(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+
+    def filter_between(spark, sf):
+        from groonga_spark.functions import between
+
+        li = _read(spark, sf, "lineitem")
+        return (
+            li.filter(between("l_quantity", 10, "include", 20, "exclude"))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def in_values_nation(spark, sf):
+        from groonga_spark.functions import in_values
+
+        return (
+            _read(spark, sf, "nation")
+            .filter(in_values("n_name", "NATION_1", "NATION_3", "NATION_5"))
+            .select("n_nationkey", "n_name")
+        )
+
+    def edit_distance_nation(spark, sf):
+        from groonga_spark.functions import edit_distance
+
+        return _read(spark, sf, "nation").select(
+            "n_name",
+            edit_distance(F.col("n_name"), F.lit("NATION_1")).cast("long").alias("dist"),
+        )
+
+    def sub_filter_orders(spark, sf):
+        cust = _read(spark, sf, "customer")
+        orders = _read(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+        return cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+        ).select("c_custkey", "c_name")
+
+    def ref_deref(spark, sf):
+        o = _read(spark, sf, "orders")
+        c = _read(spark, sf, "customer")
+        n = _read(spark, sf, "nation")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    # ---- output functions (§2.8) -----------------------------------------
+    def highlight(spark, sf):
+        from groonga_spark.functions import highlight_html
+
+        docs = _read(spark, sf, "documents")
+        return docs.filter(F.array_contains(F.split("text", " "), "spark")).select(
+            "doc_id", highlight_html(F.col("text"), "spark").alias("html")
+        )
+
+    # ---- dedup ops --------------------------------------------------------
+    def dedup_exact(spark, sf):
+        from groonga_spark.ops.dedup import exact_fingerprints
+
+        return exact_fingerprints(_read(spark, sf, "documents"))
+
+    def minhash_bands_q(spark, sf):
+        from groonga_spark.ops.dedup import minhash_bands
+
+        return minhash_bands(_read(spark, sf, "documents"), n_bands=4, k=3)
+
+    def minhash_pairs(spark, sf):
+        from groonga_spark.ops.dedup import minhash_candidate_pairs
+
+        return minhash_candidate_pairs(_read(spark, sf, "documents"), n_bands=4, k=3)
+
+    def simhash_q(spark, sf):
+        from groonga_spark.ops.dedup import simhash16
+
+        return simhash16(_read(spark, sf, "documents")).withColumnRenamed("id", "doc_id")
+
+    def jaccard_pairs(spark, sf):
+        from groonga_spark.ops.dedup import ngram_jaccard_pairs
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        p = ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+        return p.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+    # ---- similarity search -------------------------------------------------
+    def cosine_topk_q(spark, sf):
+        from groonga_spark.ops.similarity import cosine_topk
+
+        emb = _read(spark, sf, "embeddings")
+        res = cosine_topk(emb, query_vec_id=0, k=20)
+        out = res.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        return out.orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    def ann_lsh_topk(spark, sf):
+        from groonga_spark.ops.similarity import lsh_ann_topk
+
+        emb = _read(spark, sf, "embeddings")
+        res = lsh_ann_topk(emb, query_vec_id=0, k=20, n_planes=12, seed=42)
+        return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    # ---- text analysis ------------------------------------------------------
+    def token_counts_q(spark, sf):
+        from groonga_spark.ops.textstats import token_counts
+
+        return token_counts(_read(spark, sf, "documents"))
+
+    def quality_q(spark, sf):
+        from groonga_spark.ops.textstats import quality_scores
+
+        return quality_scores(_read(spark, sf, "documents"))
+
+    def langid_q(spark, sf):
+        from groonga_spark.ops.textstats import langid
+
+        return langid(_read(spark, sf, "documents"))
+
+    def fingerprint_q(spark, sf):
+        from groonga_spark.ops.textstats import rolling_fingerprints
+
+        return rolling_fingerprints(_read(spark, sf, "documents"))
+
+    # ---- multimodal plumbing ------------------------------------------------
+    def multimodal_meta(spark, sf):
+        from groonga_spark.ops.multimodal import to_media
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "payload", F.encode("text", "utf-8")
+        )
+        media = to_media(docs, "payload", "doc_id", "image", "text/plain")
+        return media.select("media_id", "kind", "mime", "n_bytes", "sha")
+
+    def image_features(spark, sf):
+        from groonga_spark.ops.multimodal import extract_image_features, to_media
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "payload", F.encode("text", "utf-8")
+        )
+        media = to_media(docs, "payload", "doc_id", "image", "text/plain")
+        feats = extract_image_features(media)
+        return feats.select("media_id", "width", "height")
+
+    q.update(
+        ft_match_single=ft_match_single,
+        ft_match_and=ft_match_and,
+        ft_match_or=ft_match_or,
+        ft_match_not=ft_match_not,
+        ft_phrase=ft_phrase,
+        ft_prefix=ft_prefix,
+        ft_near=ft_near,
+        ft_topk_tf=ft_topk_tf,
+        dict_stats=dict_stats,
+        doclen_stats=doclen_stats,
+        drilldown_lang=drilldown_lang,
+        drilldown_calc=drilldown_calc,
+        setop_or=setop_or,
+        setop_and=setop_and,
+        setop_and_not=setop_and_not,
+        scan_topn=scan_topn,
+        filter_between=filter_between,
+        in_values_nation=in_values_nation,
+        edit_distance_nation=edit_distance_nation,
+        sub_filter_orders=sub_filter_orders,
+        ref_deref=ref_deref,
+        highlight=highlight,
+        dedup_exact=dedup_exact,
+        minhash_bands_q=minhash_bands_q,
+        minhash_pairs=minhash_pairs,
+        simhash_q=simhash_q,
+        jaccard_pairs=jaccard_pairs,
+        cosine_topk_q=cosine_topk_q,
+        ann_lsh_topk=ann_lsh_topk,
+        token_counts_q=token_counts_q,
+        quality_q=quality_q,
+        langid_q=langid_q,
+        fingerprint_q=fingerprint_q,
+        multimodal_meta=multimodal_meta,
+        image_features=image_features,
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_BM25 = scoring.bm25_sql(
+    "tf.tf", "dft.df", "stats.n", "dl.dl", "stats.total_dl::DOUBLE / stats.n"
+)
+
+_CTE = f"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM words),
+stats AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS total_dl FROM words),
+toks AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id, tf.term, {_BM25} AS s
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)"""
+
+# 16-bit value of the first 4 hex digits of md5(term), pure SQL
+_HEX4 = (
+    "((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1))"
+)
+
+_SHINGLES = (
+    "CASE WHEN len(string_split(text, ' ')) < 3 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], "
+    "string_split(text, ' ')[i+2])) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["ft_match_single"] = f"""{_CTE}
+SELECT doc_id, round(s, 4) AS score FROM bm WHERE term = 'spark'
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    o["ft_match_and"] = f"""{_CTE}
+SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term IN ('filter', 'query')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_match_or"] = f"""{_CTE}
+SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term IN ('filter', 'slow')
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_match_not"] = f"""{_CTE}
+SELECT doc_id, round(s, 4) AS score FROM bm WHERE term = 'query'
+AND doc_id NOT IN (SELECT doc_id FROM bm WHERE term = 'slow')
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    o["ft_phrase"] = f"""{_CTE}
+SELECT b.doc_id, round(sum(b.s), 4) AS score
+FROM bm b JOIN documents d ON b.doc_id = d.doc_id
+WHERE b.term IN ('key', 'order') AND (' ' || d.text || ' ') LIKE '% key order %'
+GROUP BY b.doc_id HAVING count(DISTINCT b.term) = 2
+ORDER BY sum(b.s) DESC, b.doc_id LIMIT 10"""
+
+    o["ft_prefix"] = f"""{_CTE}
+SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term LIKE 'sc%'
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_near"] = f"""{_CTE},
+pos AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS p FROM words),
+cand AS (SELECT DISTINCT p0.doc_id FROM pos p0 JOIN pos p1 ON p0.doc_id = p1.doc_id
+         WHERE p0.term = 'table' AND p1.term = 'scan' AND abs(p0.p - (p1.p - 1)) <= 3)
+SELECT b.doc_id, round(sum(b.s), 4) AS score
+FROM bm b JOIN cand USING (doc_id) WHERE b.term IN ('table', 'scan')
+GROUP BY b.doc_id HAVING count(DISTINCT b.term) = 2
+ORDER BY sum(b.s) DESC, b.doc_id LIMIT 10"""
+
+    o["ft_topk_tf"] = f"""{_CTE}
+SELECT doc_id, tf FROM tf WHERE term = 'data'"""
+
+    o["dict_stats"] = f"""{_CTE}
+SELECT term, row_number() OVER (ORDER BY term) AS term_id,
+       count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term"""
+
+    o["doclen_stats"] = """SELECT doc_id, 1 AS sid,
+len(string_split(text, ' '))::BIGINT AS dl FROM documents"""
+
+    o["drilldown_lang"] = f"""{_CTE}
+SELECT d.lang, count(*)::BIGINT AS n, round(avg(d.n_chars), 4) AS avg_chars
+FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY d.lang"""
+
+    o["drilldown_calc"] = """SELECT source, count(*)::BIGINT AS n,
+sum(n_chars)::BIGINT AS sum_chars, min(n_chars) AS min_chars,
+max(n_chars) AS max_chars, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source"""
+
+    _a = "SELECT doc_id, 1.0 AS score FROM documents WHERE (' ' || text || ' ') LIKE '% spark %'"
+    _b = "SELECT doc_id, 2.0 AS score FROM documents WHERE n_chars > 300"
+    o["setop_or"] = f"""WITH a AS ({_a}), b AS ({_b})
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"""
+    o["setop_and"] = f"""WITH a AS ({_a}), b AS ({_b})
+SELECT a.doc_id AS doc_id, a.score + b.score AS score
+FROM a JOIN b ON a.doc_id = b.doc_id"""
+    o["setop_and_not"] = f"""WITH a AS ({_a}), b AS ({_b})
+SELECT a.doc_id AS doc_id, a.score AS score FROM a
+WHERE a.doc_id NOT IN (SELECT doc_id FROM b)"""
+
+    o["scan_topn"] = """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+    o["filter_between"] = """SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity < 20 GROUP BY l_returnflag"""
+
+    o["in_values_nation"] = """SELECT n_nationkey, n_name FROM nation
+WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5')"""
+
+    o["edit_distance_nation"] = """SELECT n_name,
+levenshtein(n_name, 'NATION_1')::BIGINT AS dist FROM nation"""
+
+    o["sub_filter_orders"] = """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"""
+
+    o["ref_deref"] = """SELECT n.n_name, count(*)::BIGINT AS n_orders,
+round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+    o["highlight"] = """SELECT doc_id,
+replace(text, 'spark', '<span class="keyword">spark</span>') AS html
+FROM documents WHERE (' ' || text || ' ') LIKE '% spark %'"""
+
+    o["dedup_exact"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+    _bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, list_aggregate(list_transform(shingles, "
+        f"s -> md5(concat('{b}|', s))), 'min') AS minhash FROM sh WHERE len(shingles) > 0"
+        for b in range(4)
+    )
+    o["minhash_bands_q"] = f"""WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
+{_bands}"""
+
+    o["minhash_pairs"] = f"""WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+mb AS ({_bands})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM mb x JOIN mb y ON x.band = y.band AND x.minhash = y.minhash
+WHERE x.doc_id < y.doc_id"""
+
+    o["simhash_q"] = f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, {_HEX4} AS hv FROM tf),
+bits AS (SELECT doc_id,
+  {', '.join(f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS d{j}" for j in range(16))}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, ({' + '.join(f"CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))})::BIGINT AS simhash
+FROM bits"""
+
+    o["jaccard_pairs"] = f"""WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents WHERE doc_id < 300),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shd GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+          FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1"""
+
+    o["cosine_topk_q"] = """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT e.vec_id,
+  list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+    i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum') AS dot,
+  sqrt(list_aggregate(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS ne,
+  sqrt(list_aggregate(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nq
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, round(dot / (ne * nq), 6) AS cosine FROM c
+ORDER BY round(dot / (ne * nq), 6) DESC, vec_id LIMIT 20"""
+
+    o["token_counts_q"] = """SELECT doc_id,
+len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_alpha_tokens
+FROM documents"""
+
+    _stop = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'"
+    o["quality_q"] = f"""WITH s AS (SELECT doc_id,
+  len(string_split(text, ' '))::BIGINT AS nw,
+  length(text)::BIGINT AS nc,
+  len(list_filter(string_split(text, ' '), w -> w IN ({_stop})))::BIGINT AS ns
+FROM documents)
+SELECT doc_id, nw AS n_words, nc AS n_chars,
+round((nc - (nw - 1))::DOUBLE / nw::DOUBLE, 4) AS avg_word_len,
+round(ns::DOUBLE / nw::DOUBLE, 4) AS stop_ratio,
+round(0.5 * least(1.0, nw::DOUBLE / 100.0) + 0.5 * (1.0 - ns::DOUBLE / nw::DOUBLE), 4) AS quality
+FROM s"""
+
+    o["langid_q"] = f"""WITH s AS (SELECT doc_id,
+  len(string_split(text, ' '))::BIGINT AS nw,
+  len(list_filter(string_split(text, ' '), w -> w IN ({_stop})))::BIGINT AS ns,
+  len(regexp_extract_all(text, '[a-zA-Z]+'))::BIGINT AS na
+FROM documents)
+SELECT doc_id, round(ns::DOUBLE / nw::DOUBLE, 4) AS en_ratio,
+CASE WHEN na >= nw AND nw > 0 THEN 'en' ELSE 'unk' END AS pred
+FROM s"""
+
+    o["multimodal_meta"] = """SELECT doc_id AS media_id, 'image' AS kind,
+'text/plain' AS mime, octet_length(text::BLOB)::BIGINT AS n_bytes,
+sha256(text) AS sha FROM documents"""
+
+    # ann_lsh_topk, fingerprint_q, image_features: engine-specific
+    # (seeded hyperplanes / rolling hash / fake decode) → rows-only check.
+    return o

@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All Spark-first: built-in functions where possible (hashing, shingling and
+banding are pure Column expressions → whole-stage codegen), shuffles only on
+the band-bucket join, which is the standard LSH trick to avoid the O(n²)
+pair space.
+
+Hash choice: md5 hex strings (F.md5) — deterministic, engine-independent
+(the DuckDB oracle can reproduce it), and uniform enough for MinHash.  At
+100 TB the band-bucket join keys are (band, minhash) — high cardinality,
+well-distributed, no skew salting needed; exact-dup groups key on the full
+content hash which is unique per distinct document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) — exact-duplicate fingerprint (hash-groupBy dedup basis)."""
+    return df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates: (fp, n_docs, min_id) for groups with >1."""
+    return (
+        exact_fingerprints(df, text_col, id_col)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3):
+    """Adds ``shingles: array<string>`` — k-word shingles, JVM-side."""
+    return df.withColumn(
+        "shingles",
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) < {k} THEN array()"
+            f" ELSE transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))) END"
+        ),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, minhash) — one MinHash per band over k-word shingles
+    (band size r=1).  Candidate duplicates share (band, minhash)."""
+    sh = word_shingles(df, text_col, k).filter(F.size("shingles") > 0)
+    bands = []
+    for b in range(n_bands):
+        bands.append(
+            sh.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.array_min(
+                    F.expr(f"transform(shingles, s -> md5(concat('{b}|', s)))")
+                ).alias("minhash"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs via band-bucket self-join —
+    the shuffle is on (band, minhash), never on the pair space."""
+    mb = minhash_bands(df, text_col, id_col, n_bands, k)
+    left = mb.select(F.col(id_col).alias("a"), "band", "minhash")
+    right = mb.select(F.col(id_col).alias("b"), "band", "minhash")
+    return (
+        left.join(right, ["band", "minhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with k-shingle Jaccard >= threshold.
+    Exact — joins on shared shingles, so cost is Σ df(shingle)²; use after
+    an LSH prefilter at scale."""
+    sh = (
+        word_shingles(df, text_col, k)
+        .select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 16-bit SimHash over whitespace tokens, entirely
+    JVM-side: each token's 16 hash bits come from the first 4 hex digits of
+    md5(token); bit j contributes +tf / -tf to dimension j; simhash bit j is
+    the sign.  Deterministic across engines (md5-based)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long"))
+    dims = []
+    for j in range(16):
+        bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        dims.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"d{j}")
+        )
+    agg = h.groupBy("id").agg(*dims)
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        sim = sim + F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return agg.select(F.col("id"), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance — self-join on the full
+    16-bit hash bucketed by the top byte (at 64-bit scale: multi-probe by
+    permuted bands)."""
+    s = simhash16(df, text_col, id_col)
+    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha")).withColumn(
+        "bucket", F.shiftright("ha", 8)
+    )
+    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb")).withColumn(
+        "bucket", F.shiftright("hb", 8)
+    )
+    joined = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    return (
+        joined.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

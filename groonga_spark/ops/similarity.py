@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: the dot product and
+norms are pure Column expressions (``aggregate``/``zip_with`` — JVM-side,
+deterministic left-to-right summation so the DuckDB oracle matches bit-for-
+bit after float32→float64 widening).  The scale path is LSH bucketing
+(random-hyperplane signatures): candidates shrink from N to the probed
+buckets, turning an O(N·d) scan per query into a bucket-pruned scan —
+at 100 TB the signature table is partitioned by signature prefix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to the row with ``id_col == query_vec_id``.
+    The query row is broadcast (a 1-row cross join)."""
+    q = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    cand = df.filter(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q))
+    cos = F.expr(_dot_expr(vec_col, "_qvec")) / (
+        F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("_qvec"))
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), "cosine")
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, sig) — random-hyperplane signature (sign bits of plane dots),
+    planes drawn from a seeded RNG so the index is reproducible.  Vectorized
+    pandas UDF: one matmul per Arrow batch."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def sig_udf(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_planes)
+        out = np.zeros(len(vs), dtype=np.int64)
+        for j in range(n_planes):
+            out |= bits[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sig"))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose signature is within
+    ``max_probe_hamming`` bits of the query signature (multi-probe LSH)."""
+    sigs = lsh_signatures(df, n_planes, seed, vec_col, id_col)
+    qsig = sigs.filter(F.col("id") == query_vec_id).select(
+        F.col("sig").alias("_qsig")
+    )
+    cand_ids = (
+        sigs.crossJoin(F.broadcast(qsig))
+        .withColumn("_ham", F.bit_count(F.col("sig").bitwiseXOR(F.col("_qsig"))))
+        .filter((F.col("_ham") <= max_probe_hamming) & (F.col("id") != query_vec_id))
+        .select(F.col("id").alias(id_col))
+    )
+    cand = df.join(cand_ids, id_col)
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
+    cos = F.expr(_dot_expr(vec_col, "_qvec")) / (
+        F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("_qvec"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), "cosine")
+    )

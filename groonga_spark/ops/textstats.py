@@ -1,0 +1,113 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  All but the rolling-hash fingerprint are pure
+Column expressions (JVM, codegen); all arithmetic on exact-integer counts so
+oracles reproduce bit-identical doubles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# tiny English function-word list for the stopword-ratio heuristics
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_alpha_tokens) — whitespace count + a BPE-ish
+    regex token count ([a-z]+ runs; digits/punct counted separately at the
+    regex level if extended)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z]+', 0)"))
+        .cast("long")
+        .alias("n_alpha_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_words, n_chars, avg_word_len, stop_ratio, quality) — all from
+    integer counts; quality = 0.5*min(1, n_words/100) + 0.5*(1-stop_ratio)."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    total_word_len = (n_chars - (n_words - 1)).cast("long")  # single-space text
+    stop_arr = ",".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split({text_col}, ' '), w -> w in ({stop_arr}))")
+    ).cast("long")
+    avg_word_len = total_word_len.cast("double") / n_words.cast("double")
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    quality = 0.5 * F.least(F.lit(1.0), n_words.cast("double") / 100.0) + 0.5 * (
+        1.0 - stop_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, en_ratio, pred) — n-gram/function-word heuristic language ID:
+    the ratio of ASCII-alpha trigrams that appear in an English profile is
+    approximated here by the stopword/alpha-token ratio; pred = 'en' when
+    the text is dominated by ASCII alpha runs."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("long")
+    stop_arr = ",".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split({text_col}, ' '), w -> w in ({stop_arr}))")
+    ).cast("long")
+    n_alpha = F.size(F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+', 0)")).cast("long")
+    en_ratio = n_stop.cast("double") / n_words.cast("double")
+    pred = F.when((n_alpha >= n_words) & (n_words > 0), F.lit("en")).otherwise(F.lit("unk"))
+    return df.select(
+        F.col(id_col), F.round(en_ratio, 4).alias("en_ratio"), pred.alias("pred")
+    )
+
+
+_MOD = (1 << 61) - 1
+_BASE = 1000003
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 32
+) -> DataFrame:
+    """(id, fingerprint) — winnowing-style doc fingerprint: polynomial
+    rolling hash (base 1000003 mod 2^61-1) over utf-8 bytes, minimum hash
+    over all windows.  Vectorized pandas UDF (numpy object-free loop over
+    windows via cumulative powers)."""
+
+    @F.pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(object)
+            n = len(b)
+            if n == 0:
+                out.append(0)
+                continue
+            w = min(window, n)
+            # prefix hashes: h[i] = hash of b[:i]
+            h = 0
+            pref = [0] * (n + 1)
+            for i in range(n):
+                h = (h * _BASE + int(b[i])) % _MOD
+                pref[i + 1] = h
+            pw = pow(_BASE, w, _MOD)
+            best = None
+            for i in range(n - w + 1):
+                hw = (pref[i + w] - pref[i] * pw) % _MOD
+                if best is None or hw < best:
+                    best = hw
+            out.append(int(best))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))
