@@ -51,6 +51,10 @@ def _topk(eng, query: str, k: int = 10) -> DataFrame:
     return res.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _topk_df(res: DataFrame) -> DataFrame:
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -113,6 +117,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("sid").cast("int").alias("sid"), "dl"
         )
 
+    # ---- fulltext extensions: suffix / regexp / similar / extract --------
+    def ft_suffix(spark, sf):
+        return _topk_df(_engine(spark, sf).suffix_search("er", 10))
+
+    def ft_regexp(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return _engine(spark, sf).regexp_search(docs, "text", "sc[a-z]n")
+
+    def ft_similar(spark, sf):
+        eng = _engine(spark, sf)
+        return _topk_df(eng.similar_search("dup key fast line the spark", k=10, max_terms=3))
+
+    def ft_term_extract(spark, sf):
+        eng = _engine(spark, sf)
+        return eng.term_extract("spark zzznotaword scan batch")
+
+    # ---- pluggable scorers + adjuster (§2.3, §2.12) -----------------------
+    def scorer_tfidf_q(spark, sf):
+        eng = _engine(spark, sf)
+        res = eng.select("spark", k=10, escalate=False, scorer="tf_idf")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    def scorer_tf_at_most_q(spark, sf):
+        eng = _engine(spark, sf)
+        res = eng.select("spark", k=10, escalate=False, scorer="tf_at_most:2")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    def adjuster_q(spark, sf):
+        eng = _engine(spark, sf)
+        res = eng.select(
+            "filter", k=10, escalate=False, adjuster=[("spark", 5.0)]
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
     # ---- drilldown / aggregation (§2.5) ----------------------------------
     def drilldown_lang(spark, sf):
         eng = _engine(spark, sf)
@@ -137,6 +175,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+
+    def drilldown_labeled(spark, sf):
+        # labeled multi-key drilldown (--drilldowns[label].keys a,b;
+        # proc.c:784-875, composite-key pack db.c:3322-3610)
+        docs = _read(spark, sf, "documents")
+        return docs.groupBy("lang", "source").agg(
+            F.count("*").alias("n"), F.max("n_chars").alias("max_chars")
+        )
+
+    def drilldown_vector(spark, sf):
+        # vector-column drilldown (db.c:3656-3749): vector values explode
+        # into one group per element — top 20 terms by count
+        docs = _read(spark, sf, "documents")
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term"))
+            .limit(20)
+        )
+
+    def logical_count_q(spark, sf):
+        # logical_count (plugins/sharding/logical_count.rb): count across
+        # time-sharded tables = count over the time-partitioned table
+        ev = _read(spark, sf, "events")
+        return (
+            ev.filter(
+                (F.col("ts") >= F.lit("2024-01-01"))
+                & (F.col("ts") < F.lit("2024-01-05"))
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def range_filter_q(spark, sf):
+        # range_filter command (proc.c:7011): early-terminating
+        # range + sort + limit → Catalyst's TakeOrderedAndProject
+        ev = _read(spark, sf, "events")
+        return (
+            ev.filter((F.col("value") >= 10) & (F.col("value") <= 20))
+            .orderBy(F.desc("value"), F.asc("event_id"))
+            .limit(20)
+            .select("event_id", "value")
+        )
+
+    # ---- tokenize / normalize command surface (§2.9) ----------------------
+    def tokenize_cmd(spark, sf):
+        # `tokenize` command (proc.c:6897): TokenBigram over the corpus —
+        # on pure lowercase-alpha text, ALPHA-run tokens must equal the
+        # whitespace split (uni_alpha semantics, tokenizers.c:312-313)
+        from groonga_spark.index.build import tokens_df
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 20)
+        return tokens_df(docs, ["text"], "bigram").select("doc_id", "term", "pos")
+
+    def normalize_cmd(spark, sf):
+        # `normalize` command (proc.c:6889): NormalizerAuto ASCII path
+        from groonga_spark.functions import normalize_text
+
+        cust = _read(spark, sf, "customer")
+        return cust.select(
+            "c_custkey", normalize_text(F.col("c_name")).alias("normalized")
         )
 
     # ---- result-set algebra (§2.6) ---------------------------------------
@@ -174,6 +275,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def setop_and_not(spark, sf):
         a, b = _setop_inputs(spark, sf)
         return a.join(b.select("doc_id"), "doc_id", "left_anti")
+
+    def setop_adjust(spark, sf):
+        # GRN_OP_ADJUST (db.c:3996-4002 / ii.c:5677-5683): keep table1's
+        # keys; where the key also exists in table2, add its score
+        a, b = _setop_inputs(spark, sf)
+        return (
+            a.withColumnRenamed("score", "sa")
+            .join(b.withColumnRenamed("score", "sb"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("sa") + F.coalesce("sb", F.lit(0.0))).alias("score"),
+            )
+        )
 
     # ---- scans / sorts / predicates (§2.1, §2.7, §2.8) -------------------
     def scan_topn(spark, sf):
@@ -285,6 +399,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = lsh_ann_topk(emb, query_vec_id=0, k=20, n_planes=12, seed=42)
         return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def cosine_neardup(spark, sf):
+        from groonga_spark.ops.similarity import cosine_neardup_pairs
+
+        emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+        p = cosine_neardup_pairs(emb, threshold=0.38)
+        return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+    def lsh_neardup_q(spark, sf):
+        from groonga_spark.ops.similarity import lsh_neardup_pairs
+
+        emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+        p = lsh_neardup_pairs(emb, threshold=0.3, n_planes=8, seed=42)
+        return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+    def ivf_topk_q(spark, sf):
+        from groonga_spark.ops.similarity import ivf_topk
+
+        emb = _read(spark, sf, "embeddings")
+        res = ivf_topk(emb, query_vec_id=0, k=20, n_cells=16, n_probe=4)
+        return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
     # ---- text analysis ------------------------------------------------------
     def token_counts_q(spark, sf):
         from groonga_spark.ops.textstats import token_counts
@@ -305,6 +440,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from groonga_spark.ops.textstats import rolling_fingerprints
 
         return rolling_fingerprints(_read(spark, sf, "documents"))
+
+    def bpe_counts_q(spark, sf):
+        # BPE-ish pretokenization count: alpha runs, digit runs, punct runs
+        docs = _read(spark, sf, "documents")
+        pat = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+        return docs.select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
 
     # ---- multimodal plumbing ------------------------------------------------
     def multimodal_meta(spark, sf):
@@ -334,14 +480,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase=ft_phrase,
         ft_prefix=ft_prefix,
         ft_near=ft_near,
+        ft_suffix=ft_suffix,
+        ft_regexp=ft_regexp,
+        ft_similar=ft_similar,
+        ft_term_extract=ft_term_extract,
+        scorer_tfidf_q=scorer_tfidf_q,
+        scorer_tf_at_most_q=scorer_tf_at_most_q,
+        adjuster_q=adjuster_q,
         ft_topk_tf=ft_topk_tf,
         dict_stats=dict_stats,
         doclen_stats=doclen_stats,
         drilldown_lang=drilldown_lang,
         drilldown_calc=drilldown_calc,
+        drilldown_labeled=drilldown_labeled,
+        drilldown_vector=drilldown_vector,
+        logical_count_q=logical_count_q,
+        range_filter_q=range_filter_q,
+        tokenize_cmd=tokenize_cmd,
+        normalize_cmd=normalize_cmd,
         setop_or=setop_or,
         setop_and=setop_and,
         setop_and_not=setop_and_not,
+        setop_adjust=setop_adjust,
         scan_topn=scan_topn,
         filter_between=filter_between,
         in_values_nation=in_values_nation,
@@ -356,7 +516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         jaccard_pairs=jaccard_pairs,
         cosine_topk_q=cosine_topk_q,
         ann_lsh_topk=ann_lsh_topk,
+        cosine_neardup=cosine_neardup,
+        lsh_neardup_q=lsh_neardup_q,
+        ivf_topk_q=ivf_topk_q,
         token_counts_q=token_counts_q,
+        bpe_counts_q=bpe_counts_q,
         quality_q=quality_q,
         langid_q=langid_q,
         fingerprint_q=fingerprint_q,
@@ -440,6 +604,43 @@ FROM bm b JOIN cand USING (doc_id) WHERE b.term IN ('table', 'scan')
 GROUP BY b.doc_id HAVING count(DISTINCT b.term) = 2
 ORDER BY sum(b.s) DESC, b.doc_id LIMIT 10"""
 
+    o["ft_suffix"] = f"""{_CTE}
+SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term LIKE '%er'
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_regexp"] = """SELECT doc_id, 1.0 AS score FROM documents
+WHERE regexp_matches(text, 'sc[a-z]n')"""
+
+    o["ft_similar"] = f"""{_CTE},
+sel AS (SELECT term FROM dft
+        WHERE term IN ('dup', 'key', 'fast', 'line', 'the', 'spark')
+        ORDER BY df, term LIMIT 3)
+SELECT doc_id, round(sum(s), 4) AS score FROM bm JOIN sel USING (term)
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_term_extract"] = f"""{_CTE}
+SELECT term, df FROM dft
+WHERE term IN ('spark', 'zzznotaword', 'scan', 'batch')"""
+
+    o["scorer_tfidf_q"] = f"""{_CTE}
+SELECT doc_id,
+round(greatest(tf * ln(stats.n::DOUBLE / dft.df::DOUBLE), 1.0), 4) AS score
+FROM tf JOIN dft USING (term) CROSS JOIN stats WHERE term = 'spark'
+ORDER BY greatest(tf * ln(stats.n::DOUBLE / dft.df::DOUBLE), 1.0) DESC, doc_id
+LIMIT 10"""
+
+    o["scorer_tf_at_most_q"] = f"""{_CTE}
+SELECT doc_id, round(least(tf::DOUBLE, 2.0), 4) AS score
+FROM tf WHERE term = 'spark'
+ORDER BY least(tf::DOUBLE, 2.0) DESC, doc_id LIMIT 10"""
+
+    o["adjuster_q"] = f"""{_CTE},
+base AS (SELECT doc_id, s FROM bm WHERE term = 'filter'),
+adj AS (SELECT doc_id, 5.0 * tf AS a FROM tf WHERE term = 'spark')
+SELECT base.doc_id, round(base.s + coalesce(adj.a, 0), 4) AS score
+FROM base LEFT JOIN adj ON base.doc_id = adj.doc_id
+ORDER BY base.s + coalesce(adj.a, 0) DESC, base.doc_id LIMIT 10"""
+
     o["ft_topk_tf"] = f"""{_CTE}
 SELECT doc_id, tf FROM tf WHERE term = 'data'"""
 
@@ -461,6 +662,31 @@ sum(n_chars)::BIGINT AS sum_chars, min(n_chars) AS min_chars,
 max(n_chars) AS max_chars, round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY source"""
 
+    o["drilldown_labeled"] = """SELECT lang, source, count(*)::BIGINT AS n,
+max(n_chars) AS max_chars FROM documents GROUP BY lang, source"""
+
+    o["drilldown_vector"] = """WITH t AS
+(SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS n FROM t
+GROUP BY term ORDER BY n DESC, term LIMIT 20"""
+
+    o["logical_count_q"] = """SELECT event_type, count(*)::BIGINT AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
+GROUP BY event_type"""
+
+    o["range_filter_q"] = """SELECT event_id, value FROM events
+WHERE value >= 10 AND value <= 20
+ORDER BY value DESC, event_id LIMIT 20"""
+
+    o["tokenize_cmd"] = """SELECT doc_id,
+unnest(string_split(text, ' ')) AS term,
+generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+FROM documents WHERE doc_id < 20"""
+
+    o["normalize_cmd"] = """SELECT c_custkey, lower(c_name) AS normalized
+FROM customer"""
+
     _a = "SELECT doc_id, 1.0 AS score FROM documents WHERE (' ' || text || ' ') LIKE '% spark %'"
     _b = "SELECT doc_id, 2.0 AS score FROM documents WHERE n_chars > 300"
     o["setop_or"] = f"""WITH a AS ({_a}), b AS ({_b})
@@ -473,6 +699,9 @@ FROM a JOIN b ON a.doc_id = b.doc_id"""
     o["setop_and_not"] = f"""WITH a AS ({_a}), b AS ({_b})
 SELECT a.doc_id AS doc_id, a.score AS score FROM a
 WHERE a.doc_id NOT IN (SELECT doc_id FROM b)"""
+    o["setop_adjust"] = f"""WITH a AS ({_a}), b AS ({_b})
+SELECT a.doc_id AS doc_id, a.score + coalesce(b.score, 0) AS score
+FROM a LEFT JOIN b ON a.doc_id = b.doc_id"""
 
     o["scan_topn"] = """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
@@ -544,6 +773,20 @@ c AS (SELECT e.vec_id,
 SELECT vec_id, round(dot / (ne * nq), 6) AS cosine FROM c
 ORDER BY round(dot / (ne * nq), 6) DESC, vec_id LIMIT 20"""
 
+    o["cosine_neardup"] = """WITH e AS
+(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+c AS (SELECT x.vec_id AS a, y.vec_id AS b,
+  list_aggregate(list_transform(range(1, len(x.embedding) + 1),
+    i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), 'sum')
+  / (sqrt(list_aggregate(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE), 'sum'))
+   * sqrt(list_aggregate(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE), 'sum'))) AS cos
+  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+SELECT a, b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.38"""
+
+    o["bpe_counts_q"] = """SELECT doc_id,
+len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))::BIGINT AS n_bpe_tokens
+FROM documents"""
+
     o["token_counts_q"] = """SELECT doc_id,
 len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
 len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_alpha_tokens
@@ -574,6 +817,7 @@ FROM s"""
 'text/plain' AS mime, octet_length(text::BLOB)::BIGINT AS n_bytes,
 sha256(text) AS sha FROM documents"""
 
-    # ann_lsh_topk, fingerprint_q, image_features: engine-specific
-    # (seeded hyperplanes / rolling hash / fake decode) → rows-only check.
+    # ann_lsh_topk, lsh_neardup_q, ivf_topk_q, fingerprint_q, image_features:
+    # engine-specific (seeded hyperplanes / IVF cells / rolling hash / fake
+    # decode) → rows-only check.
     return o

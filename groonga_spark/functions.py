@@ -61,6 +61,19 @@ def snippet_html(col, keyword: str, width: int = 40) -> Column:
     ).otherwise(F.lit(None))
 
 
+def normalize_text(col) -> Column:
+    """The ``normalize`` command (proc.c:6889) as a column function —
+    NormalizerAuto semantics via the vectorized kernel in normalize.py."""
+    from pyspark.sql.types import StringType
+
+    from .normalize import normalize as _norm
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf can't resolve — pass returnType explicitly instead
+    _udf = F.pandas_udf(lambda s: s.fillna("").map(_norm), StringType())
+    return _udf(col)
+
+
 def scorer_tf_idf(tf_col, df_col, n_docs: int) -> Column:
     """scorer_tf_idf (lib/scorers.c:26-52): tf * log(N / df-ish), floored at
     1.0 per the reference's behavior for degenerate stats."""

@@ -277,6 +277,10 @@ def make_dictionary(tf: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
+    # rterm = reversed term: suffix search becomes a prefix predicate on a
+    # sortable column (the PAT+SIS suffix-index analogue, pat.c:1023) —
+    # a range scan instead of a full-dictionary endswith at scale
+    dictionary = dictionary.withColumn("rterm", F.reverse(F.col("term")))
     return assign_dense_ids(dictionary, ["term"], "term_id")
 
 

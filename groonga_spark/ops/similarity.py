@@ -52,6 +52,112 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b, cosine) for all
+    a < b with cosine >= threshold.  The O(N²) self-join is the correctness
+    baseline — at scale, run :func:`lsh_neardup_pairs` (bucketed candidates)
+    and verify survivors with this expression."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    cos = F.expr(_dot_expr("_va", "_vb")) / (
+        F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb"))
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for near-dup pairs: candidates = pairs sharing an LSH
+    signature bucket (equi-join on sig — a shuffle hash join, not a cross
+    join), verified with the exact cosine.  Recall < 1 by construction
+    (approximate); raise recall with fewer planes or multi-band signatures."""
+    sigs = lsh_signatures(df, n_planes, seed, vec_col, id_col)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    s = sigs.join(vecs, "id")
+    left = s.select(F.col("id").alias("a"), F.col("sig"), F.col("_v").alias("_va"))
+    right = s.select(F.col("id").alias("b"), F.col("sig"), F.col("_v").alias("_vb"))
+    cos = F.expr(_dot_expr("_va", "_vb")) / (
+        F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb"))
+    )
+    return (
+        left.join(right, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic centroids (the first n_cells
+    vectors by id — reproducible without k-means iterations), every vector
+    assigned to its nearest centroid (one broadcast matmul per Arrow batch),
+    query probes the n_probe nearest cells and scores exactly inside them.
+    At scale the assignment is a build-time table partitioned by cell; a
+    query touches n_probe/n_cells of the data."""
+    import pandas as pd  # noqa: F811
+
+    cent_rows = (
+        df.filter(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(m @ cents_n.T, axis=1).astype(np.int64))
+
+    assigned = df.withColumn("_cell", cell_udf(F.col(vec_col)))
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = np.asarray(qrow[0][0], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe = np.argsort(-(cents_n @ qn))[:n_probe].tolist()
+
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
+    cand = assigned.filter(
+        F.col("_cell").isin([int(c) for c in probe]) & (F.col(id_col) != query_vec_id)
+    )
+    cos = F.expr(_dot_expr(vec_col, "_qvec")) / (
+        F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("_qvec"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), "cosine")
+    )
+
+
 def lsh_signatures(
     df: DataFrame,
     n_planes: int = 16,

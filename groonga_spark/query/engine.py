@@ -134,8 +134,22 @@ class SearchEngine:
         k: int = 10,
         escalate: bool = True,
         prune: bool = True,
+        scorer: str = "bm25",
+        adjuster: list[tuple[str, float]] | None = None,
     ) -> DataFrame:
-        """Returns (doc_id, score) top-k, rank-identical ordering."""
+        """Returns (doc_id, score) top-k, rank-identical ordering.
+
+        ``scorer`` swaps the per-posting scoring expression (pluggable
+        scorers, reference lib/scorer.c + lib/scorers.c): "bm25" (default),
+        "tf_idf" (scorer_tf_idf, scorers.c:26-52: tf·log(N/df) floored at
+        1.0 per term), or "tf_at_most:<cap>" (scorers.c:54-88: min(tf,cap)).
+        Block-max pruning only applies to bm25 (its block bounds are BM25
+        upper bounds).
+
+        ``adjuster`` mirrors ``--adjuster 'col @ "term" * factor'``
+        (GRN_OP_ADJUST res_add variant, ii.c:5677-5683): after the main
+        match, score += factor·tf(term) for result docs containing term.
+        """
         idx = self.index
         spark = idx.dictionary.sparkSession
         ast = qp.parse_query(query)
@@ -186,7 +200,9 @@ class SearchEngine:
             return empty
 
         need_pos = any(a.kind in ("phrase", "near") for a in atoms)
-        term_doc, pos_rows = self._scored_term_doc(all_terms, term_meta, weights, need_pos)
+        term_doc, pos_rows = self._scored_term_doc(
+            all_terms, term_meta, weights, need_pos, scorer
+        )
 
         # single simple-term query → block-max two-phase pruning.
         # Only sound when exactly ONE section is matched: then each doc has
@@ -196,6 +212,8 @@ class SearchEngine:
         # per-block bounds no longer bound the total.
         if (
             prune
+            and scorer == "bm25"
+            and adjuster is None
             and isinstance(plan, _Atom)
             and plan.kind == "term"
             and not need_pos
@@ -204,6 +222,8 @@ class SearchEngine:
             result = self._single_term_topk(plan.tokens[0], term_meta, weights, k)
         else:
             result = self._eval(plan, term_doc, pos_rows, term_meta)
+        if adjuster:
+            result = self._apply_adjuster(result, adjuster)
         out = (
             result.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -213,6 +233,126 @@ class SearchEngine:
             if out.limit(1).count() == 0:
                 return self._escalated(query, match_columns, k)
         return out
+
+    def _apply_adjuster(self, result: DataFrame, adjuster) -> DataFrame:
+        """GRN_OP_ADJUST (ii.c:5677-5683): score += factor·tf for result
+        docs that contain the adjuster term.  Left join so non-matching
+        docs keep their score."""
+        for term, factor in adjuster:
+            blocks = self._filtered_blocks([term], {})
+            rows = decoded_postings(blocks, with_pos=False)
+            adj = rows.groupBy("doc_id").agg(
+                (F.lit(float(factor)) * F.sum("tf")).alias("_adj")
+            )
+            result = (
+                result.join(adj, "doc_id", "left")
+                .withColumn(
+                    "score", F.col("score") + F.coalesce(F.col("_adj"), F.lit(0.0))
+                )
+                .drop("_adj")
+            )
+        return result
+
+    # -- suffix / regexp / similar / term-extract (grn_ii_* API parity) -----
+    def suffix_search(self, suffix: str, k: int = 10) -> DataFrame:
+        """SUFFIX search (grn_table_search GRN_OP_SUFFIX → PAT+SIS,
+        pat.c:1023; query syntax ``column:$x``): expand the suffix over the
+        dictionary via the reversed-term column (prefix predicate on rterm —
+        a range scan, not a full dict scan), then OR the expansions' postings
+        with BM25-summed scores."""
+        idx = self.index
+        rsfx = suffix[::-1]
+        rows = (
+            idx.dictionary.filter(F.col("rterm").startswith(rsfx))
+            .select("term", "df")
+            .orderBy(F.desc("df"))
+            .limit(MAX_EXPANSIONS)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return idx.dictionary.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        weights = {sid: 1.0 for sid in idx.stats.sections}
+        term_doc, _ = self._scored_term_doc(terms, {}, weights, False, "bm25")
+        return (
+            term_doc.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def regexp_search(
+        self, docs: DataFrame, text_col: str, pattern: str, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """REGEXP match (``column:~re``) — the sequential-scan path.  Groonga
+        index-accelerates regexp only through a TokenRegexp-tokenized lexicon
+        (grn_ii_select_regexp, ii.c:6049-6117); with any other tokenizer it
+        falls back to an Onigmo scan (expr.c:4673 + operator.c:922), which is
+        what ``rlike`` over the corpus expresses — a parallel,
+        predicate-pushdown-friendly full scan.  A term-dictionary prefilter
+        would be unsound here: a literal can match inside a longer token.
+        Score pinned to 1.0 per matching doc (the scan path's behavior)."""
+        return docs.filter(F.col(text_col).rlike(pattern)).select(
+            F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score")
+        )
+
+    def similar_search(
+        self, text: str, k: int = 10, max_terms: int | None = None
+    ) -> DataFrame:
+        """SIMILAR / more-like-this (grn_ii_similar_search, ii.c:5836-5960):
+        tokenize the input, keep the m rarest distinct terms (reference
+        default m = (n_tokens >> 3) + 1; ties broken by term for
+        determinism), OR their postings.  Pinned scorer: summed BM25 of the
+        selected terms (the reference's w1·w2·(tf+weight) default scorer is
+        pluggable; we pin BM25 engine-wide)."""
+        idx = self.index
+        terms, _ = self._get_tokens(text)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return idx.dictionary.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        m = max_terms if max_terms is not None else (len(uniq) >> 3) + 1
+        rows = (
+            idx.dictionary.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(m)
+            .collect()
+        )
+        sel = [r["term"] for r in rows]
+        if not sel:
+            return idx.dictionary.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        weights = {sid: 1.0 for sid in idx.stats.sections}
+        term_doc, _ = self._scored_term_doc(sel, {}, weights, False, "bm25")
+        return (
+            term_doc.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def term_extract(self, text: str) -> DataFrame:
+        """TERM_EXTRACT (*T) — entity extraction: which dictionary terms
+        occur in the given text (grn_ii_term_extract ii.c:5965-6048 /
+        grn_pat_scan pat.c:1553).  Returns (term, df) for each distinct
+        token of the text present in the lexicon."""
+        terms, _ = self._get_tokens(text)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self.index.dictionary.sparkSession.createDataFrame(
+                [], "term string, df long"
+            )
+        return (
+            self.index.dictionary.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+        )
 
     def _escalated(self, query: str, match_columns, k: int) -> DataFrame:
         """Match escalation (ii.c:6700-6717): re-run single-word queries as
@@ -240,19 +380,19 @@ class SearchEngine:
         ).select("term", "df", "b.*")
         return blocks
 
-    def _scored_term_doc(self, terms, term_meta, weights, need_pos):
-        """decoded rows → (term, doc_id) BM25 contributions; optionally the
+    def _scored_term_doc(self, terms, term_meta, weights, need_pos, scorer="bm25"):
+        """decoded rows → (term, doc_id) score contributions; optionally the
         per-(term, doc, sid) position arrays for phrase/NEAR checks."""
         idx = self.index
         blocks = self._filtered_blocks(terms, term_meta)
         rows = decoded_postings(blocks, with_pos=need_pos)
-        contrib = self._contrib_col(rows, weights)
+        contrib = self._contrib_col(rows, weights, scorer)
         scored = rows.withColumn("contrib", contrib).filter(F.col("contrib").isNotNull())
         term_doc = scored.groupBy("term", "doc_id").agg(F.sum("contrib").alias("score"))
         pos_rows = scored.select("term", "doc_id", "sid", "positions") if need_pos else None
         return term_doc, pos_rows
 
-    def _contrib_col(self, rows, weights):
+    def _contrib_col(self, rows, weights, scorer="bm25"):
         idx = self.index
         n = idx.stats.n_docs
         # weight + avgdl dispatch per section: tiny CASE WHEN chains (JVM)
@@ -260,6 +400,16 @@ class SearchEngine:
         for sid, w in weights.items():
             cond = F.col("sid") == sid
             w_col = F.when(cond, F.lit(w)) if w_col is None else w_col.when(cond, F.lit(w))
+        if scorer == "tf_idf":
+            # scorer_tf_idf (scorers.c:26-52): tf·log(N/df), floored at 1.0
+            v = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+            return w_col * F.greatest(v, F.lit(1.0))
+        if scorer.startswith("tf_at_most:"):
+            # scorer_tf_at_most(max) (scorers.c:54-88): min(tf, cap)
+            cap = float(scorer.split(":", 1)[1])
+            return w_col * F.least(F.col("tf").cast("double"), F.lit(cap))
+        if scorer != "bm25":
+            raise ValueError(f"unknown scorer {scorer!r}")
         avg_col = None
         for sid in weights:
             cond = F.col("sid") == sid
