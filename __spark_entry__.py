@@ -46,6 +46,22 @@ def _engine(spark: SparkSession, sf_dir: str):
     return _ENGINES[sf_dir]
 
 
+def _engine2(spark: SparkSession, sf_dir: str):
+    """WITH_SECTION index over documents(source, text) — sid 1 = source,
+    sid 2 = text (multi-section semantics, groonga.h:314)."""
+    from groonga_spark import SearchEngine
+
+    key = sf_dir + "#sectioned"
+    if key not in _ENGINES:
+        docs = _read(spark, sf_dir, "documents")
+        eng = SearchEngine.build(
+            docs, ["source", "text"], tokenizer="delimit", id_col="doc_id", n_pbuckets=16
+        )
+        eng.index.persist()
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
 def _topk(eng, query: str, k: int = 10) -> DataFrame:
     res = eng.select(query, k=k, escalate=False)
     return res.select("doc_id", F.round("score", 4).alias("score"))
@@ -132,6 +148,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_term_extract(spark, sf):
         eng = _engine(spark, sf)
         return eng.term_extract("spark zzznotaword scan batch")
+
+    def ft_sectioned(spark, sf):
+        # weighted match_columns over a WITH_SECTION index
+        # ('source * 2 || text', expr.c:5225-5253): 'src1' matches in the
+        # source section, 'spark' in text; AND sums weighted per-section BM25
+        eng = _engine2(spark, sf)
+        res = eng.select(
+            "src1 spark", match_columns="source * 2 || text", k=10, escalate=False
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
 
     # ---- pluggable scorers + adjuster (§2.3, §2.12) -----------------------
     def scorer_tfidf_q(spark, sf):
@@ -355,6 +381,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", highlight_html(F.col("text"), "spark").alias("html")
         )
 
+    def snippet_q(spark, sf):
+        # snippet_html KWIC fragment (proc.c:4905, lib/snip.c) — meant for
+        # post-top-k rows; here over a filtered slice for the oracle gate
+        from groonga_spark.functions import snippet_html
+
+        docs = _read(spark, sf, "documents")
+        return docs.filter(
+            F.array_contains(F.split("text", " "), "spark") & (F.col("doc_id") < 100)
+        ).select("doc_id", snippet_html(F.col("text"), "spark", width=40).alias("snippet"))
+
+    def html_untag_q(spark, sf):
+        from groonga_spark.functions import html_untag
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        tagged = F.concat(F.lit("<b>"), F.col("text"), F.lit("</b>"))
+        return docs.select("doc_id", html_untag(tagged).alias("clean"))
+
+    # ---- token filters (§2.9) ---------------------------------------------
+    def stopword_tf_q(spark, sf):
+        # TokenFilterStopWord (plugins/token_filters/stop_word.c): tf with
+        # stopword terms dropped
+        from groonga_spark.ops.textstats import STOPWORDS
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 50)
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        ).filter(~F.col("term").isin(STOPWORDS))
+        return toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+
     # ---- dedup ops --------------------------------------------------------
     def dedup_exact(spark, sf):
         from groonga_spark.ops.dedup import exact_fingerprints
@@ -364,12 +419,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_bands_q(spark, sf):
         from groonga_spark.ops.dedup import minhash_bands
 
-        return minhash_bands(_read(spark, sf, "documents"), n_bands=4, k=3)
+        return minhash_bands(_read(spark, sf, "documents"), n_bands=4, k=3, r=2)
 
     def minhash_pairs(spark, sf):
         from groonga_spark.ops.dedup import minhash_candidate_pairs
 
-        return minhash_candidate_pairs(_read(spark, sf, "documents"), n_bands=4, k=3)
+        return minhash_candidate_pairs(
+            _read(spark, sf, "documents"), n_bands=4, k=3, r=2
+        )
 
     def simhash_q(spark, sf):
         from groonga_spark.ops.dedup import simhash16
@@ -484,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp=ft_regexp,
         ft_similar=ft_similar,
         ft_term_extract=ft_term_extract,
+        ft_sectioned=ft_sectioned,
         scorer_tfidf_q=scorer_tfidf_q,
         scorer_tf_at_most_q=scorer_tf_at_most_q,
         adjuster_q=adjuster_q,
@@ -509,6 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sub_filter_orders=sub_filter_orders,
         ref_deref=ref_deref,
         highlight=highlight,
+        snippet_q=snippet_q,
+        html_untag_q=html_untag_q,
+        stopword_tf_q=stopword_tf_q,
         dedup_exact=dedup_exact,
         minhash_bands_q=minhash_bands_q,
         minhash_pairs=minhash_pairs,
@@ -728,11 +789,41 @@ GROUP BY n.n_name"""
 replace(text, 'spark', '<span class="keyword">spark</span>') AS html
 FROM documents WHERE (' ' || text || ' ') LIKE '% spark %'"""
 
+    o["ft_sectioned"] = f"""{_CTE},
+s AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+dfs AS (SELECT count(*)::BIGINT AS df FROM s)
+SELECT b.doc_id,
+round(2.0 * ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) + b.s, 4) AS score
+FROM bm b JOIN s USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+WHERE b.term = 'spark'
+ORDER BY 2.0 * ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) + b.s DESC,
+         b.doc_id LIMIT 10"""
+
+    o["snippet_q"] = """SELECT doc_id,
+replace(substr(text, greatest(1, strpos(text, 'spark') - 20), 45),
+        'spark', '<span class="keyword">spark</span>') AS snippet
+FROM documents
+WHERE (' ' || text || ' ') LIKE '% spark %' AND doc_id < 100"""
+
+    o["html_untag_q"] = """SELECT doc_id,
+regexp_replace('<b>' || text || '</b>', '<[^>]*>', '', 'g') AS clean
+FROM documents WHERE doc_id < 100"""
+
+    _stop2 = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'"
+    o["stopword_tf_q"] = f"""WITH toks AS
+(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+ WHERE doc_id < 50)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+WHERE term NOT IN ({_stop2}) GROUP BY doc_id, term"""
+
     o["dedup_exact"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
     _bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, list_aggregate(list_transform(shingles, "
-        f"s -> md5(concat('{b}|', s))), 'min') AS minhash FROM sh WHERE len(shingles) > 0"
+        f"SELECT doc_id, {b} AS band, "
+        f"list_aggregate(list_transform(shingles, s -> md5(concat('{b}:0|', s))), 'min')"
+        f" || '|' || "
+        f"list_aggregate(list_transform(shingles, s -> md5(concat('{b}:1|', s))), 'min')"
+        f" AS minhash FROM sh WHERE len(shingles) > 0"
         for b in range(4)
     )
     o["minhash_bands_q"] = f"""WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)

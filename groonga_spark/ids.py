@@ -3,10 +3,18 @@
 Groonga's ``grn_id`` is a dense 1..N record id (``grn_table_add``,
 lib/db.c:1163).  A naive ``row_number() OVER (ORDER BY ...)`` funnels the
 whole table through ONE window partition — fine at test scale, fatal at
-10^12 rows.  This is the classic two-pass zipWithIndex: range-partition by
-the order key, count per partition, broadcast the per-partition offsets,
-then add a within-partition row_number.  Only the tiny counts table hits the
-driver; data shuffles once (the range partitioning).
+10^12 rows.  This is the classic two-pass zipWithIndex: bucket by the order
+key, count per bucket, broadcast the per-bucket offsets, then add a
+within-bucket row_number.
+
+Bucketing must be DETERMINISTIC across re-evaluations: Spark's
+``repartitionByRange`` samples range boundaries per job, so the counts job
+and the window job can disagree on the layout — that yields duplicate and
+gapped ids (observed: 48,018 distinct ids over 50,000 rows).  Instead we
+derive the boundaries once on the driver from a hash-deterministic sample
+(``xxhash64(key) % mod == 0`` — a pure function of the data, not of the
+plan), and compute the bucket id with the same pure expression in every
+job.  Only the tiny sample and the per-bucket counts hit the driver.
 """
 
 from __future__ import annotations
@@ -14,18 +22,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# \x01 sorts below every printable char, so concat_ws-keys compare in the
+# same order as the column tuple (true for our key alphabets)
+_SEP = "\x01"
+
 
 def assign_dense_ids(
     df: DataFrame,
     order_cols: list[str],
     id_col: str = "doc_id",
     start: int = 1,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    n_part = max(df.rdd.getNumPartitions(), 1)
-    parted = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pass 1: per-partition counts (tiny — one row per partition)
+    n_buckets = n_buckets or max(df.rdd.getNumPartitions(), 1)
+    key = F.concat_ws(_SEP, *[F.col(c) for c in order_cols])
+    # cached: the boundary sample, the per-bucket counts, and the final
+    # window job each scan this frame; without the cache every pass
+    # re-evaluates the upstream pipeline (e.g. the corpus generator)
+    keyed = df.withColumn("_k", key).persist()
+
+    bounds: list[str] = []
+    if n_buckets > 1:
+        n = keyed.count()
+        # ~64 sample keys per bucket; mod is data-independent given n
+        mod = max(1, n // max(n_buckets * 64, 1))
+        sample = sorted(
+            {
+                r["_k"]
+                for r in keyed.select("_k")
+                .filter(F.pmod(F.xxhash64("_k"), F.lit(mod)) == 0)
+                .collect()
+            }
+        )
+        if len(sample) >= n_buckets:
+            step = len(sample) / n_buckets
+            bounds = sorted({sample[int(i * step)] for i in range(1, n_buckets)})
+
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b <= F.col("_k")))
+    else:
+        pid = F.lit(0)
+    parted = keyed.withColumn("_pid", pid)
+
+    # pass 1: per-bucket counts (tiny — one row per bucket); deterministic
+    # because _pid is a pure expression of the row
     counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
     offsets = {}
     acc = start
@@ -35,10 +76,10 @@ def assign_dense_ids(
     off_df = parted.sparkSession.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    w = Window.partitionBy("_pid").orderBy("_k")
     out = (
         parted.join(F.broadcast(off_df), "_pid")
         .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
-        .drop("_pid", "_off")
+        .drop("_pid", "_off", "_k")
     )
     return out

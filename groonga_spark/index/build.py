@@ -159,20 +159,25 @@ def tokens_df(
     return out
 
 
-def _encode_group(pdf: pd.DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]) -> pd.DataFrame:
-    """Encode one (term, salt) group of postings into block structs.
-    Mirrors merge_hit_blocks + grn_p_encv (ii.c:7578-7676): sort by
-    (doc_id, sid), delta-encode, choose varbyte vs PFoR per vector."""
-    term = pdf["term"].iloc[0]
-    pbucket = int(pdf["pbucket"].iloc[0])
-    bucket = int(pdf["salt"].iloc[0])
-    df_term = int(pdf["df"].iloc[0])
-    pdf = pdf.sort_values(["doc_id", "sid"], kind="mergesort")
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    sids = pdf["sid"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    poss = pdf["positions"].tolist()
+def _encode_group(
+    term: str,
+    pbucket: int,
+    bucket: int,
+    df_term: int,
+    doc_ids: np.ndarray,
+    sids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    poss: list,
+    n_docs: int,
+    avgdl_by_sid: dict[int, float],
+) -> dict:
+    """Encode one (term, salt) group of postings (already sorted by
+    (doc_id, sid)) into block structs.  Mirrors merge_hit_blocks +
+    grn_p_encv (ii.c:7578-7676): delta-encode, choose varbyte vs PFoR per
+    vector.  Returns a plain dict row — the caller batches rows into one
+    pandas frame per Arrow batch (a one-row DataFrame per group costs more
+    than the encoding itself at 100k+ term scale)."""
     n = doc_ids.size
     term_idf = scoring.idf(n_docs, df_term)
 
@@ -231,29 +236,28 @@ def _encode_group(pdf: pd.DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]
                 "max_score": max_score,
             }
         )
-    return pd.DataFrame(
-        [
-            {
-                "term": term,
-                "pbucket": pbucket,
-                "bucket": bucket,
-                "df": df_term,
-                "n_postings": int(n),
-                "blocks": blocks,
-            }
-        ]
-    )
+    return {
+        "term": term,
+        "pbucket": pbucket,
+        "bucket": bucket,
+        "df": df_term,
+        "n_postings": int(n),
+        "blocks": blocks,
+    }
 
 
 def tf_stage(df: DataFrame, text_cols: list[str], tokenizer: str, id_col: str = "doc_id"):
     """Stage T: tokenize + (term, doc_id, sid) → tf, positions; doc lengths.
-    Partial aggregation (map-side combine) runs before the shuffle."""
+    Partial aggregation (map-side combine) runs before the shuffle.
+    ``doclens`` is derived FROM tf (dl = Σ tf per doc/section) rather than
+    from the raw token stream — one tokenize pass and one wide shuffle
+    instead of two of each."""
     toks = tokens_df(df, text_cols, tokenizer, id_col)
     tf = toks.groupBy("term", "doc_id", "sid").agg(
         F.count("*").cast("long").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    doclens = toks.groupBy("doc_id", "sid").agg(F.count("*").cast("long").alias("dl"))
+    doclens = tf.groupBy("doc_id", "sid").agg(F.sum("tf").cast("long").alias("dl"))
     return tf, doclens
 
 
@@ -307,13 +311,78 @@ def salted_tf(
     )
 
 
-def encode_postings(tf2: DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]) -> DataFrame:
-    """Stage P: per-(term, salt) block encode (merge_hit_blocks analogue)."""
+_ENC_COLS = ["term", "pbucket", "salt", "df", "doc_id", "sid", "tf", "dl", "positions"]
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_group(pdf, int(n_docs), avgdl_by_sid)
 
-    return tf2.groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+def encode_postings(
+    tf2: DataFrame,
+    n_docs: int,
+    avgdl_by_sid: dict[int, float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Stage P: per-(term, salt) block encode (merge_hit_blocks analogue).
+
+    Physical strategy: hash-repartition by (term, salt) so each group lands
+    whole in one partition, sort within partitions, then ``mapInPandas``
+    streaming Arrow batches with a carry-over buffer for the group that
+    spans a batch boundary.  One pandas frame per Arrow batch instead of
+    per group — ``groupBy().applyInPandas`` costs ~1 ms per group in
+    conversion overhead, which at 267k mostly-tiny term groups dwarfs the
+    actual varbyte/PFoR work."""
+    spark = tf2.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = tf2.select(*_ENC_COLS).repartition(nparts, "term", "salt").sortWithinPartitions(
+        "term", "salt", "doc_id", "sid"
+    )
+    n_docs = int(n_docs)
+
+    def encode_iter(batches):
+        carry: pd.DataFrame | None = None
+        out: list[dict] = []
+
+        def encode_span(pdf: pd.DataFrame, s: int, e: int):
+            out.append(
+                _encode_group(
+                    pdf["term"].iat[s],
+                    int(pdf["pbucket"].iat[s]),
+                    int(pdf["salt"].iat[s]),
+                    int(pdf["df"].iat[s]),
+                    pdf["doc_id"].to_numpy(dtype=np.int64)[s:e],
+                    pdf["sid"].to_numpy(dtype=np.int64)[s:e],
+                    pdf["tf"].to_numpy(dtype=np.int64)[s:e],
+                    pdf["dl"].to_numpy(dtype=np.int64)[s:e],
+                    pdf["positions"].iloc[s:e].tolist(),
+                    n_docs,
+                    avgdl_by_sid,
+                )
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            change = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            # hold back the final (possibly batch-spanning) group
+            for s, e in zip(starts[:-1], ends[:-1]):
+                encode_span(pdf, int(s), int(e))
+            carry = pdf.iloc[int(starts[-1]) :].reset_index(drop=True)
+            if len(out) >= 512:
+                yield pd.DataFrame(out)
+                out = []
+        if carry is not None and len(carry):
+            encode_span(carry, 0, len(carry))
+        if out:
+            yield pd.DataFrame(out)
+
+    return part.mapInPandas(encode_iter, POSTINGS_SCHEMA)
 
 
 def build_index(
@@ -323,8 +392,17 @@ def build_index(
     id_col: str = "doc_id",
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
     n_pbuckets: int = DEFAULT_N_PBUCKETS,
+    cache_tf: bool = True,
 ) -> InvertedIndex:
+    """In-memory build.  ``cache_tf`` persists the stage-T output so the
+    dictionary, stats, and encode stages each read the aggregated token
+    frame instead of re-running the tokenize pipeline (4× at 100k docs).
+    The production-scale equivalent is ``build_index_checkpointed``, which
+    materializes stage T to parquet (Groonga's tmpfile blocks, ii.c:7034)."""
     tf, doclens = tf_stage(df, text_cols, tokenizer, id_col)
+    if cache_tf:
+        tf = tf.persist()
+        doclens = doclens.persist()
     stats = collect_stats(df, doclens, text_cols)
     avgdl_by_sid = {sid: stats.avgdl(sid) for sid in stats.section_tokens}
     dictionary = make_dictionary(tf)

@@ -51,19 +51,29 @@ def minhash_bands(
     id_col: str = "doc_id",
     n_bands: int = 4,
     k: int = 3,
+    r: int = 1,
 ) -> DataFrame:
-    """(id, band, minhash) — one MinHash per band over k-word shingles
-    (band size r=1).  Candidate duplicates share (band, minhash)."""
+    """(id, band, minhash) — MinHash-LSH banding over k-word shingles with
+    ``r`` hash rows per band (minhash = the r per-row minima concatenated).
+    Candidate duplicates share (band, minhash).  r=1 is the loosest sieve;
+    on low-entropy corpora the global-minimum shingle dominates and buckets
+    collapse into giant candidate cliques (the pair join degenerates toward
+    O(n²)) — r>=2 multiplies the per-band collision probability s^r and
+    keeps buckets small."""
     sh = word_shingles(df, text_col, k).filter(F.size("shingles") > 0)
     bands = []
     for b in range(n_bands):
+        mins = [
+            F.array_min(
+                F.expr(f"transform(shingles, s -> md5(concat('{b}:{j}|', s)))")
+            )
+            for j in range(r)
+        ]
         bands.append(
             sh.select(
                 F.col(id_col),
                 F.lit(b).alias("band"),
-                F.array_min(
-                    F.expr(f"transform(shingles, s -> md5(concat('{b}|', s)))")
-                ).alias("minhash"),
+                F.concat_ws("|", *mins).alias("minhash"),
             )
         )
     out = bands[0]
@@ -78,10 +88,11 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 4,
     k: int = 3,
+    r: int = 1,
 ) -> DataFrame:
     """(a, b) candidate near-duplicate pairs via band-bucket self-join —
     the shuffle is on (band, minhash), never on the pair space."""
-    mb = minhash_bands(df, text_col, id_col, n_bands, k)
+    mb = minhash_bands(df, text_col, id_col, n_bands, k, r)
     left = mb.select(F.col(id_col).alias("a"), "band", "minhash")
     right = mb.select(F.col(id_col).alias("b"), "band", "minhash")
     return (
