@@ -113,6 +113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_near(spark, sf):
         return _topk(_engine(spark, sf), "*N3 table scan", 10)
 
+    def ft_near2(spark, sf):
+        # NEAR2 (*n): raw positions, no query-offset correction
+        # (token_info_clear_offset, ii.c:6364-6366)
+        return _topk(_engine(spark, sf), "*n3 table scan", 10)
+
     def ft_topk_tf(spark, sf):
         # raw decoded postings for one term — integer check of the
         # tokenize → posting-list → block-encode → decode round trip
@@ -125,7 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dict_stats(spark, sf):
         eng = _engine(spark, sf)
-        return eng.index.dictionary.select("term", "term_id", "df", "cf")
+        from pyspark.sql import Window
+
+        # dense PAT-key-order term_id, computed lazily (dense_term_ids);
+        # the plain window is fine at correctness-gate scale
+        w = Window.orderBy("term")
+        return eng.index.dictionary.select(
+            "term", F.row_number().over(w).cast("long").alias("term_id"), "df", "cf"
+        )
 
     def doclen_stats(spark, sf):
         eng = _engine(spark, sf)
@@ -537,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase=ft_phrase,
         ft_prefix=ft_prefix,
         ft_near=ft_near,
+        ft_near2=ft_near2,
         ft_suffix=ft_suffix,
         ft_regexp=ft_regexp,
         ft_similar=ft_similar,
@@ -660,6 +673,15 @@ GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
 pos AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS p FROM words),
 cand AS (SELECT DISTINCT p0.doc_id FROM pos p0 JOIN pos p1 ON p0.doc_id = p1.doc_id
          WHERE p0.term = 'table' AND p1.term = 'scan' AND abs(p0.p - (p1.p - 1)) <= 3)
+SELECT b.doc_id, round(sum(b.s), 4) AS score
+FROM bm b JOIN cand USING (doc_id) WHERE b.term IN ('table', 'scan')
+GROUP BY b.doc_id HAVING count(DISTINCT b.term) = 2
+ORDER BY sum(b.s) DESC, b.doc_id LIMIT 10"""
+
+    o["ft_near2"] = f"""{_CTE},
+pos AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS p FROM words),
+cand AS (SELECT DISTINCT p0.doc_id FROM pos p0 JOIN pos p1 ON p0.doc_id = p1.doc_id
+         WHERE p0.term = 'table' AND p1.term = 'scan' AND abs(p0.p - p1.p) <= 3)
 SELECT b.doc_id, round(sum(b.s), 4) AS score
 FROM bm b JOIN cand USING (doc_id) WHERE b.term IN ('table', 'scan')
 GROUP BY b.doc_id HAVING count(DISTINCT b.term) = 2

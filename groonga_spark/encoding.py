@@ -84,6 +84,30 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte size under the varbyte scheme."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    sizes = np.full(v.size, 5, dtype=np.int64)
+    sizes[v < _B4] = 4
+    sizes[v < _B3] = 3
+    sizes[v < _B2] = 2
+    sizes[v < _B1] = 1
+    return sizes
+
+
+def vb_encode_rows(flat: np.ndarray, row_lens: np.ndarray) -> list[bytes]:
+    """Encode a flat value array once, then split the buffer into one bytes
+    object per logical row (row i holds ``row_lens[i]`` values).  One
+    vectorized encode for the whole batch instead of one per row."""
+    buf = vb_encode(flat)
+    sizes = vb_sizes(flat)
+    cum_bytes = np.concatenate(([0], np.cumsum(sizes)))
+    val_cum = np.cumsum(row_lens)
+    starts_b = cum_bytes[val_cum - row_lens]
+    ends_b = cum_bytes[val_cum]
+    return [buf[s:e] for s, e in zip(starts_b.tolist(), ends_b.tolist())]
+
+
 def _vb_lengths(first: np.ndarray) -> np.ndarray:
     """Token byte-length from its first byte (grn_io.h GRN_B_SKIP logic)."""
     hi = first >> 4

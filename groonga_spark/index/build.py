@@ -104,6 +104,12 @@ class InvertedIndex:
     doclens: DataFrame
     stats: IndexStats
     tokenizer: str = "bigram"
+    # token filters (§2.9): "stem" applies at ADD+GET (TokenFilterStem,
+    # plugins/token_filters/stem.c); "stopword" at GET only
+    # (TokenFilterStopWord, stop_word.c:143 — stop words stay indexed,
+    # queries skip them)
+    token_filters: tuple = ()
+    stopwords: frozenset = frozenset()
 
     def persist(self) -> "InvertedIndex":
         self.dictionary = self.dictionary.persist()
@@ -116,30 +122,58 @@ class InvertedIndex:
         return self
 
 
-def _tokenize_udf(mode: str):
+def _tokenize_udf(mode: str, token_filters: tuple = ()):
     ret = StructType(
         [
             StructField("terms", ArrayType(StringType())),
             StructField("poss", ArrayType(IntegerType())),
         ]
     )
+    do_stem = "stem" in token_filters
 
     def fn(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ..stem import stem_terms
+
         for s in it:
             res = tokenize_batch(s.fillna("").tolist(), mode)
-            yield pd.DataFrame(
-                {"terms": [r[0] for r in res], "poss": [r[1] for r in res]}
-            )
+            terms = [stem_terms(r[0]) if do_stem else r[0] for r in res]
+            yield pd.DataFrame({"terms": terms, "poss": [r[1] for r in res]})
 
     return F.pandas_udf(fn, ret)
 
 
+def _pos_enc_batch(arrs):  # no type hints: `from __future__ import
+    # annotations` stringifies them, which pandas_udf can't resolve
+    """array<int> sorted positions → varbyte(within-doc gaps) bytes, one
+    vectorized encode per Arrow batch (vb_encode_rows)."""
+    lst = arrs.tolist()
+    lens = np.fromiter((len(a) for a in lst), dtype=np.int64, count=len(lst))
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series([b""] * len(lst))
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in lst])
+    prev = np.empty_like(flat)
+    prev[1:] = flat[:-1]
+    prev[0] = 0
+    starts = np.cumsum(lens) - lens
+    prev[starts[lens > 0]] = 0  # first position of each doc is absolute
+    gaps = (flat - prev).astype(np.uint32)
+    return pd.Series(encoding.vb_encode_rows(gaps, lens))
+
+
+_pos_bytes_udf = F.pandas_udf(_pos_enc_batch, BinaryType())
+
+
 def tokens_df(
-    df: DataFrame, text_cols: list[str], tokenizer: str, id_col: str = "doc_id"
+    df: DataFrame,
+    text_cols: list[str],
+    tokenizer: str,
+    id_col: str = "doc_id",
+    token_filters: tuple = (),
 ) -> DataFrame:
     """(doc_id, sid, term, pos) — sid is the 1-based section ordinal
     (WITH_SECTION semantics, groonga.h:314)."""
-    tok = _tokenize_udf(tokenizer)
+    tok = _tokenize_udf(tokenizer, token_filters)
     parts = []
     for i, c in enumerate(text_cols):
         t = df.select(
@@ -168,7 +202,7 @@ def _encode_group(
     sids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    poss: list,
+    pos_bytes: list,
     n_docs: int,
     avgdl_by_sid: dict[int, float],
 ) -> dict:
@@ -189,14 +223,9 @@ def _encode_group(
         b_tfs = tfs[s:e]
         b_dls = dls[s:e]
         deltas = np.diff(b_docs, prepend=b_docs[0]).astype(np.uint32)  # first delta 0
-        # positions: per posting, first absolute then within-doc gaps
-        flat_pos: list[int] = []
-        for p in poss[s:e]:
-            prev = 0
-            for x in p:
-                flat_pos.append(x - prev)
-                prev = x
-        pos_arr = np.asarray(flat_pos, dtype=np.uint32)
+        # positions arrive already gap+varbyte encoded per posting (stage T);
+        # block pos stream = concatenation (decode layout unchanged)
+        pos_b = b"".join(pos_bytes[s:e])
         tf_enc_vals = (b_tfs - 1).astype(np.uint32)  # tf-1 (ii.c:7446)
         sid_vals = (b_sids - 1).astype(np.uint32)
 
@@ -212,7 +241,6 @@ def _encode_group(
             tf_b = encoding.pfor_encode(tf_enc_vals)
         else:
             tf_b = encoding.vb_encode(tf_enc_vals)
-        pos_b = encoding.vb_encode(pos_arr)
         sid_b = encoding.vb_encode(sid_vals)
         dl_b = encoding.vb_encode(b_dls.astype(np.uint32))
 
@@ -246,16 +274,30 @@ def _encode_group(
     }
 
 
-def tf_stage(df: DataFrame, text_cols: list[str], tokenizer: str, id_col: str = "doc_id"):
+def tf_stage(
+    df: DataFrame,
+    text_cols: list[str],
+    tokenizer: str,
+    id_col: str = "doc_id",
+    token_filters: tuple = (),
+):
     """Stage T: tokenize + (term, doc_id, sid) → tf, positions; doc lengths.
     Partial aggregation (map-side combine) runs before the shuffle.
     ``doclens`` is derived FROM tf (dl = Σ tf per doc/section) rather than
     from the raw token stream — one tokenize pass and one wide shuffle
     instead of two of each."""
-    toks = tokens_df(df, text_cols, tokenizer, id_col)
+    toks = tokens_df(df, text_cols, tokenizer, id_col, token_filters)
     tf = toks.groupBy("term", "doc_id", "sid").agg(
         F.count("*").cast("long").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    # positions leave stage T already gap+varbyte encoded (grn_io.h:360
+    # scheme): the big repartition-by-term shuffle then moves ~1-2 bytes per
+    # position instead of an 8-byte array element — at 10^12 docs the
+    # positions stream IS the shuffle, so this is the difference between a
+    # CPU-bound and an IO-bound merge
+    tf = tf.withColumn("pos_bytes", _pos_bytes_udf(F.col("positions"))).drop(
+        "positions"
     )
     doclens = tf.groupBy("doc_id", "sid").agg(F.sum("tf").cast("long").alias("dl"))
     return tf, doclens
@@ -273,10 +315,11 @@ def collect_stats(df: DataFrame, doclens: DataFrame, text_cols: list[str]) -> In
 
 
 def make_dictionary(tf: DataFrame) -> DataFrame:
-    """Stage D: df/cf per term; dense term_id in term sort order (PAT-key
-    order analogue)."""
-    from ..ids import assign_dense_ids
-
+    """Stage D: df/cf per term.  No dense term_id: the engine keys postings
+    by the term string itself (Groonga needs a tid to index its mmap arrays,
+    lib/ii.c; a columnar engine doesn't) — skipping the id assignment drops
+    four driver-synchronized jobs and a window shuffle from the hot build
+    path.  ``dense_term_ids`` recovers PAT-key-ordered ids on demand."""
     dictionary = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
@@ -284,7 +327,14 @@ def make_dictionary(tf: DataFrame) -> DataFrame:
     # rterm = reversed term: suffix search becomes a prefix predicate on a
     # sortable column (the PAT+SIS suffix-index analogue, pat.c:1023) —
     # a range scan instead of a full-dictionary endswith at scale
-    dictionary = dictionary.withColumn("rterm", F.reverse(F.col("term")))
+    return dictionary.withColumn("rterm", F.reverse(F.col("term")))
+
+
+def dense_term_ids(dictionary: DataFrame) -> DataFrame:
+    """Attach dense 1..N ``term_id`` in term sort order (PAT-key order
+    analogue) — on demand, outside the build hot path."""
+    from ..ids import assign_dense_ids
+
     return assign_dense_ids(dictionary, ["term"], "term_id")
 
 
@@ -311,7 +361,7 @@ def salted_tf(
     )
 
 
-_ENC_COLS = ["term", "pbucket", "salt", "df", "doc_id", "sid", "tf", "dl", "positions"]
+_ENC_COLS = ["term", "pbucket", "salt", "df", "doc_id", "sid", "tf", "dl", "pos_bytes"]
 
 
 def encode_postings(
@@ -353,7 +403,7 @@ def encode_postings(
                     pdf["sid"].to_numpy(dtype=np.int64)[s:e],
                     pdf["tf"].to_numpy(dtype=np.int64)[s:e],
                     pdf["dl"].to_numpy(dtype=np.int64)[s:e],
-                    pdf["positions"].iloc[s:e].tolist(),
+                    pdf["pos_bytes"].iloc[s:e].tolist(),
                     n_docs,
                     avgdl_by_sid,
                 )
@@ -393,13 +443,15 @@ def build_index(
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
     n_pbuckets: int = DEFAULT_N_PBUCKETS,
     cache_tf: bool = True,
+    token_filters: tuple = (),
+    stopwords=frozenset(),
 ) -> InvertedIndex:
     """In-memory build.  ``cache_tf`` persists the stage-T output so the
     dictionary, stats, and encode stages each read the aggregated token
     frame instead of re-running the tokenize pipeline (4× at 100k docs).
     The production-scale equivalent is ``build_index_checkpointed``, which
     materializes stage T to parquet (Groonga's tmpfile blocks, ii.c:7034)."""
-    tf, doclens = tf_stage(df, text_cols, tokenizer, id_col)
+    tf, doclens = tf_stage(df, text_cols, tokenizer, id_col, tuple(token_filters))
     if cache_tf:
         tf = tf.persist()
         doclens = doclens.persist()
@@ -414,4 +466,6 @@ def build_index(
         doclens=doclens,
         stats=stats,
         tokenizer=tokenizer,
+        token_filters=tuple(token_filters),
+        stopwords=frozenset(stopwords),
     )

@@ -85,6 +85,8 @@ def build_index_checkpointed(
     waves: int = 8,
     max_waves: int | None = None,
     sha_col: str = "content_sha",
+    token_filters: tuple = (),
+    stopwords=frozenset(),
 ) -> InvertedIndex | None:
     """Build (or resume building) the index at ``path``.  Returns the loaded
     index, or None if ``max_waves`` stopped the build early (used by the
@@ -96,7 +98,7 @@ def build_index_checkpointed(
     # ---- stage T + D (atomic parquet jobs) -------------------------------
     if not (_done(path, "tf") and _done(path, "dictionary") and os.path.exists(stats_path)):
         t0 = time.monotonic()
-        tf, doclens = tf_stage(df, text_cols, tokenizer, id_col)
+        tf, doclens = tf_stage(df, text_cols, tokenizer, id_col, tuple(token_filters))
         stats = collect_stats(df, doclens, text_cols)
         doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
         doclens = spark.read.parquet(os.path.join(path, "doclens"))
@@ -113,6 +115,8 @@ def build_index_checkpointed(
                     "sections": stats.sections,
                     "tokenizer": tokenizer,
                     "n_pbuckets": n_pbuckets,
+                    "token_filters": list(token_filters),
+                    "stopwords": sorted(stopwords),
                 },
                 f,
             )
@@ -205,13 +209,15 @@ def _load_stats(stats_path: str) -> IndexStats:
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     stats = _load_stats(os.path.join(path, "stats.json"))
     with open(os.path.join(path, "stats.json")) as f:
-        tokenizer = json.load(f)["tokenizer"]
+        meta = json.load(f)
     return InvertedIndex(
         dictionary=spark.read.parquet(os.path.join(path, "dictionary")),
         postings=spark.read.parquet(os.path.join(path, "postings")),
         doclens=spark.read.parquet(os.path.join(path, "doclens")),
         stats=stats,
-        tokenizer=tokenizer,
+        tokenizer=meta["tokenizer"],
+        token_filters=tuple(meta.get("token_filters", [])),
+        stopwords=frozenset(meta.get("stopwords", [])),
     )
 
 
@@ -230,6 +236,8 @@ def write_index(index: InvertedIndex, path: str):
                 "section_tokens": index.stats.section_tokens,
                 "sections": index.stats.sections,
                 "tokenizer": index.tokenizer,
+                "token_filters": list(index.token_filters),
+                "stopwords": sorted(index.stopwords),
             },
             f,
         )

@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import scoring
-from ..ids import assign_dense_ids
 from .build import (
     DEFAULT_N_PBUCKETS,
     DEFAULT_POSTINGS_PER_BUCKET,
@@ -100,8 +99,8 @@ def apply_update(
     text_cols = [index.stats.sections[sid] for sid in sorted(index.stats.sections)]
     tok = index.tokenizer
 
-    rem_tf, _rem_dl = tf_stage(old_docs, text_cols, tok, id_col)
-    add_tf, add_dl = tf_stage(new_docs, text_cols, tok, id_col)
+    rem_tf, _rem_dl = tf_stage(old_docs, text_cols, tok, id_col, index.token_filters)
+    add_tf, add_dl = tf_stage(new_docs, text_cols, tok, id_col, index.token_filters)
     tomb = old_docs.select(F.col(id_col).alias("doc_id")).distinct()
 
     # ---- doclens + stats (exact) -----------------------------------------
@@ -146,7 +145,7 @@ def apply_update(
         .filter(F.col("df") > 0)
         .withColumn("rterm", F.reverse(F.col("term")))
     )
-    dictionary = assign_dense_ids(merged, ["term"], "term_id")
+    dictionary = merged
 
     # ---- postings: keep / re-encode split --------------------------------
     from ..query.decode import decoded_postings
@@ -159,13 +158,21 @@ def apply_update(
         .select("term", "df", F.explode("blocks").alias("b"))
         .select("term", "df", "b.*")
     )
+    from .build import _pos_bytes_udf
+
     dec = (
         decoded_postings(touched, with_pos=True)
         .join(tomb, "doc_id", "left_anti")
-        .select("term", "doc_id", "sid", F.col("tf").cast("long").alias("tf"), "positions")
+        .select(
+            "term",
+            "doc_id",
+            "sid",
+            F.col("tf").cast("long").alias("tf"),
+            _pos_bytes_udf(F.col("positions")).alias("pos_bytes"),
+        )
     )
     merged_tf = dec.unionByName(
-        add_tf.select("term", "doc_id", "sid", F.col("tf").cast("long").alias("tf"), "positions")
+        add_tf.select("term", "doc_id", "sid", F.col("tf").cast("long").alias("tf"), "pos_bytes")
     )
     tf2 = salted_tf(merged_tf, doclens, dictionary, postings_per_bucket, n_pbuckets)
     reenc = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
@@ -177,4 +184,6 @@ def apply_update(
         doclens=doclens,
         stats=stats,
         tokenizer=tok,
+        token_filters=index.token_filters,
+        stopwords=index.stopwords,
     )

@@ -75,6 +75,19 @@ class SearchEngine:
     # -- query tokenization (GET mode) ------------------------------------
     def _get_tokens(self, text: str) -> tuple[list[str], list[int]]:
         terms, poss = tokenize_batch([text], self.index.tokenizer)[0]
+        if "stem" in self.index.token_filters:
+            from ..stem import stem_terms
+
+            terms = stem_terms(terms)
+        if "stopword" in self.index.token_filters and self.index.stopwords:
+            # TokenFilterStopWord is GET-only (stop_word.c:143): stop words
+            # stay indexed; query tokens flagged is_stop_word are skipped,
+            # surviving tokens keep their original query offsets
+            kept = [
+                (t, p) for t, p in zip(terms, poss) if t not in self.index.stopwords
+            ]
+            terms = [t for t, _ in kept]
+            poss = [p for _, p in kept]
         if self.index.tokenizer == "code":
             # GET mode: ADD emits full-identifier extras at duplicate
             # positions (tokenize.py _emit_code).  Skip them — Groonga's GET
@@ -95,8 +108,14 @@ class SearchEngine:
 
     # -- atom construction --------------------------------------------------
     def _compile_atoms(self, node, atoms: list[_Atom]):
+        """Compile the AST to atoms; a clause whose tokens are ALL filtered
+        away (stop words / empty) compiles to None and drops out of its
+        parent — Groonga's GET cursor simply skips stopped tokens
+        (stop_word.c:143)."""
         if isinstance(node, qp.Term):
             terms, offs = self._get_tokens(node.text)
+            if not terms:
+                return None
             if node.prefix:
                 if len(terms) != 1:
                     raise qp.QueryParseError("prefix query must be single-token")
@@ -109,21 +128,36 @@ class SearchEngine:
             return a
         if isinstance(node, qp.Phrase):
             terms, offs = self._get_tokens(node.text)
+            if not terms:
+                return None
             a = _Atom(tokens=terms, offsets=offs, kind="phrase" if len(terms) > 1 else "term")
             atoms.append(a)
             return a
         if isinstance(node, qp.Near):
             terms, offs = self._get_tokens(node.text)
+            if not terms:
+                return None
+            if node.no_offset:
+                offs = [0] * len(terms)  # NEAR2: raw positions (ii.c:5639)
             a = _Atom(tokens=terms, offsets=offs, kind="near", max_interval=node.max_interval)
             atoms.append(a)
             return a
         if isinstance(node, (qp.And, qp.Or)):
-            return type(node)([self._compile_atoms(c, atoms) for c in node.children])
+            children = [self._compile_atoms(c, atoms) for c in node.children]
+            children = [c for c in children if c is not None]
+            if not children:
+                return None
+            if len(children) == 1:
+                return children[0]
+            return type(node)(children)
         if isinstance(node, qp.Not):
-            return qp.Not(
-                self._compile_atoms(node.positive, atoms),
-                self._compile_atoms(node.negative, atoms),
-            )
+            pos = self._compile_atoms(node.positive, atoms)
+            neg = self._compile_atoms(node.negative, atoms)
+            if pos is None:
+                return None
+            if neg is None:
+                return pos
+            return qp.Not(pos, neg)
         raise TypeError(node)
 
     # -- main entry ----------------------------------------------------------

@@ -29,6 +29,9 @@ class Phrase:
 class Near:
     text: str
     max_interval: int = 10  # default max_interval (lib/expr.c:3553)
+    # NEAR2 (*n): positions compared WITHOUT query-offset correction
+    # (token_info_clear_offset, ii.c:6364-6366,5639-5644)
+    no_offset: bool = False
 
 
 @dataclass
@@ -141,12 +144,12 @@ class _Parser:
         if kind == "PHRASE":
             return Phrase(val)
         if kind == "WORD":
-            if val.startswith("*N"):
-                # NEAR pragma applies to the rest of the query string
+            if val.startswith("*N") or val.startswith("*n"):
+                # NEAR/NEAR2 pragma applies to the rest of the query string
                 rest = " ".join(v for _, v in self.toks[self.i :])
                 self.i = len(self.toks)
                 k = val[2:]
-                return Near(rest, int(k) if k else 10)
+                return Near(rest, int(k) if k else 10, no_offset=val[1] == "n")
             if val.endswith("*") and len(val) > 1:
                 return Term(val[:-1], prefix=True)
             return Term(val)
