@@ -179,13 +179,18 @@ def tokens_df(
         t = df.select(
             F.col(id_col).alias("doc_id"), F.lit(i + 1).alias("sid"), tok(F.col(c)).alias("tk")
         )
+        # dl (section token count) is known right here — carrying it inline
+        # saves stage P a full-width shuffle join back onto doclens
         t = t.select(
             "doc_id",
             "sid",
+            F.size("tk.terms").cast("long").alias("dl"),
             F.explode(
                 F.expr("transform(tk.terms, (t, i) -> struct(t as term, tk.poss[i] as pos))")
             ).alias("tp"),
-        ).select("doc_id", "sid", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+        ).select(
+            "doc_id", "sid", "dl", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos")
+        )
         parts.append(t)
     out = parts[0]
     for p in parts[1:]:
@@ -213,6 +218,10 @@ def _encode_group(
     pandas frame per Arrow batch (a one-row DataFrame per group costs more
     than the encoding itself at 100k+ term scale)."""
     n = doc_ids.size
+    if df_term < 0:
+        # light term (not in the heavy broadcast): every posting of it is in
+        # this one group, so its exact df is the distinct-doc count here
+        df_term = int((np.diff(doc_ids) != 0).sum()) + 1 if n else 0
     term_idf = scoring.idf(n_docs, df_term)
 
     blocks = []
@@ -290,6 +299,7 @@ def tf_stage(
     tf = toks.groupBy("term", "doc_id", "sid").agg(
         F.count("*").cast("long").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.first("dl").alias("dl"),
     )
     # positions leave stage T already gap+varbyte encoded (grn_io.h:360
     # scheme): the big repartition-by-term shuffle then moves ~1-2 bytes per
@@ -348,13 +358,36 @@ def salted_tf(
     """Attach dl, df, salt and pbucket.  The salt spreads a heavy term's
     docs over ceil(df / postings_per_bucket) reducers — explicit skew split;
     pbucket = hash(term) % n_pbuckets gives partition pruning on the
-    persisted postings table."""
+    persisted postings table.
+
+    Scale notes: only HEAVY terms (df > postings_per_bucket — the Zipf
+    head, a bounded set) need a pre-known df to pick their salt count, so
+    just those are broadcast; every light term's postings land whole in one
+    encode group, where its exact df is counted in-group (sentinel df=-1
+    here).  The full dictionary is never shuffle-joined onto tf — at 10^12
+    docs the dictionary has billions of terms and that join would double
+    the build's shuffle volume.  ``dl`` likewise rides inline from stage T
+    (known at tokenize time) instead of a shuffle join onto doclens, so
+    stage P performs exactly ONE wide exchange: the repartition by
+    (term, salt)."""
+    heavy = dictionary.filter(F.col("df") > postings_per_bucket).select(
+        "term", F.col("df").alias("_heavy_df")
+    )
+    out = tf
+    if "dl" not in tf.columns:  # pre-inline-dl callers (decoded legacy tf)
+        out = out.join(doclens, ["doc_id", "sid"])
     return (
-        tf.join(doclens, ["doc_id", "sid"])
-        .join(dictionary.select("term", "df"), "term")
+        out.join(F.broadcast(heavy), "term", "left")
+        .withColumn("df", F.coalesce(F.col("_heavy_df"), F.lit(-1)).cast("long"))
+        .drop("_heavy_df")
         .withColumn(
             "n_salts",
-            F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(postings_per_bucket))).cast("int"),
+            F.when(
+                F.col("df") > postings_per_bucket,
+                F.ceil(F.col("df") / F.lit(postings_per_bucket)),
+            )
+            .otherwise(F.lit(1))
+            .cast("int"),
         )
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"))
         .withColumn("pbucket", F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)).cast("int"))
