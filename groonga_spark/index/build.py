@@ -283,6 +283,75 @@ def _encode_group(
     }
 
 
+_TF_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("sid", IntegerType()),
+        StructField("tf", LongType()),
+        StructField("dl", LongType()),
+        StructField("pos_bytes", BinaryType()),
+    ]
+)
+
+
+def _doc_tf_batch(
+    ids: np.ndarray, texts: list[str], sid: int, mode: str, do_stem: bool
+) -> pd.DataFrame:
+    """Per-doc (term → tf, gap+varbyte positions, dl) for one Arrow batch —
+    all vectorized: factorize the flat term stream, group by the composite
+    (doc, term_code) int key with one stable lexsort, then one batch-wide
+    varbyte encode.  tf is a PER-DOCUMENT aggregate (Groonga likewise counts
+    per-document during tokenize, ii.c:7397-7480), so it never needs a
+    shuffle — computing it here keeps the exploded token stream out of the
+    JVM entirely: one Python crossing instead of two, and no groupBy
+    exchange of 40+ raw token rows per doc."""
+    from ..stem import stem_terms
+
+    res = tokenize_batch(texts, mode)
+    if do_stem:
+        res = [(stem_terms(t), p) for t, p in res]
+    n_tok = np.fromiter((len(r[0]) for r in res), dtype=np.int64, count=len(res))
+    total = int(n_tok.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {c.name: pd.Series(dtype=object) for c in _TF_SCHEMA.fields}
+        )
+    flat_terms: list[str] = []
+    for t, _ in res:
+        flat_terms.extend(t)
+    pos = np.concatenate([np.asarray(p, dtype=np.int64) for _, p in res if p])
+    doc_idx = np.repeat(np.arange(len(res), dtype=np.int64), n_tok)
+
+    codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
+    key = doc_idx * len(uniques) + codes
+    order = np.lexsort((pos, key))
+    skey = key[order]
+    spos = pos[order]
+    change = np.nonzero(skey[1:] != skey[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [total])))
+
+    prev = np.empty_like(spos)
+    prev[1:] = spos[:-1]
+    prev[starts] = 0  # first position of each group is absolute
+    gaps = (spos - prev).astype(np.uint32)
+    pos_b = encoding.vb_encode_rows(gaps, counts)
+
+    g_doc = doc_idx[order[starts]]
+    dls = n_tok[g_doc]
+    return pd.DataFrame(
+        {
+            "term": uniques[codes[order[starts]]],
+            "doc_id": ids[g_doc],
+            "sid": np.full(starts.size, sid, dtype=np.int32),
+            "tf": counts,
+            "dl": dls,
+            "pos_bytes": pos_b,
+        }
+    )
+
+
 def tf_stage(
     df: DataFrame,
     text_cols: list[str],
@@ -290,25 +359,28 @@ def tf_stage(
     id_col: str = "doc_id",
     token_filters: tuple = (),
 ):
-    """Stage T: tokenize + (term, doc_id, sid) → tf, positions; doc lengths.
-    Partial aggregation (map-side combine) runs before the shuffle.
-    ``doclens`` is derived FROM tf (dl = Σ tf per doc/section) rather than
-    from the raw token stream — one tokenize pass and one wide shuffle
-    instead of two of each."""
-    toks = tokens_df(df, text_cols, tokenizer, id_col, token_filters)
-    tf = toks.groupBy("term", "doc_id", "sid").agg(
-        F.count("*").cast("long").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.first("dl").alias("dl"),
-    )
-    # positions leave stage T already gap+varbyte encoded (grn_io.h:360
-    # scheme): the big repartition-by-term shuffle then moves ~1-2 bytes per
-    # position instead of an 8-byte array element — at 10^12 docs the
-    # positions stream IS the shuffle, so this is the difference between a
-    # CPU-bound and an IO-bound merge
-    tf = tf.withColumn("pos_bytes", _pos_bytes_udf(F.col("positions"))).drop(
-        "positions"
-    )
+    """Stage T: one fused ``mapInPandas`` pass — tokenize, per-doc tf
+    aggregation, and gap+varbyte position encoding all happen inside a
+    single Python crossing, emitting final (term, doc_id, sid, tf, dl,
+    pos_bytes) rows.  No token-level explode ever reaches the JVM and no
+    shuffle happens here at all: tf/dl/positions are per-document facts.
+    (The measured alternative — explode + groupBy + two pandas UDFs — was
+    kernel-bound on Arrow socket traffic and ran at single-core speed
+    regardless of parallelism.)  ``doclens`` derives from tf with one
+    narrow-column exchange."""
+    do_stem = "stem" in token_filters
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            for i, c in enumerate(text_cols):
+                out = _doc_tf_batch(
+                    ids, pdf[c].fillna("").tolist(), i + 1, tokenizer, do_stem
+                )
+                if len(out):
+                    yield out
+
+    tf = df.select(id_col, *text_cols).mapInPandas(fn, _TF_SCHEMA)
     doclens = tf.groupBy("doc_id", "sid").agg(F.sum("tf").cast("long").alias("dl"))
     return tf, doclens
 
@@ -354,6 +426,7 @@ def salted_tf(
     dictionary: DataFrame,
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
     n_pbuckets: int = DEFAULT_N_PBUCKETS,
+    single_section: bool = False,
 ) -> DataFrame:
     """Attach dl, df, salt and pbucket.  The salt spreads a heavy term's
     docs over ceil(df / postings_per_bucket) reducers — explicit skew split;
@@ -370,9 +443,20 @@ def salted_tf(
     (known at tokenize time) instead of a shuffle join onto doclens, so
     stage P performs exactly ONE wide exchange: the repartition by
     (term, salt)."""
-    heavy = dictionary.filter(F.col("df") > postings_per_bucket).select(
-        "term", F.col("df").alias("_heavy_df")
-    )
+    if single_section:
+        # One section ⇒ each tf row is a distinct doc, so postings-per-term
+        # == df exactly and a plain count(*) — cheap partial-aggregating
+        # counts, no distinct — replaces the dictionary's two-phase
+        # countDistinct job on the blocking path to the encode stage.
+        heavy = (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("_heavy_df"))
+            .filter(F.col("_heavy_df") > postings_per_bucket)
+        )
+    else:
+        heavy = dictionary.filter(F.col("df") > postings_per_bucket).select(
+            "term", F.col("df").alias("_heavy_df")
+        )
     out = tf
     if "dl" not in tf.columns:  # pre-inline-dl callers (decoded legacy tf)
         out = out.join(doclens, ["doc_id", "sid"])
@@ -491,7 +575,14 @@ def build_index(
     stats = collect_stats(df, doclens, text_cols)
     avgdl_by_sid = {sid: stats.avgdl(sid) for sid in stats.section_tokens}
     dictionary = make_dictionary(tf)
-    tf2 = salted_tf(tf, doclens, dictionary, postings_per_bucket, n_pbuckets)
+    tf2 = salted_tf(
+        tf,
+        doclens,
+        dictionary,
+        postings_per_bucket,
+        n_pbuckets,
+        single_section=len(text_cols) == 1,
+    )
     postings = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
     return InvertedIndex(
         dictionary=dictionary,
