@@ -118,6 +118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (token_info_clear_offset, ii.c:6364-6366)
         return _topk(_engine(spark, sf), "*n3 table scan", 10)
 
+    def ft_escalate(spark, sf):
+        # match escalation (grn_ii_sel, ii.c:6659-6721): 'sc' has NO exact
+        # token in any sf — zero hits escalate EXACT → prefix
+        # (UNSPLIT/PARTIAL analogue), so this returns the 'sc*' ranking
+        eng = _engine(spark, sf)
+        return _topk_df(eng.select("sc", k=10, escalate=True))
+
     def ft_topk_tf(spark, sf):
         # raw decoded postings for one term — integer check of the
         # tokenize → posting-list → block-encode → decode round trip
@@ -327,6 +334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def setop_difference(spark, sf):
+        # grn_table_difference (db.c:4010): symmetric difference in place —
+        # two anti-joins, each side keeps its own score
+        a, b = _setop_inputs(spark, sf)
+        return a.join(b.select("doc_id"), "doc_id", "left_anti").unionByName(
+            b.join(a.select("doc_id"), "doc_id", "left_anti")
+        )
+
     # ---- scans / sorts / predicates (§2.1, §2.7, §2.8) -------------------
     def scan_topn(spark, sf):
         return (
@@ -344,6 +359,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.filter(between("l_quantity", 10, "include", 20, "exclude"))
             .groupBy("l_returnflag")
             .agg(F.count("*").alias("n"))
+        )
+
+    def filter_script_q(spark, sf):
+        # --filter script syntax → Catalyst (grn_ecmascript.lemon /
+        # grn_expr_parse, lib/expr.c:6646; compiler: query/script.py)
+        from groonga_spark.query.script import parse_filter
+
+        return (
+            _read(spark, sf, "orders")
+            .filter(
+                parse_filter(
+                    '(o_totalprice > 150000.0 && o_orderstatus == "F")'
+                    ' || o_orderpriority @$ "URGENT"'
+                )
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def filter_script_math(spark, sf):
+        # arithmetic/bitwise/shift operator parity (grn_expr_exec VM ops,
+        # lib/expr.c:2330) — evaluated in whole-stage codegen instead
+        from groonga_spark.query.script import parse_filter
+
+        return (
+            _read(spark, sf, "lineitem")
+            .filter(parse_filter("(l_partkey >> 2) % 10 == 3 && l_quantity * 2 >= 20"))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def cmd_select_q(spark, sf):
+        # the select command facade (grn_select, lib/proc.c:1087):
+        # load → --filter + --sortby + --output_columns paging
+        import os
+
+        from groonga_spark.commands import CommandContext
+
+        sfname = sf.rstrip("/").rsplit("/", 1)[-1]
+        ctx = CommandContext(spark, f"/tmp/groonga_spark_cmddb_{sfname}")
+        ctx.load(
+            "customer",
+            _read(spark, sf, "customer").withColumnRenamed("c_name", "_key"),
+        )
+        res = ctx.select(
+            "customer",
+            filter='c_acctbal > 5000.0 && c_mktsegment @^ "B"',
+            sortby="-c_acctbal,c_custkey",
+            output_columns="c_custkey,c_acctbal",
+            limit=20,
+        )
+        return res["records"].select(
+            "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
         )
 
     def in_values_nation(spark, sf):
@@ -555,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_similar=ft_similar,
         ft_term_extract=ft_term_extract,
         ft_sectioned=ft_sectioned,
+        ft_escalate=ft_escalate,
         scorer_tfidf_q=scorer_tfidf_q,
         scorer_tf_at_most_q=scorer_tf_at_most_q,
         adjuster_q=adjuster_q,
@@ -573,8 +642,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         setop_and=setop_and,
         setop_and_not=setop_and_not,
         setop_adjust=setop_adjust,
+        setop_difference=setop_difference,
         scan_topn=scan_topn,
         filter_between=filter_between,
+        filter_script_q=filter_script_q,
+        filter_script_math=filter_script_math,
+        cmd_select_q=cmd_select_q,
         in_values_nation=in_values_nation,
         edit_distance_nation=edit_distance_nation,
         sub_filter_orders=sub_filter_orders,
@@ -668,6 +741,9 @@ ORDER BY sum(b.s) DESC, b.doc_id LIMIT 10"""
     o["ft_prefix"] = f"""{_CTE}
 SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term LIKE 'sc%'
 GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    # escalated 'sc' == prefix 'sc*' (no exact 'sc' token exists at any sf)
+    o["ft_escalate"] = o["ft_prefix"]
 
     o["ft_near"] = f"""{_CTE},
 pos AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS p FROM words),
@@ -785,12 +861,29 @@ WHERE a.doc_id NOT IN (SELECT doc_id FROM b)"""
     o["setop_adjust"] = f"""WITH a AS ({_a}), b AS ({_b})
 SELECT a.doc_id AS doc_id, a.score + coalesce(b.score, 0) AS score
 FROM a LEFT JOIN b ON a.doc_id = b.doc_id"""
+    o["setop_difference"] = f"""WITH a AS ({_a}), b AS ({_b})
+SELECT a.doc_id AS doc_id, a.score AS score FROM a
+WHERE a.doc_id NOT IN (SELECT doc_id FROM b)
+UNION ALL
+SELECT b.doc_id AS doc_id, b.score AS score FROM b
+WHERE b.doc_id NOT IN (SELECT doc_id FROM a)"""
 
     o["scan_topn"] = """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
     o["filter_between"] = """SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem
 WHERE l_quantity >= 10 AND l_quantity < 20 GROUP BY l_returnflag"""
+
+    o["filter_script_q"] = """SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders
+WHERE (o_totalprice > 150000.0 AND o_orderstatus = 'F')
+   OR o_orderpriority LIKE '%URGENT' GROUP BY o_orderstatus"""
+
+    o["filter_script_math"] = """SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem
+WHERE ((l_partkey >> 2) % 10) = 3 AND l_quantity * 2 >= 20 GROUP BY l_returnflag"""
+
+    o["cmd_select_q"] = """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment LIKE 'B%'
+ORDER BY customer.c_acctbal DESC, c_custkey LIMIT 20"""
 
     o["in_values_nation"] = """SELECT n_nationkey, n_name FROM nation
 WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5')"""

@@ -1,0 +1,242 @@
+"""Groonga command-protocol surface (SURVEY §2.1) over parquet-backed tables.
+
+The reference registers its commands in ``lib/proc.c:6785-6903`` (``load``,
+``dump``, ``delete``, ``truncate``, ``select``, ``status``, ``tokenize``,
+``normalize``) and serializes responses as JSON/TSV/XML/MessagePack
+(``GRN_CONTENT_*``, include/groonga/groonga.h:182-187; lib/output.c).
+
+Spark-first re-expression: a "table" is a parquet directory (the production
+shape is an Iceberg table — noted per command below); mutations rewrite
+through DataFrame ops so every command stays distributed.  Nothing here
+collects more than the response page the caller asked for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .query.script import parse_filter
+
+
+class CommandContext:
+    """One database = one directory of parquet tables (``grn_db`` analogue).
+
+    Production note: swap ``_read``/``_write`` for an Iceberg catalog —
+    ``load --ifexists`` becomes MERGE INTO, ``delete`` DELETE WHERE, and
+    ``truncate`` TRUNCATE; the command semantics are unchanged.
+    """
+
+    def __init__(self, spark: SparkSession, db_path: str):
+        self.spark = spark
+        self.db_path = db_path
+        os.makedirs(db_path, exist_ok=True)
+        self._engines: dict[str, object] = {}
+
+    # -- table io ----------------------------------------------------------
+    def _path(self, table: str) -> str:
+        if not table.isidentifier():
+            raise ValueError(f"bad table name {table!r}")
+        return os.path.join(self.db_path, table)
+
+    def _read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def table_list(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.db_path)
+            if os.path.isdir(os.path.join(self.db_path, d))
+        )
+
+    # -- load (proc.c:1371) ------------------------------------------------
+    def load(
+        self,
+        table: str,
+        values: "list[dict] | str | DataFrame",
+        key_col: str = "_key",
+        ifexists: bool = True,
+    ) -> int:
+        """``load --table T --values [...]``: upsert rows by key.
+
+        ``values`` may be a JSON string (array of objects, as the command
+        takes), a list of dicts, or a DataFrame.  ``ifexists=True`` mirrors
+        ``--ifexists``: existing keys are replaced (anti-join old, union
+        new); False appends only unseen keys.  Returns rows loaded.
+        """
+        if isinstance(values, str):
+            values = json.loads(values)
+        if isinstance(values, list):
+            new = self.spark.createDataFrame(values)
+        else:
+            new = values
+        path = self._path(table)
+        n = new.count()
+        if os.path.exists(path):
+            old = self._read(table)
+            if ifexists:
+                keep = old.join(new.select(key_col), key_col, "left_anti")
+            else:
+                new = new.join(old.select(key_col), key_col, "left_anti")
+                n = new.count()
+                keep = old
+            merged = keep.unionByName(new, allowMissingColumns=True)
+            tmp = path + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        else:
+            new.write.mode("overwrite").parquet(path)
+        return n
+
+    # -- delete (proc.c:6859) ----------------------------------------------
+    def delete(
+        self,
+        table: str,
+        key=None,
+        key_col: str = "_key",
+        filter: str | None = None,
+    ) -> int:
+        """``delete --table T [--key k | --filter expr]`` → anti-join
+        rewrite (the Iceberg path is DELETE WHERE)."""
+        df = self._read(table)
+        if key is not None:
+            cond = F.col(key_col) == key
+        elif filter is not None:
+            cond = parse_filter(filter)
+        else:
+            raise ValueError("delete needs key or filter")
+        kept = df.filter(~F.coalesce(cond, F.lit(False)))
+        n_before = df.count()
+        path = self._path(table)
+        tmp = path + ".tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        n_after = self.spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return n_before - n_after
+
+    # -- truncate (proc.c:6882) --------------------------------------------
+    def truncate(self, table: str) -> None:
+        """Drop all records, keep schema."""
+        df = self._read(table)
+        path = self._path(table)
+        tmp = path + ".tmp"
+        df.limit(0).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    # -- dump (proc.c:6868) ------------------------------------------------
+    def dump(self, table: str) -> DataFrame:
+        """Source-of-truth export: the records as a DataFrame (the command
+        stream's ``load`` section; schema travels in parquet metadata).
+        Writing it back via ``load`` round-trips the table."""
+        return self._read(table)
+
+    # -- select (grn_select, proc.c:1087) ------------------------------------
+    def select(
+        self,
+        table: str,
+        query: str | None = None,
+        match_columns: str | None = None,
+        filter: str | None = None,
+        output_columns: str | None = None,
+        sortby: str | None = None,
+        offset: int = 0,
+        limit: int = 10,
+        drilldown: str | None = None,
+        text_cols: list[str] | None = None,
+        tokenizer: str = "bigram",
+        id_col: str = "doc_id",
+    ) -> dict:
+        """The ``select`` command: fulltext --query via the inverted-index
+        engine, --filter via the script compiler, then sort/offset/limit,
+        optional drilldowns.  Returns ``{"n_hits", "records", "drilldowns"}``
+        with records as a DataFrame (serialize with :func:`format_output`).
+        """
+        df = self._read(table)
+        if query is not None:
+            eng = self._engines.get(table)
+            if eng is None:
+                from .query.engine import SearchEngine
+
+                cols = text_cols or [
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.typeName() == "string" and f.name != id_col
+                ]
+                eng = SearchEngine.build(df, cols, tokenizer=tokenizer, id_col=id_col)
+                self._engines[table] = eng
+            hits = eng.select(query, match_columns, k=offset + max(limit, 0) or 10)
+            df = df.join(hits.withColumnRenamed("doc_id", id_col), id_col)
+            if sortby is None:
+                sortby = "-_score"
+        if filter is not None:
+            df = df.filter(parse_filter(filter))
+
+        n_hits = df.count()
+
+        if sortby:
+            keys = []
+            for part in sortby.split(","):
+                part = part.strip()
+                desc = part.startswith("-")
+                name = part.lstrip("+-")
+                name = {"_score": "score", "_id": id_col}.get(name, name)
+                keys.append(F.col(name).desc() if desc else F.col(name).asc())
+            df = df.orderBy(*keys)
+        page = df.offset(offset).limit(limit) if offset else df.limit(limit)
+
+        if output_columns:
+            cols = [c.strip() for c in output_columns.split(",")]
+            cols = [{"_score": "score", "_id": id_col}.get(c, c) for c in cols]
+            page = page.select(*cols)
+
+        dd = {}
+        for key in (drilldown or "").split(","):
+            key = key.strip()
+            if key:
+                dd[key] = (
+                    df.groupBy(key)
+                    .agg(F.count("*").alias("_nsubrecs"))
+                    .orderBy(F.desc("_nsubrecs"), F.asc(key))
+                )
+        return {"n_hits": n_hits, "records": page, "drilldowns": dd}
+
+    # -- status (proc.c:6797) ----------------------------------------------
+    def status(self) -> dict:
+        return {
+            "alloc_count": 0,
+            "version": "groonga_spark",
+            "n_tables": len(self.table_list()),
+            "db_path": self.db_path,
+        }
+
+
+# -- output serialization (lib/output.c; GRN_CONTENT_*) ----------------------
+
+
+def format_output(df: DataFrame, content_type: str = "json", limit: int = 1000):
+    """Serialize a result page the way ``output.c`` does: JSON is the
+    Groonga response body shape ``[[count], [[name,type]...], rows...]``;
+    TSV matches GRN_CONTENT_TSV.  XML/MessagePack raise (documented
+    out-of-scope serializers).  ``limit`` caps the driver-side collect —
+    this formats a RESPONSE PAGE, never a full table.
+    """
+    rows = df.limit(limit).collect()
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    if content_type == "json":
+        body = [
+            [[len(rows)], [list(f) for f in fields]]
+            + [[r[name] for name, _ in fields] for r in rows]
+        ]
+        return json.dumps(body, default=str)
+    if content_type == "tsv":
+        lines = ["\t".join(name for name, _ in fields)]
+        for r in rows:
+            lines.append("\t".join("" if r[n] is None else str(r[n]) for n, _ in fields))
+        return "\n".join(lines)
+    raise NotImplementedError(f"content_type {content_type!r} (xml/msgpack not implemented)")

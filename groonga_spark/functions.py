@@ -10,6 +10,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
 def edit_distance(a, b) -> Column:
     """edit_distance(a, b) — proc.c:4790 → levenshtein."""
     return F.levenshtein(a, b)
@@ -17,14 +21,15 @@ def edit_distance(a, b) -> Column:
 
 def between(col, lo, lo_border: str, hi, hi_border: str) -> Column:
     """between(col, lo, 'include'|'exclude', hi, ...) — proc.c:5570."""
-    lo_ok = (F.col(col) >= lo) if lo_border == "include" else (F.col(col) > lo)
-    hi_ok = (F.col(col) <= hi) if hi_border == "include" else (F.col(col) < hi)
+    c = _col(col)
+    lo_ok = (c >= lo) if lo_border == "include" else (c > lo)
+    hi_ok = (c <= hi) if hi_border == "include" else (c < hi)
     return lo_ok & hi_ok
 
 
 def in_values(col, *values) -> Column:
     """in_values(col, v1, v2, ...) — proc.c:6161."""
-    return F.col(col).isin(list(values))
+    return _col(col).isin(list(values))
 
 
 def all_records() -> Column:

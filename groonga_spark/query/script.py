@@ -1,0 +1,277 @@
+"""Script-syntax (``--filter``) expression compiler.
+
+Groonga compiles its ECMAScript-like filter syntax with a lemon grammar
+(reference ``lib/grn_ecmascript.lemon``; ``grn_expr_parse`` lib/expr.c:6646)
+into a stack-VM program executed per record (``grn_expr_exec``
+lib/expr.c:2330).  The Spark re-expression needs no VM: the same grammar
+compiles directly to a Catalyst ``Column`` expression tree, which Spark
+whole-stage-codegens JVM-side — the filter is evaluated inside the scan,
+with predicate pushdown to parquet where the expression allows it.
+
+Supported (the operator set of §2.2/§2.8):
+
+* literals: decimal/float numbers, ``"str"`` / ``'str'``, true/false/null
+* column references, including dotted paths (``a.b`` → struct field or
+  pre-joined reference column)
+* comparisons ``== != < > <= >=`` with Spark's type coercion
+* logical ``&& || !``
+* arithmetic ``+ - * / %`` and unary ``-``
+* bitwise ``& | ^ ~ << >>`` (``>>>`` maps to ``shiftrightunsigned``)
+* match operators (scan fallback semantics, lib/operator.c:904-930):
+  ``col @ "sub"`` substring, ``col @^ "pfx"`` prefix, ``col @$ "sfx"``
+  suffix, ``col @~ "re"`` regexp (Onigmo → Java regex)
+* registered scalar functions (lib/proc.c:6910+): ``edit_distance``,
+  ``between``, ``in_values``, ``all_records``, ``vector_size``,
+  ``html_untag``, ``now``, ``rand``, ``max``, ``min`` (varargs scalar →
+  greatest/least)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import functions as gf
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        @\^ | @\$ | @~ | @ |
+        && | \|\| | == | != | <= | >= | << | >>> | >> |
+        [()!<>,+\-*/%&|^~] |
+        "(?:[^"\\]|\\.)*" | '(?:[^'\\]|\\.)*' |
+        \d+\.\d+ | \d+ |
+        [A-Za-z_][A-Za-z0-9_.]*
+    )""",
+    re.VERBOSE,
+)
+
+
+class ScriptSyntaxError(ValueError):
+    pass
+
+
+def _c(x) -> Column:
+    """Lift a raw python literal to a Column; pass Columns through."""
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def _tokenize(src: str) -> list[str]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            if src[i:].strip() == "":
+                break
+            raise ScriptSyntaxError(f"bad token at {src[i:]!r}")
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+def _lit(tok: str):
+    if tok[0] in "\"'":
+        body = tok[1:-1]
+        return re.sub(r"\\(.)", r"\1", body)
+    if re.fullmatch(r"\d+\.\d+", tok):
+        return float(tok)
+    if re.fullmatch(r"\d+", tok):
+        return int(tok)
+    return None
+
+
+# registered scalar functions (lib/proc.c:6910-7000 registry analogue)
+def _fn_registry():
+    return {
+        # between's borders and in_values' value list need RAW python
+        # values; everything else lifts its args to Columns
+        "edit_distance": lambda a, b: gf.edit_distance(_c(a), _c(b)),
+        "between": lambda col, lo, lob, hi, hib: gf.between(_c(col), lo, lob, hi, hib),
+        "in_values": lambda col, *vs: gf.in_values(_c(col), *vs),
+        "all_records": lambda: gf.all_records(),
+        "vector_size": lambda c: gf.vector_size(_c(c)),
+        "html_untag": lambda c: gf.html_untag(_c(c)),
+        "now": lambda: F.current_timestamp(),
+        "rand": lambda *a: (F.rand() * a[0]) if a else F.rand(),
+        "max": lambda *a: F.greatest(*[_c(x) for x in a]),
+        "min": lambda *a: F.least(*[_c(x) for x in a]),
+    }
+
+
+class _P:
+    """Precedence-climbing parser → Column tree."""
+
+    # precedence (ECMAScript order, grn_ecmascript.lemon)
+    _BIN = {
+        "||": 1,
+        "&&": 2,
+        "|": 3,
+        "^": 4,
+        "&": 5,
+        "==": 6,
+        "!=": 6,
+        "<": 7,
+        ">": 7,
+        "<=": 7,
+        ">=": 7,
+        "@": 7,
+        "@^": 7,
+        "@$": 7,
+        "@~": 7,
+        "<<": 8,
+        ">>": 8,
+        ">>>": 8,
+        "+": 9,
+        "-": 9,
+        "*": 10,
+        "/": 10,
+        "%": 10,
+    }
+
+    def __init__(self, toks: list[str]):
+        self.t = toks
+        self.i = 0
+        self.fns = _fn_registry()
+
+    def peek(self):
+        return self.t[self.i] if self.i < len(self.t) else None
+
+    def next(self):
+        tok = self.peek()
+        if tok is None:
+            raise ScriptSyntaxError("unexpected end of expression")
+        self.i += 1
+        return tok
+
+    def parse(self) -> Column:
+        c = self.expr(0)
+        if self.peek() is not None:
+            raise ScriptSyntaxError(f"trailing tokens at {self.t[self.i:]}")
+        return _c(c)
+
+    def expr(self, min_prec: int) -> Column:
+        left = self.unary()
+        while True:
+            op = self.peek()
+            prec = self._BIN.get(op or "")
+            if prec is None or prec < min_prec:
+                return left
+            self.next()
+            right = self.expr(prec + 1)
+            left = self._apply(op, left, right)
+
+    def unary(self) -> Column:
+        tok = self.peek()
+        if tok == "!":
+            self.next()
+            return ~_c(self.unary())
+        if tok == "-":
+            self.next()
+            return -_c(self.unary())
+        if tok == "~":
+            self.next()
+            return F.bitwise_not(_c(self.unary()))
+        return self.primary()
+
+    def primary(self) -> Column:
+        tok = self.next()
+        if tok == "(":
+            c = self.expr(0)
+            if self.next() != ")":
+                raise ScriptSyntaxError("expected )")
+            return c
+        lit = _lit(tok)
+        if lit is not None:
+            return lit  # raw python value; _c() lifts to Column lazily
+        if tok == "true":
+            return True
+        if tok == "false":
+            return False
+        if tok == "null":
+            return F.lit(None)
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", tok):
+            if self.peek() == "(":
+                return self.call(tok)
+            return F.col(tok)
+        raise ScriptSyntaxError(f"unexpected token {tok!r}")
+
+    def call(self, name: str) -> Column:
+        fn = self.fns.get(name)
+        if fn is None:
+            raise ScriptSyntaxError(f"unknown function {name!r}")
+        self.next()  # (
+        args = []
+        if self.peek() != ")":
+            while True:
+                a = self.expr(0)
+                args.append(a)
+                tok = self.next()
+                if tok == ")":
+                    break
+                if tok != ",":
+                    raise ScriptSyntaxError("expected , or ) in call")
+            return fn(*self._unlit(args, name))
+        self.next()  # )
+        return fn()
+
+    @staticmethod
+    def _unlit(args, name):
+        # raw python literals flow through unchanged: between's border
+        # strings and in_values' value list need real python values
+        return args
+
+    @staticmethod
+    def _apply(op: str, a: Column, b: Column) -> Column:
+        if op == "||":
+            return _c(a) | _c(b)
+        if op == "&&":
+            return _c(a) & _c(b)
+        if op == "==":
+            return _c(a) == b if isinstance(b, (int, float, str, bool)) else _c(a) == _c(b)
+        if op == "!=":
+            return _c(a) != b if isinstance(b, (int, float, str, bool)) else _c(a) != _c(b)
+        if op == "<":
+            return _c(a) < _c(b)
+        if op == ">":
+            return _c(a) > _c(b)
+        if op == "<=":
+            return _c(a) <= _c(b)
+        if op == ">=":
+            return _c(a) >= _c(b)
+        if op == "+":
+            return _c(a) + _c(b)
+        if op == "-":
+            return _c(a) - _c(b)
+        if op == "*":
+            return _c(a) * _c(b)
+        if op == "/":
+            return _c(a) / _c(b)
+        if op == "%":
+            return _c(a) % _c(b)
+        if op == "&":
+            return _c(a).bitwiseAND(_c(b))
+        if op == "|":
+            return _c(a).bitwiseOR(_c(b))
+        if op == "^":
+            return _c(a).bitwiseXOR(_c(b))
+        if op in ("<<", ">>", ">>>"):
+            if not isinstance(b, int):
+                raise ScriptSyntaxError(f"shift amount must be an int literal")
+            f = {"<<": F.shiftleft, ">>": F.shiftright, ">>>": F.shiftrightunsigned}[op]
+            return f(_c(a), b)
+        if op == "@":  # substring match scan fallback (operator.c:904)
+            return _c(a).contains(b)
+        if op == "@^":  # prefix (operator.c:913)
+            return _c(a).startswith(b)
+        if op == "@$":  # suffix (operator.c:922)
+            return _c(a).endswith(b)
+        if op == "@~":  # regexp scan fallback (operator.c:922 / Onigmo)
+            return _c(a).rlike(b)
+        raise ScriptSyntaxError(f"unhandled operator {op}")
+
+
+def parse_filter(src: str) -> Column:
+    """Compile a ``--filter`` script expression to a Spark Column."""
+    return _P(_tokenize(src)).parse()

@@ -49,12 +49,39 @@ import unicodedata
 
 TOKENIZERS = ("bigram", "delimit", "code")
 
+# The reference registers 8 TokenBigram variants plus Unigram/Trigram
+# (lib/tokenizers.c:307-345,799-822): ngram size n, per-class "uni_*" flags
+# (1 = a whole same-class run is ONE token; 0 = the run splits into
+# overlapping n-grams with skip=1 and shortened tail), and ignore_blank
+# (blanks neither break runs nor emit).  Params: (n, split_classes,
+# ignore_blank) where split_classes ⊆ {ALPHA, DIGIT, SYMBOL}.
+_NGRAM_VARIANTS: dict[str, tuple[int, tuple, bool]] = {
+    "unigram": (1, (), False),
+    "bigram": (2, (), False),
+    "trigram": (3, (), False),
+    "bigram_split_symbol": (2, ("symbol",), False),
+    "bigram_split_symbol_alpha": (2, ("symbol", "alpha"), False),
+    "bigram_split_symbol_alpha_digit": (2, ("symbol", "alpha", "digit"), False),
+    "bigram_ignore_blank": (2, (), True),
+    "bigram_ignore_blank_split_symbol": (2, ("symbol",), True),
+    "bigram_ignore_blank_split_symbol_alpha": (2, ("symbol", "alpha"), True),
+    "bigram_ignore_blank_split_symbol_alpha_digit": (
+        2,
+        ("symbol", "alpha", "digit"),
+        True,
+    ),
+}
+
+ALL_TOKENIZERS = ("delimit", "delimit_null", "code", *_NGRAM_VARIANTS)
+
 
 def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[list[str], list[int]]]:
     """Tokenize a batch. Returns per-text ``(terms, positions)``."""
     if mode == "delimit":
         return [_delimit(t) for t in texts]
-    if mode not in TOKENIZERS:
+    if mode == "delimit_null":  # TokenDelimitNull (tokenizers.c:236)
+        return [_delimit(t, "\x00") for t in texts]
+    if mode != "code" and mode not in _NGRAM_VARIANTS:
         raise ValueError(f"unknown tokenizer {mode!r}")
     out: list[tuple[list[str], list[int]]] = []
     ascii_idx: list[int] = []
@@ -81,14 +108,21 @@ def tokenize(text: str, mode: str = "bigram") -> list[tuple[str, int]]:
     return list(zip(terms, poss))
 
 
-def _delimit(text: str) -> tuple[list[str], list[int]]:
-    terms = text.split()
+def _delimit(text: str, sep: str | None = None) -> tuple[list[str], list[int]]:
+    terms = text.split(sep) if sep else text.split()
+    terms = [t for t in terms if t]
     return terms, list(range(len(terms)))
 
 
 # ---------------------------------------------------------------------------
 # ASCII fast path: one numpy pass over a concatenated batch buffer.
 # ---------------------------------------------------------------------------
+
+
+def _doc_lens_after_mask(keep: np.ndarray, doc_starts: np.ndarray, doc_ends: np.ndarray) -> np.ndarray:
+    """Per-doc surviving char count after masking (vectorized prefix-sum)."""
+    csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+    return csum[doc_ends] - csum[doc_starts]
 
 
 def _tokenize_ascii_batch(texts: list[bytes], mode: str) -> list[tuple[list[str], list[int]]]:
@@ -101,6 +135,21 @@ def _tokenize_ascii_batch(texts: list[bytes], mode: str) -> list[tuple[list[str]
     doc_starts = doc_ends - lens
 
     cls = CLS_LUT[buf]
+
+    if mode != "code":
+        ngram_n, split_names, ignore_blank = _NGRAM_VARIANTS[mode]
+        if ignore_blank:
+            # TokenBigramIgnoreBlank*: blanks neither emit nor break runs
+            # (the BLANK flag is ignored, tokenizers.c:318-345) — drop blank
+            # chars from the buffer so adjacent same-class runs fuse
+            keep = cls != BLANK
+            buf = buf[keep]
+            if buf.size == 0:
+                return [([], []) for _ in texts]
+            lens = _doc_lens_after_mask(keep, doc_starts, doc_ends)
+            doc_ends = np.cumsum(lens)
+            doc_starts = doc_ends - lens
+            cls = CLS_LUT[buf]
     low = LOWER_LUT[buf]
 
     # boundaries: position i starts a new run
@@ -131,18 +180,37 @@ def _tokenize_ascii_batch(texts: list[bytes], mode: str) -> list[tuple[list[str]
 
     if mode == "code":
         return _emit_code(texts, low, buf, starts, ends, run_cls, run_doc, n_docs)
-    return _emit_runs(texts, low, starts, ends, run_doc, n_docs)
+    split_mask = None
+    if split_names:
+        consts = {"alpha": ALPHA, "digit": DIGIT, "symbol": SYMBOL}
+        split_mask = np.isin(run_cls, [consts[s] for s in split_names])
+    return _emit_runs(texts, low, starts, ends, run_doc, n_docs, split_mask, ngram_n)
 
 
 def _emit_runs(
-    texts, low, starts, ends, run_doc, n_docs
+    texts, low, starts, ends, run_doc, n_docs, split_mask=None, n=2
 ) -> list[tuple[list[str], list[int]]]:
+    """Whole-run tokens (uni_* = 1); runs of a class in ``split_mask``
+    instead emit overlapping n-grams with skip=1 and shortened tail
+    (ngram_next, tokenizers.c:348-455 — e.g. SplitSymbolAlpha turns an
+    alpha run 'abc' into ab, bc, c)."""
     low_bytes = low.tobytes()
     out: list[tuple[list[str], list[int]]] = [([], []) for _ in range(n_docs)]
-    for s, e, d in zip(starts.tolist(), ends.tolist(), run_doc.tolist()):
+    if split_mask is None:
+        for s, e, d in zip(starts.tolist(), ends.tolist(), run_doc.tolist()):
+            terms, poss = out[d]
+            poss.append(len(terms))
+            terms.append(low_bytes[s:e].decode("ascii"))
+        return out
+    for i, (s, e, d) in enumerate(zip(starts.tolist(), ends.tolist(), run_doc.tolist())):
         terms, poss = out[d]
-        poss.append(len(terms))
-        terms.append(low_bytes[s:e].decode("ascii"))
+        if split_mask[i]:
+            for k in range(s, e):
+                poss.append(len(terms))
+                terms.append(low_bytes[k : min(k + n, e)].decode("ascii"))
+        else:
+            poss.append(len(terms))
+            terms.append(low_bytes[s:e].decode("ascii"))
     return out
 
 
@@ -233,6 +301,12 @@ def _next_pos(poss: list[int]) -> int:
 
 def _tokenize_unicode(text: str, mode: str) -> tuple[list[str], list[int]]:
     norm = unicodedata.normalize("NFKC", text).lower()
+    gram_n, split_names, ignore_blank = _NGRAM_VARIANTS.get(mode, (2, (), False))
+    if ignore_blank:
+        norm = "".join(c for c in norm if char_class(c) != BLANK)
+    split_consts = {
+        {"alpha": ALPHA, "digit": DIGIT, "symbol": SYMBOL}[s] for s in split_names
+    }
     classes = [char_class(c) for c in norm]
     terms: list[str] = []
     poss: list[int] = []
@@ -246,18 +320,15 @@ def _tokenize_unicode(text: str, mode: str) -> tuple[list[str], list[int]]:
         while j < n and classes[j] == c:
             j += 1
         run = norm[i:j]
-        if c == NONASCII:
-            # overlapping bigrams with skip=1 + trailing unigram
+        if c == NONASCII or c in split_consts:
+            # overlapping n-grams with skip=1 + shortened tail
             # (tokenizers.c:312-313,430-447 ADD-mode behavior)
-            if len(run) == 1:
+            # one token per char position, size min(n, remaining) — the
+            # cursor advances one char per emitted gram down to the 1-char
+            # tail, exactly like the ASCII split path
+            for k in range(len(run)):
                 poss.append(_next_pos(poss))
-                terms.append(run)
-            else:
-                for k in range(len(run) - 1):
-                    poss.append(_next_pos(poss))
-                    terms.append(run[k : k + 2])
-                poss.append(_next_pos(poss))
-                terms.append(run[-1])
+                terms.append(run[k : k + gram_n])
         else:
             poss.append(_next_pos(poss))
             terms.append(run)
