@@ -126,6 +126,14 @@ def corpus_df(spark, n_docs: int, seed: int = 42, n_partitions: int | None = Non
         gen, "repo string, path string, commit string, lang string, content string"
     )
     df = assign_dense_ids(df, ["repo", "path"], "doc_id")
+    # REBALANCE after the id window: its exchange hash-partitions on the
+    # bucket id (≤ n_partitions distinct values into shuffle.partitions
+    # slots), which leaves most output partitions empty and a few holding
+    # whole buckets — every downstream stage then runs at the speed of one
+    # fat partition regardless of cores (measured: stage-T p50 0.4s,
+    # max 110s).  Round-robin into small uniform slices restores
+    # wave-level parallelism for tokenize and the tf cache.
+    df = df.repartition(n_partitions * 4)
     return df.withColumn(
         "content_sha", F.sha2(F.col("content").cast("binary"), 256)
     )

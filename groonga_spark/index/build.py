@@ -198,89 +198,140 @@ def tokens_df(
     return out
 
 
-def _encode_group(
-    term: str,
-    pbucket: int,
-    bucket: int,
-    df_term: int,
-    doc_ids: np.ndarray,
-    sids: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
-    pos_bytes: list,
-    n_docs: int,
-    avgdl_by_sid: dict[int, float],
-) -> dict:
-    """Encode one (term, salt) group of postings (already sorted by
-    (doc_id, sid)) into block structs.  Mirrors merge_hit_blocks +
-    grn_p_encv (ii.c:7578-7676): delta-encode, choose varbyte vs PFoR per
-    vector.  Returns a plain dict row — the caller batches rows into one
-    pandas frame per Arrow batch (a one-row DataFrame per group costs more
-    than the encoding itself at 100k+ term scale)."""
-    n = doc_ids.size
-    if df_term < 0:
-        # light term (not in the heavy broadcast): every posting of it is in
-        # this one group, so its exact df is the distinct-doc count here
-        df_term = int((np.diff(doc_ids) != 0).sum()) + 1 if n else 0
-    term_idf = scoring.idf(n_docs, df_term)
+def _encode_batch(
+    pdf: pd.DataFrame, n_docs: int, avgdl_by_sid: dict[int, float]
+) -> list[dict]:
+    """Encode ALL complete (term, salt) groups of one sorted frame into
+    postings rows.  Mirrors merge_hit_blocks + grn_p_encv (ii.c:7578-7676):
+    per-block delta encode, varbyte vs PFoR per vector, block-max BM25
+    bound — but every array computation (deltas, per-block maxima via
+    ``reduceat``, the single varbyte pass per field via ``vb_encode_rows``,
+    in-group df counting, tfc) runs ONCE per frame rather than per group:
+    at ~1.2M mostly-tiny groups per 1M docs, per-group numpy-call overhead
+    (~1 ms each) was the entire encode-stage cost."""
+    n = len(pdf)
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    sids = pdf["sid"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    dfs = pdf["df"].to_numpy(dtype=np.int64)
+    pbuckets = pdf["pbucket"].to_numpy(dtype=np.int64)
+    pos_list = pdf["pos_bytes"].tolist()
 
-    blocks = []
-    for s in range(0, n, BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, n)
-        b_docs = doc_ids[s:e]
-        b_sids = sids[s:e]
-        b_tfs = tfs[s:e]
-        b_dls = dls[s:e]
-        deltas = np.diff(b_docs, prepend=b_docs[0]).astype(np.uint32)  # first delta 0
-        # positions arrive already gap+varbyte encoded per posting (stage T);
-        # block pos stream = concatenation (decode layout unchanged)
-        pos_b = b"".join(pos_bytes[s:e])
-        tf_enc_vals = (b_tfs - 1).astype(np.uint32)  # tf-1 (ii.c:7446)
-        sid_vals = (b_sids - 1).astype(np.uint32)
+    gchange = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    g_starts = np.concatenate(([0], np.nonzero(gchange)[0] + 1))
+    g_ends = np.concatenate((g_starts[1:], [n]))
+    g_sizes = g_ends - g_starts
 
-        max_gap = int(deltas.max()) if deltas.size else 0
-        enc = 0
-        if encoding.choose_encoding(int(e - s), max_gap) == "pfor":
-            enc |= 1
-            doc_b = encoding.pfor_encode(deltas)
-        else:
-            doc_b = encoding.vb_encode(deltas)
-        if encoding.choose_encoding(int(e - s), int(tf_enc_vals.max()) if tf_enc_vals.size else 0) == "pfor":
-            enc |= 2
-            tf_b = encoding.pfor_encode(tf_enc_vals)
-        else:
-            tf_b = encoding.vb_encode(tf_enc_vals)
-        sid_b = encoding.vb_encode(sid_vals)
-        dl_b = encoding.vb_encode(b_dls.astype(np.uint32))
+    # block boundaries: every group start is a block start; further starts
+    # every BLOCK_SIZE rows within a group
+    goff = np.arange(n, dtype=np.int64) - np.repeat(g_starts, g_sizes)
+    bstart_mask = (goff % BLOCK_SIZE) == 0
+    b_starts = np.nonzero(bstart_mask)[0]
+    b_ends = np.concatenate((b_starts[1:], [n]))
+    blk_len = b_ends - b_starts
+    g_of_block = np.searchsorted(g_starts, b_starts, side="right") - 1
 
-        # block-max BM25 bound (WAND metadata; generalizes chunk_info.dgap)
-        tfc = b_tfs * (scoring.K1 + 1.0) / (
-            b_tfs + scoring.K1 * (1.0 - scoring.B + scoring.B * b_dls / np.array([avgdl_by_sid[int(x)] for x in b_sids]))
-        )
-        max_score = float(term_idf * tfc.max())
-        blocks.append(
+    # per-row streams (block-relative doc deltas: first delta of a block 0)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[b_starts] = 0
+    deltas = deltas.astype(np.uint32)
+    tf_enc = (tfs - 1).astype(np.uint32)  # tf-1 (ii.c:7446)
+    sid_enc = (sids - 1).astype(np.uint32)
+    dl_enc = dls.astype(np.uint32)
+
+    # per-block aggregates
+    max_delta = np.maximum.reduceat(deltas, b_starts)
+    max_tf_enc = np.maximum.reduceat(tf_enc, b_starts)
+    max_tf = np.maximum.reduceat(tfs, b_starts)
+
+    # df: broadcast value for heavy terms; counted in-group for light ones
+    # (sentinel -1 — every posting of a light term is in its single group)
+    newdoc = np.empty(n, dtype=np.int64)
+    newdoc[0] = 1
+    newdoc[1:] = (docs[1:] != docs[:-1]).astype(np.int64)
+    newdoc[g_starts] = 1
+    g_distinct = np.add.reduceat(newdoc, g_starts)
+    g_df = dfs[g_starts]
+    g_df = np.where(g_df < 0, g_distinct, g_df)
+
+    # block-max BM25 bound (WAND metadata; generalizes chunk_info.dgap)
+    g_idf = np.log(1.0 + (float(n_docs) - g_df + 0.5) / (g_df + 0.5))
+    max_sid = int(sids.max()) if n else 1
+    avgdl_arr = np.ones(max_sid + 1, dtype=np.float64)
+    for s, a in avgdl_by_sid.items():
+        if s <= max_sid:
+            avgdl_arr[s] = a
+    tfc = tfs * (scoring.K1 + 1.0) / (
+        tfs + scoring.K1 * (1.0 - scoring.B + scoring.B * dls / avgdl_arr[sids])
+    )
+    blk_max_score = g_idf[g_of_block] * np.maximum.reduceat(tfc, b_starts)
+
+    # PFoR choice per vector (choose_encoding: n>=16 and n > max>>8)
+    pfor_doc = (blk_len >= 16) & (blk_len > (max_delta.astype(np.int64) >> 8))
+    pfor_tf = (blk_len >= 16) & (blk_len > (max_tf_enc.astype(np.int64) >> 8))
+
+    # one vectorized varbyte pass per field, split per block
+    doc_vb = encoding.vb_encode_rows(deltas, blk_len)
+    tf_vb = encoding.vb_encode_rows(tf_enc, blk_len)
+    sid_vb = encoding.vb_encode_rows(sid_enc, blk_len)
+    dl_vb = encoding.vb_encode_rows(dl_enc, blk_len)
+
+    # per-block position-stream concat via one buffer + cumulative offsets
+    pos_lens = np.fromiter((len(b) for b in pos_list), dtype=np.int64, count=n)
+    pos_cum = np.concatenate(([0], np.cumsum(pos_lens)))
+    pos_all = b"".join(pos_list)
+
+    first_doc = docs[b_starts]
+    last_doc = docs[b_ends - 1]
+
+    # assembly (python-level only: dict construction for Arrow)
+    out: list[dict] = []
+    bi = 0
+    n_blocks = b_starts.size
+    for gi in range(g_starts.size):
+        ge = g_ends[gi]
+        blocks = []
+        while bi < n_blocks and b_starts[bi] < ge:
+            enc = 0
+            doc_b = doc_vb[bi]
+            if pfor_doc[bi]:
+                enc |= 1
+                doc_b = encoding.pfor_encode(deltas[b_starts[bi] : b_ends[bi]])
+            tf_b = tf_vb[bi]
+            if pfor_tf[bi]:
+                enc |= 2
+                tf_b = encoding.pfor_encode(tf_enc[b_starts[bi] : b_ends[bi]])
+            blocks.append(
+                {
+                    "first_doc_id": int(first_doc[bi]),
+                    "last_doc_id": int(last_doc[bi]),
+                    "n": int(blk_len[bi]),
+                    "enc": enc,
+                    "doc_deltas": bytes(doc_b),
+                    "sids": bytes(sid_vb[bi]),
+                    "tfs": bytes(tf_b),
+                    "dls": bytes(dl_vb[bi]),
+                    "pos_deltas": pos_all[pos_cum[b_starts[bi]] : pos_cum[b_ends[bi]]],
+                    "max_tf": int(max_tf[bi]),
+                    "max_score": float(blk_max_score[bi]),
+                }
+            )
+            bi += 1
+        out.append(
             {
-                "first_doc_id": int(b_docs[0]),
-                "last_doc_id": int(b_docs[-1]),
-                "n": int(e - s),
-                "enc": enc,
-                "doc_deltas": bytes(doc_b),
-                "sids": bytes(sid_b),
-                "tfs": bytes(tf_b),
-                "dls": bytes(dl_b),
-                "pos_deltas": bytes(pos_b),
-                "max_tf": int(b_tfs.max()),
-                "max_score": max_score,
+                "term": terms[g_starts[gi]],
+                "pbucket": int(pbuckets[g_starts[gi]]),
+                "bucket": int(salts[g_starts[gi]]),
+                "df": int(g_df[gi]),
+                "n_postings": int(g_sizes[gi]),
+                "blocks": blocks,
             }
         )
-    return {
-        "term": term,
-        "pbucket": pbucket,
-        "bucket": bucket,
-        "df": df_term,
-        "n_postings": int(n),
-        "blocks": blocks,
-    }
+    return out
 
 
 _TF_SCHEMA = StructType(
@@ -507,25 +558,6 @@ def encode_postings(
 
     def encode_iter(batches):
         carry: pd.DataFrame | None = None
-        out: list[dict] = []
-
-        def encode_span(pdf: pd.DataFrame, s: int, e: int):
-            out.append(
-                _encode_group(
-                    pdf["term"].iat[s],
-                    int(pdf["pbucket"].iat[s]),
-                    int(pdf["salt"].iat[s]),
-                    int(pdf["df"].iat[s]),
-                    pdf["doc_id"].to_numpy(dtype=np.int64)[s:e],
-                    pdf["sid"].to_numpy(dtype=np.int64)[s:e],
-                    pdf["tf"].to_numpy(dtype=np.int64)[s:e],
-                    pdf["dl"].to_numpy(dtype=np.int64)[s:e],
-                    pdf["pos_bytes"].iloc[s:e].tolist(),
-                    n_docs,
-                    avgdl_by_sid,
-                )
-            )
-
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -535,19 +567,19 @@ def encode_postings(
             terms = pdf["term"].to_numpy()
             salts = pdf["salt"].to_numpy()
             change = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(pdf)]))
+            if change.size == 0:
+                carry = pdf  # whole batch is one (possibly spanning) group
+                continue
             # hold back the final (possibly batch-spanning) group
-            for s, e in zip(starts[:-1], ends[:-1]):
-                encode_span(pdf, int(s), int(e))
-            carry = pdf.iloc[int(starts[-1]) :].reset_index(drop=True)
-            if len(out) >= 512:
-                yield pd.DataFrame(out)
-                out = []
+            last_start = int(change[-1])
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            rows = _encode_batch(pdf.iloc[:last_start], n_docs, avgdl_by_sid)
+            if rows:
+                yield pd.DataFrame(rows)
         if carry is not None and len(carry):
-            encode_span(carry, 0, len(carry))
-        if out:
-            yield pd.DataFrame(out)
+            rows = _encode_batch(carry, n_docs, avgdl_by_sid)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return part.mapInPandas(encode_iter, POSTINGS_SCHEMA)
 
