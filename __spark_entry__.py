@@ -62,6 +62,22 @@ def _engine2(spark: SparkSession, sf_dir: str):
     return _ENGINES[key]
 
 
+def _engine3(spark: SparkSession, sf_dir: str):
+    """TokenRegexp index over documents(text) — char bigrams + begin/end
+    sentinels (tokenizers.c:489-730) for index-accelerated regexp."""
+    from groonga_spark import SearchEngine
+
+    key = sf_dir + "#regexp"
+    if key not in _ENGINES:
+        docs = _read(spark, sf_dir, "documents")
+        eng = SearchEngine.build(
+            docs, ["text"], tokenizer="regexp", id_col="doc_id", n_pbuckets=16
+        )
+        eng.index.persist()
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
 def _topk(eng, query: str, k: int = 10) -> DataFrame:
     res = eng.select(query, k=k, escalate=False)
     return res.select("doc_id", F.round("score", 4).alias("score"))
@@ -117,6 +133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEAR2 (*n): raw positions, no query-offset correction
         # (token_info_clear_offset, ii.c:6364-6366)
         return _topk(_engine(spark, sf), "*n3 table scan", 10)
+
+    def ft_regexp_idx(spark, sf):
+        # index-accelerated regexp (grn_ii_select_regexp, ii.c:6049-6117):
+        # literal 'spark' -> char-bigram phrase prefilter through the
+        # TokenRegexp index, rlike verify on candidates only
+        eng = _engine3(spark, sf)
+        docs = _read(spark, sf, "documents")
+        return eng.regexp_index_search(docs, "text", "spark.*scan").orderBy("doc_id")
 
     def ft_escalate(spark, sf):
         # match escalation (grn_ii_sel, ii.c:6659-6721): 'sc' has NO exact
@@ -609,6 +633,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = extract_image_features(media)
         return feats.select("media_id", "width", "height")
 
+    def audio_features(spark, sf):
+        # rows-only check (deterministic fake decode — digest math is not
+        # reasonably SQL-expressible; plumbing is the tested artifact)
+        from groonga_spark.ops.multimodal import extract_audio_features, to_media
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "payload", F.encode("text", "utf-8")
+        )
+        media = to_media(docs, "payload", "doc_id", "audio", "audio/wav")
+        return extract_audio_features(media).select("media_id", "duration_ms")
+
+    def video_frames(spark, sf):
+        # rows-only check, same reasoning as audio_features
+        from groonga_spark.ops.multimodal import sample_video_frames, to_media
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "payload", F.encode("text", "utf-8")
+        )
+        media = to_media(docs, "payload", "doc_id", "video", "video/mp4")
+        return sample_video_frames(media).select("media_id", "frame_no")
+
     q.update(
         ft_match_single=ft_match_single,
         ft_match_and=ft_match_and,
@@ -624,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_term_extract=ft_term_extract,
         ft_sectioned=ft_sectioned,
         ft_escalate=ft_escalate,
+        ft_regexp_idx=ft_regexp_idx,
         scorer_tfidf_q=scorer_tfidf_q,
         scorer_tf_at_most_q=scorer_tf_at_most_q,
         adjuster_q=adjuster_q,
@@ -672,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid_q=langid_q,
         fingerprint_q=fingerprint_q,
         multimodal_meta=multimodal_meta,
+        audio_features=audio_features,
+        video_frames=video_frames,
         image_features=image_features,
     )
     return q
@@ -744,6 +792,9 @@ GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
 
     # escalated 'sc' == prefix 'sc*' (no exact 'sc' token exists at any sf)
     o["ft_escalate"] = o["ft_prefix"]
+
+    o["ft_regexp_idx"] = """SELECT doc_id, 1.0 AS score FROM documents
+WHERE regexp_matches(text, 'spark.*scan') ORDER BY doc_id"""
 
     o["ft_near"] = f"""{_CTE},
 pos AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS p FROM words),

@@ -13,15 +13,16 @@ Components measured:
     persisted; this is the engine every ft_* query then runs against.
   * ``corpus_build`` — same build over the synthetic source-code corpus
     (BASELINE.json input_hint shape, ``$SPARK_GRAFT_CORPUS_DOCS`` files,
-    default 20k) with the code tokenizer; extra key ``files_per_sec``
+    default 100k) with the code tokenizer; extra key ``files_per_sec``
     reports the authoritative build-throughput metric.
   * one timing per headline query (top-k BM25 through the index, set
     algebra, drilldown, dedup/similarity/textstats pipeline ops).
 
 Scaling-efficiency evidence (north rule: >=0.8 from N to 4N) is produced by
 ``python bench.py --scaling``, which re-runs this harness in subprocesses at
-local[8] and local[32] and prints both results plus the efficiency ratio —
-see BASELINE.md "Measurement protocol".
+N=local[4] and 4N=local[16] (interleaved, median of 3 — see run_scaling's
+docstring and BASELINE.md "Measurement protocol" for why) and prints both
+results plus the efficiency ratio.
 """
 
 from __future__ import annotations
@@ -66,16 +67,19 @@ def run_bench(sf_dir: str, cores: int, corpus_docs: int) -> dict:
 
     timings: dict[str, float] = {}
     total0 = time.perf_counter()
+    lean = os.environ.get("SPARK_GRAFT_LEAN") == "1"  # corpus build only
+    headline = [] if lean else HEADLINE
 
-    # -- index build over the sf documents table (engine for ft_* queries) --
-    t0 = time.perf_counter()
-    entry._ENGINES.pop(sf_dir, None)
-    entry._engine(spark, sf_dir)
-    timings["index_build_documents"] = round(time.perf_counter() - t0, 3)
+    if not lean:
+        # -- index build over the sf documents table (engine for ft_*) -----
+        t0 = time.perf_counter()
+        entry._ENGINES.pop(sf_dir, None)
+        entry._engine(spark, sf_dir)
+        timings["index_build_documents"] = round(time.perf_counter() - t0, 3)
 
     # -- headline queries ----------------------------------------------------
     qs = entry.queries()
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -112,42 +116,116 @@ def run_bench(sf_dir: str, cores: int, corpus_docs: int) -> dict:
         "corpus_files": n_files,
         "corpus_gen_sec": round(gen_s, 3),
         "files_per_sec": files_per_sec,
-        "query_total_sec": round(sum(timings[n] for n in HEADLINE), 3),
+        "query_total_sec": round(sum(timings[n] for n in headline), 3) or None,
     }
 
 
 def run_scaling(sf_dir: str, corpus_docs: int) -> None:
-    """Same job at local[8] (N) and local[32] (4N); prints both JSON results
-    plus scaling efficiency on build throughput."""
-    results = {}
-    for cores in (8, 32):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cores),
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            SPARK_GRAFT_CORPUS_DOCS=str(corpus_docs),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-    n, n4 = results[8], results[32]
-    eff_build = (n4["files_per_sec"] / n["files_per_sec"]) / 4.0
-    thr_q_n = len(HEADLINE) / n["query_total_sec"]
-    thr_q_4n = len(HEADLINE) / n4["query_total_sec"]
+    """Same job at N and 4N cores; prints per-level results plus scaling
+    efficiency on build throughput.
+
+    Methodology (BASELINE.md "Measurement protocol"):
+    - N=local[4] -> 4N=local[16] by default
+      (``SPARK_GRAFT_SCALE_CORES=lo,hi`` overrides).  This sandbox is a
+      shared VM: a hardware-ceiling experiment (independent python
+      processes running the tokenize kernel, NO Spark) measures only ~0.63
+      efficiency from 8 to 32 procs — per-process work inflates ~48% when
+      all 32 vCPUs are busy (hypervisor steal / SMT / memory bandwidth).
+      4 -> 16 stays below that saturation knee (~0.83 hardware ceiling),
+      so it measures OUR job's scaling rather than the host's throttling.
+    - Levels are interleaved (lo,hi,lo,hi,...) for ``SPARK_GRAFT_SCALE_REPS``
+      rounds (default 3) and the per-level MEDIAN build throughput is used:
+      single-shot wall times on this VM vary >60% run-to-run with
+      neighbor load.
+    """
+    lo, hi = (
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")
+    )
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for cores in (lo, hi):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cores),
+                SPARK_GRAFT_SF_DIR=sf_dir,
+                SPARK_GRAFT_CORPUS_DOCS=str(corpus_docs),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            runs[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
+
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    fps_lo = med([r["files_per_sec"] for r in runs[lo]])
+    fps_hi = med([r["files_per_sec"] for r in runs[hi]])
+    q_lo = q_hi = None
+    if runs[lo][0].get("query_total_sec"):
+        q_lo = round(med([len(HEADLINE) / r["query_total_sec"] for r in runs[lo]]), 3)
+        q_hi = round(med([len(HEADLINE) / r["query_total_sec"] for r in runs[hi]]), 3)
+    eff_build = (fps_hi / fps_lo) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency N(local[8]) -> 4N(local[32])",
+                "metric": f"scaling efficiency N(local[{lo}]) -> 4N(local[{hi}])",
                 "value": round(eff_build, 4),
                 "unit": "efficiency",
-                "build_files_per_sec": {"N": n["files_per_sec"], "4N": n4["files_per_sec"]},
-                "query_qps": {"N": round(thr_q_n, 3), "4N": round(thr_q_4n, 3)},
-                "runs": results,
+                "build_files_per_sec": {"N": fps_lo, "4N": fps_hi},
+                "query_qps": {"N": q_lo, "4N": q_hi},
+                "reps": reps,
+                "all_files_per_sec": {
+                    str(c): [r["files_per_sec"] for r in runs[c]] for c in (lo, hi)
+                },
+                "runs": {str(c): runs[c][-1] for c in (lo, hi)},
+            }
+        )
+    )
+
+
+def run_ceiling() -> None:
+    """Measure the SANDBOX's parallel-scaling ceiling with plain python
+    processes (no Spark, no shared state): each process runs the tokenize
+    kernel on its own in-memory docs.  If N independent processes don't
+    scale, no Spark job on this host can — this bounds what any
+    --scaling measurement can show and justifies the N=4 -> 4N=16 choice.
+    """
+    import subprocess
+
+    worker = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "from groonga_spark.corpus import doc_row; "
+        "from groonga_spark.tokenize import tokenize_batch; "
+        "docs=[doc_row(i)[4] for i in range(4000)]; "
+        "t0=time.perf_counter(); "
+        "[tokenize_batch(docs, 'code') for _ in range(5)]; "
+        "print(time.perf_counter()-t0)"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    for nproc in (1, 4, 8, 16, 32):
+        ps = [
+            subprocess.Popen([sys.executable, "-c", worker], stdout=subprocess.PIPE)
+            for _ in range(nproc)
+        ]
+        times = [float(p.communicate()[0]) for p in ps]
+        out[str(nproc)] = round(nproc * 20000 / max(times), 0)
+    e_8_32 = out["32"] / out["8"] / 4
+    e_4_16 = out["16"] / out["4"] / 4
+    print(
+        json.dumps(
+            {
+                "metric": "hardware scaling ceiling (independent processes, no Spark)",
+                "agg_docs_per_sec": out,
+                "ceiling_eff_4_to_16": round(e_4_16, 3),
+                "ceiling_eff_8_to_32": round(e_8_32, 3),
             }
         )
     )
@@ -156,9 +234,12 @@ def run_scaling(sf_dir: str, corpus_docs: int) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    corpus_docs = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "20000"))
+    corpus_docs = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "100000"))
     if "--scaling" in sys.argv:
         run_scaling(sf_dir, corpus_docs)
+        return
+    if "--ceiling" in sys.argv:
+        run_ceiling()
         return
     print(json.dumps(run_bench(sf_dir, cores, corpus_docs)))
 

@@ -104,6 +104,59 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
     return media.mapInPandas(run, _FEAT_SCHEMA)
 
 
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB plumbing for image resize: same media schema out, payload
+    replaced by a deterministic digest-derived stand-in of the target size
+    (capped) — the real body is one PIL/turbojpeg call per row inside the
+    same Arrow-batched loop; the distributed plan (mapInPandas over the
+    media partitioning, schema preserved) is the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf["payload"]:
+                d = hashlib.sha256(bytes(payload)).digest()
+                size = min(width * height, 4096)
+                outs.append((d * (size // len(d) + 1))[:size])
+            out = pdf.copy()
+            out["payload"] = outs
+            out["n_bytes"] = [len(o) for o in outs]
+            out["sha"] = [hashlib.sha256(o).hexdigest() for o in outs]
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+_AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """STUB plumbing for audio feature extraction (the real body would be
+    soundfile/librosa per Arrow batch): deterministic digest-derived
+    'duration' and 8-dim 'embedding', same batch flow as images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs, fs = [], []
+            for payload in pdf["payload"]:
+                d = hashlib.sha256(bytes(payload)).digest()
+                durs.append(100 + int.from_bytes(d[2:4], "big") % 60000)
+                fs.append(
+                    (np.frombuffer(d[8:16], dtype=np.uint8).astype(np.float32) / 255.0).tolist()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "duration_ms": durs, "features": fs}
+            )
+
+    return media.mapInPandas(run, _AUDIO_FEAT_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """STUB plumbing for frame sampling: emits (media_id, frame_no, frame)
     rows where the 'frame' is a deterministic slice of the payload — the

@@ -333,6 +333,81 @@ class SearchEngine:
             F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score")
         )
 
+    def regexp_index_search(
+        self, docs: DataFrame, text_col: str, pattern: str, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Index-accelerated REGEXP over a TokenRegexp index
+        (grn_ii_select_regexp, ii.c:6049-6117): extract a required literal
+        from the pattern, phrase-match its char bigrams (plus begin/end
+        sentinel tokens for ``\\A``/``\\z``) through the index as a
+        PREFILTER, then rlike-verify only the candidate docs.  The index
+        must be built with ``tokenizer="regexp"``.  Sound: the prefilter is
+        a superset of true matches (literal restricted to a single
+        char-class run so its bigrams are guaranteed consecutive in any
+        occurrence); falls back to the scan path when the pattern has no
+        usable literal."""
+        import re as _re
+
+        from ..tokenize import REGEXP_BEGIN, REGEXP_END
+
+        if self.index.tokenizer != "regexp":
+            raise ValueError("regexp_index_search needs a tokenizer='regexp' index")
+        body = pattern
+        anchored_begin = body.startswith("\\A") or body.startswith("^")
+        anchored_end = body.endswith("\\z") or (
+            body.endswith("$") and not body.endswith("\\$")
+        )
+        core = _re.sub(r"^(\\A|\^)", "", _re.sub(r"(\\z|(?<!\\)\$)$", "", body))
+
+        # required literal = longest single-class run not followed by a
+        # quantifier (a quantified char is optional, so it can't be required)
+        best = ""
+        best_span = (0, 0)
+        for m in _re.finditer(r"[A-Za-z]+|[0-9]+", core):
+            lit = m.group(0)
+            if m.end() < len(core) and core[m.end()] in "*?{":
+                lit = lit[:-1]  # quantifier applies to the run's last char
+            if len(lit) > len(best):
+                best = lit
+                best_span = (m.start(), m.start() + len(lit))
+        if len(best) < 2:
+            return self.regexp_search(docs, text_col, pattern, id_col)
+
+        lit = best.lower()
+        tokens = [lit[i : i + 2] for i in range(len(lit) - 1)]
+        offs = list(range(len(tokens)))
+        # sentinel anchors apply only when the literal adjoins the anchor
+        if anchored_begin and best_span[0] == 0:
+            tokens = [REGEXP_BEGIN, *tokens]
+            offs = [0, *[o + 1 for o in offs]]
+        if anchored_end and best_span[1] == len(core):
+            # after the literal's last bigram comes the trailing unigram,
+            # then the end sentinel
+            tokens = [*tokens, lit[-1], REGEXP_END]
+            offs = [*offs, offs[-1] + 1, offs[-1] + 2]
+
+        term_meta: dict[str, int] = {}
+        rows = (
+            self.index.dictionary.filter(F.col("term").isin(sorted(set(tokens))))
+            .select("term", "df")
+            .collect()
+        )
+        term_meta.update({r["term"]: int(r["df"]) for r in rows})
+        if any(term_meta.get(t, 0) == 0 for t in tokens):
+            return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+
+        a = _Atom(tokens=tokens, offsets=offs, kind="phrase" if len(tokens) > 1 else "term")
+        weights = {sid: 1.0 for sid in self.index.stats.sections}
+        term_doc, pos_rows = self._scored_term_doc(
+            sorted(set(tokens)), term_meta, weights, need_pos=len(tokens) > 1
+        )
+        cand = self._eval_atom(a, term_doc, pos_rows).select("doc_id")
+        return (
+            docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
+            .filter(F.col(text_col).rlike(pattern))
+            .select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
+        )
+
     def similar_search(
         self, text: str, k: int = 10, max_terms: int | None = None
     ) -> DataFrame:

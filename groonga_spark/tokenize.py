@@ -72,7 +72,13 @@ _NGRAM_VARIANTS: dict[str, tuple[int, tuple, bool]] = {
     ),
 }
 
-ALL_TOKENIZERS = ("delimit", "delimit_null", "code", *_NGRAM_VARIANTS)
+ALL_TOKENIZERS = ("delimit", "delimit_null", "code", "regexp", *_NGRAM_VARIANTS)
+
+# TokenRegexp sentinels (tokenizers.c:489-730): a begin mark before the
+# first content token and an end mark after the last, so \A / \z anchors
+# become ordinary phrase tokens over the regexp index
+REGEXP_BEGIN = "\x02"
+REGEXP_END = "\x03"
 
 
 def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[list[str], list[int]]]:
@@ -81,6 +87,17 @@ def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[lis
         return [_delimit(t) for t in texts]
     if mode == "delimit_null":  # TokenDelimitNull (tokenizers.c:236)
         return [_delimit(t, "\x00") for t in texts]
+    if mode == "regexp":
+        # TokenRegexp = char bigrams over EVERY class (uni_* all off) plus
+        # begin/end sentinel tokens — the lexicon shape grn_ii_select_regexp
+        # (ii.c:6049-6117) phrase-matches extracted literals against
+        base = tokenize_batch(texts, "bigram_split_symbol_alpha_digit")
+        out = []
+        for terms, poss in base:
+            t = [REGEXP_BEGIN, *terms, REGEXP_END]
+            p = [0, *[x + 1 for x in poss], (poss[-1] + 2) if poss else 1]
+            out.append((t, p))
+        return out
     if mode != "code" and mode not in _NGRAM_VARIANTS:
         raise ValueError(f"unknown tokenizer {mode!r}")
     out: list[tuple[list[str], list[int]]] = []

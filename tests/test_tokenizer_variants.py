@@ -55,8 +55,23 @@ class TestVariants:
         assert poss == list(range(len(terms)))
 
     def test_registry_has_all_reference_variants(self):
-        # 10 ngram tokenizers + delimit ×2 + the code tokenizer
-        assert len(ALL_TOKENIZERS) == 13
+        # 10 ngram tokenizers + delimit ×2 + code + TokenRegexp
+        assert len(ALL_TOKENIZERS) == 14
+
+    def test_regexp_sentinels(self):
+        from groonga_spark.tokenize import REGEXP_BEGIN, REGEXP_END
+
+        terms, poss = __import__("groonga_spark.tokenize", fromlist=["x"]).tokenize_batch(
+            ["ab cd"], "regexp"
+        )[0]
+        assert terms[0] == REGEXP_BEGIN and terms[-1] == REGEXP_END
+        assert terms[1:-1] == ["ab", "b", "cd", "d"]
+        assert poss == [0, 1, 2, 3, 4, 5]
+        # empty text still carries both sentinels
+        t2, p2 = __import__("groonga_spark.tokenize", fromlist=["x"]).tokenize_batch(
+            [""], "regexp"
+        )[0]
+        assert t2 == [REGEXP_BEGIN, REGEXP_END] and p2 == [0, 1]
 
     def test_batch_mixed_ascii_unicode(self):
         res = tokenize_batch(["abc", "日本 ab"], "bigram_split_symbol_alpha")
