@@ -436,9 +436,20 @@ def tf_stage(
     return tf, doclens
 
 
-def collect_stats(df: DataFrame, doclens: DataFrame, text_cols: list[str]) -> IndexStats:
+def collect_stats(
+    df: DataFrame, doclens: DataFrame, text_cols: list[str], tf: DataFrame | None = None
+) -> IndexStats:
+    """Σ tokens per section + n_docs.  When ``tf`` is given the sums come
+    from it directly (partial-agg collapses to one row per section per
+    partition — no doc-level shuffle), leaving ``doclens`` LAZY: the build
+    hot path then never materializes the 1-row-per-(doc,section) frame at
+    all; consumers that need it (engine persist, checkpoint write) compute
+    it on first use."""
     n_docs = df.count()
-    sec_rows = doclens.groupBy("sid").agg(F.sum("dl").alias("total")).collect()
+    if tf is not None:
+        sec_rows = tf.groupBy("sid").agg(F.sum("tf").alias("total")).collect()
+    else:
+        sec_rows = doclens.groupBy("sid").agg(F.sum("dl").alias("total")).collect()
     section_tokens = {int(r["sid"]): int(r["total"]) for r in sec_rows}
     return IndexStats(
         n_docs=int(n_docs),
@@ -604,7 +615,7 @@ def build_index(
     if cache_tf:
         tf = tf.persist()
         doclens = doclens.persist()
-    stats = collect_stats(df, doclens, text_cols)
+    stats = collect_stats(df, doclens, text_cols, tf=tf if cache_tf else None)
     avgdl_by_sid = {sid: stats.avgdl(sid) for sid in stats.section_tokens}
     dictionary = make_dictionary(tf)
     tf2 = salted_tf(
