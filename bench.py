@@ -79,6 +79,10 @@ def run_bench(sf_dir: str, cores: int, corpus_docs: int) -> dict:
 
     # -- headline queries ----------------------------------------------------
     qs = entry.queries()
+    if headline:
+        # warmup: one untimed engine query so the first timed entry doesn't
+        # absorb one-off session costs (python-worker spawn, first broadcast)
+        qs[headline[0]](spark, sf_dir).count()
     for name in headline:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
