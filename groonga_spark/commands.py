@@ -46,6 +46,14 @@ class CommandContext:
     def _read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table))
 
+    def _invalidate(self, table: str) -> None:
+        """After a mutation: drop the cached SearchEngine (its stats are
+        snapshotted at build time) and Spark's file-index/footer cache for
+        the rewritten path (same directory, new files — a stale
+        InMemoryFileIndex would list deleted part files)."""
+        self._engines.pop(table, None)
+        self.spark.catalog.refreshByPath(self._path(table))
+
     def table_list(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.db_path)
@@ -90,6 +98,7 @@ class CommandContext:
             os.rename(tmp, path)
         else:
             new.write.mode("overwrite").parquet(path)
+        self._invalidate(table)
         return n
 
     # -- delete (proc.c:6859) ----------------------------------------------
@@ -117,6 +126,7 @@ class CommandContext:
         n_after = self.spark.read.parquet(tmp).count()
         shutil.rmtree(path)
         os.rename(tmp, path)
+        self._invalidate(table)
         return n_before - n_after
 
     # -- truncate (proc.c:6882) --------------------------------------------
@@ -128,6 +138,7 @@ class CommandContext:
         df.limit(0).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
+        self._invalidate(table)
 
     # -- dump (proc.c:6868) ------------------------------------------------
     def dump(self, table: str) -> DataFrame:

@@ -138,6 +138,26 @@ class TestCommands:
         keys = [r["_key"] for r in res["records"].collect()]
         assert set(keys) == {"d1", "d3"}
 
+    def test_select_query_engine_invalidated_on_load(self, ctx, spark):
+        # load/delete/truncate must drop the cached SearchEngine: stats
+        # (n_docs, df) are snapshotted at build time and the lazy lineage
+        # would re-read the rewritten parquet directory (ADVICE r1)
+        docs = [
+            {"doc_id": 1, "_key": "d1", "text": "merge sort partition tree"},
+            {"doc_id": 2, "_key": "d2", "text": "hash join build probe"},
+        ]
+        ctx.load("docs2", docs)
+        res1 = ctx.select("docs2", query="merge", text_cols=["text"])
+        assert res1["n_hits"] == 1
+        ctx.load(
+            "docs2", [{"doc_id": 3, "_key": "d3", "text": "merge join order"}]
+        )
+        res2 = ctx.select("docs2", query="merge", text_cols=["text"])
+        assert res2["n_hits"] == 2
+        ctx.delete("docs2", key="d1")
+        res3 = ctx.select("docs2", query="merge", text_cols=["text"])
+        assert res3["n_hits"] == 1
+
     def test_format_output(self, ctx):
         ctx.load("t", self.ROWS)
         res = ctx.select("t", filter='lang == "c"', output_columns="_key,size")
