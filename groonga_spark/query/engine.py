@@ -359,19 +359,10 @@ class SearchEngine:
         )
         core = _re.sub(r"^(\\A|\^)", "", _re.sub(r"(\\z|(?<!\\)\$)$", "", body))
 
-        # required literal = longest single-class run not followed by a
-        # quantifier (a quantified char is optional, so it can't be required)
-        best = ""
-        best_span = (0, 0)
-        for m in _re.finditer(r"[A-Za-z]+|[0-9]+", core):
-            lit = m.group(0)
-            if m.end() < len(core) and core[m.end()] in "*?{":
-                lit = lit[:-1]  # quantifier applies to the run's last char
-            if len(lit) > len(best):
-                best = lit
-                best_span = (m.start(), m.start() + len(lit))
-        if len(best) < 2:
+        req = _required_literal(core)
+        if req is None:
             return self.regexp_search(docs, text_col, pattern, id_col)
+        best, best_span = req
 
         lit = best.lower()
         tokens = [lit[i : i + 2] for i in range(len(lit) - 1)]
@@ -707,6 +698,113 @@ def _est_df(node) -> int:
     if isinstance(node, qp.Not):
         return _est_df(node.positive)
     return 1 << 60
+
+
+def _required_literal(core: str) -> tuple[str, tuple[int, int]] | None:
+    """Longest literal run PROVABLY required by every match of ``core``
+    (soundness gate for the bigram index prefilter — a false 'required'
+    literal silently drops true matches).  Conservative scanner:
+
+    * only top-level alphanumeric runs count — characters inside ``[...]``
+      classes or ``(...)`` groups are skipped (a class is an alternative;
+      a group may be alternated or quantified away);
+    * a top-level ``|`` means NOTHING is required → None (scan fallback);
+    * a char immediately after ``\\`` is an escape, never a literal
+      (``foo\\dbar`` requires 'foo' and 'bar', not 'dbar');
+    * ``* ? {`` quantifiers make the preceding char optional → drop it from
+      the run (``+`` and ``{1,...}``-style minimums still require one
+      occurrence, but only ``+`` is provably min>=1 without parsing the
+      brace body, so ``{`` conservatively drops too; ``+`` keeps the char
+      but ends the run — ``ab+c`` requires 'ab' and 'c' consecutively
+      within themselves, not 'abc').
+
+    Returns (literal, (start, end)) with the span in ``core`` coordinates
+    (used for begin/end-anchor adjacency), or None when no literal of
+    length >= 2 survives.  Mirrors the reference's restraint: Groonga only
+    index-accelerates patterns that are plain literals
+    (grn_ii_select_regexp, ii.c:6049-6117)."""
+    runs: list[tuple[int, int, str]] = []
+    cur: list[str] = []
+    cur_start: int | None = None
+
+    def flush(end: int) -> None:
+        nonlocal cur, cur_start
+        if cur_start is not None and cur:
+            runs.append((cur_start, end, "".join(cur)))
+        cur, cur_start = [], None
+
+    i, n = 0, len(core)
+    depth = 0
+    in_class = False
+    while i < n:
+        c = core[i]
+        if in_class:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "\\":
+            flush(i)
+            i += 2
+            continue
+        if c == "[":
+            flush(i)
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            flush(i)
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            flush(i)
+            depth = max(0, depth - 1)
+            i += 1
+            continue
+        if c == "|":
+            if depth == 0:
+                return None  # top-level alternation: nothing is required
+            i += 1
+            continue
+        if depth > 0:
+            i += 1
+            continue
+        if c in "*?{":
+            if cur:
+                cur.pop()  # quantifier makes the preceding char optional
+            flush(i - 1 if cur_start is not None else i)
+            if c == "{":  # skip the brace body ({2,3} digits aren't literals)
+                j = core.find("}", i + 1)
+                i = (j + 1) if j >= 0 else n
+            else:
+                i += 1
+            continue
+        if c == "+":
+            flush(i)  # char stays required; run ends (repetition follows)
+            i += 1
+            continue
+        if c.isalnum() and c.isascii():
+            # single char-CLASS runs only (alpha xor digit): the TokenRegexp
+            # lexicon splits runs by class, so a cross-class bigram like
+            # 'b1' in 'ab1' never exists in the index
+            if cur and cur[-1].isdigit() != c.isdigit():
+                flush(i)
+            if cur_start is None:
+                cur_start = i
+            cur.append(c)
+            i += 1
+            continue
+        flush(i)  # any other metachar/punct ends the run
+        i += 1
+    flush(n)
+    best = max(runs, key=lambda r: len(r[2]), default=None)
+    if best is None or len(best[2]) < 2:
+        return None
+    return best[2], (best[0], best[0] + len(best[2]))
 
 
 def _near_window(lists: list[list[int]], max_iv: int) -> bool:
