@@ -202,6 +202,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("doc_id", F.round("score", 4).alias("score"))
 
+    # ---- query-syntax column operators (expr.c:5722-5826, get_op 5493) ----
+    def q_col_eq(spark, sf):
+        # lang:en AND spark — scalar EQUAL atom scores 1.0, summed with BM25
+        return _topk(_engine(spark, sf), "lang:en spark", 10)
+
+    def q_col_ne(spark, sf):
+        return _topk(_engine(spark, sf), "lang:!en spark", 10)
+
+    def q_col_range(spark, sf):
+        # colop-only query: n_chars:>=200 && n_chars:<400 (no fulltext term)
+        return _topk(_engine(spark, sf), "n_chars:>=200 n_chars:<400", 20)
+
+    def q_col_at(spark, sf):
+        # text:@spark — indexed section MATCH, BM25-identical to bare term
+        return _topk(_engine(spark, sf), "text:@spark", 10)
+
+    def q_col_prefix(spark, sf):
+        # source:^src1 — unindexed column → startswith scan, score 1.0
+        return _topk(_engine(spark, sf), "source:^src1", 20)
+
+    def q_col_suffix(spark, sf):
+        # text:$er — indexed section → reversed-term range scan + BM25 sum
+        return _topk(_engine(spark, sf), "text:$er", 10)
+
+    def q_col_regexp(spark, sf):
+        # text:~re — regexp scan fallback (score 1.0 per matching doc)
+        return _topk(_engine(spark, sf), "text:~sc[a-z]n", 10)
+
+    # ---- query pragmas (*D / *W / *S / *T / *E, expr.c:5592-5639) ---------
+    def q_pragma_dor(spark, sf):
+        # *DOR: space-separated words OR-combine
+        return _topk(_engine(spark, sf), "*DOR filter slow", 10)
+
+    def q_pragma_weights(spark, sf):
+        # *W1:2,2 == match_columns 'source * 2 || text' on the sectioned
+        # index — weights by section NUMBER through query syntax
+        return _topk(_engine2(spark, sf), "*W1:2,2 src1 spark", 10)
+
+    def q_pragma_similar(spark, sf):
+        # *S routes the rest of the query to similar-search
+        # (max_terms = (n_uniq >> 3) + 1 = 1 here: the rarest term)
+        return _topk(_engine(spark, sf), '*S"dup key fast line the spark"', 10)
+
+    def q_pragma_term_extract(spark, sf):
+        # *T: lexicon terms occurring in the text → OR-match their docs
+        return _topk(_engine(spark, sf), "*T spark zzznotaword scan batch", 10)
+
+    def ft_escalate_partial(spark, sf):
+        # full escalation chain: EXACT ('fas' AND 'zq' → 0) → UNSPLIT
+        # ('fas zq' as one key → 0) → PARTIAL (fas* OR zq* → fast docs)
+        eng = _engine(spark, sf)
+        return _topk_df(eng.select("fas zq", k=10, escalate=True))
+
+    def ft_escalate_threshold(spark, sf):
+        # *E threshold > n_hits: UNSPLIT accumulates spark* expansions ON
+        # TOP of the exact hits (GRN_OP_OR score sum, not replacement)
+        eng = _engine(spark, sf)
+        return _topk_df(eng.select("*E1000000 spark", k=10, escalate=True))
+
+    def lexicon_lcp_q(spark, sf):
+        # LCP key lookup (GRN_OP_LCP, db.c:2641-2741): longest dictionary
+        # term that is a prefix of 'sparkling'
+        return _engine(spark, sf).lcp_search("sparkling")
+
     # ---- pluggable scorers + adjuster (§2.3, §2.12) -----------------------
     def scorer_tfidf_q(spark, sf):
         eng = _engine(spark, sf)
@@ -455,6 +519,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edit_distance(F.col("n_name"), F.lit("NATION_1")).cast("long").alias("dist"),
         )
 
+    def filter_sub_filter_q(spark, sf):
+        # sub_filter as a --filter SCRIPT function (func_sub_filter,
+        # proc.c:5269): membership semi-join through the declared reference
+        from groonga_spark.query.script import parse_filter_plan
+
+        cust = _read(spark, sf, "customer")
+        orders = _read(spark, sf, "orders")
+        out = parse_filter_plan(
+            'sub_filter(c_custkey, "o_totalprice > 400000") && c_acctbal > 0.0',
+            cust,
+            id_col="c_custkey",
+            refs={"c_custkey": (orders, "o_custkey")},
+        )
+        return out.select("c_custkey", "c_name")
+
+    def filter_query_fn_q(spark, sf):
+        # query() as a --filter SCRIPT function (func_query, proc.c:5138):
+        # fulltext match composed with a scalar predicate in one filter
+        from groonga_spark.query.script import parse_filter_plan
+
+        docs = _read(spark, sf, "documents")
+        eng = _engine(spark, sf)
+        out = parse_filter_plan(
+            'query("text", "filter -slow") && n_chars > 300',
+            docs,
+            id_col="doc_id",
+            engine=eng,
+        )
+        return out.select("doc_id", "n_chars")
+
     def sub_filter_orders(spark, sf):
         cust = _read(spark, sf, "customer")
         orders = _read(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
@@ -670,6 +764,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_sectioned=ft_sectioned,
         ft_escalate=ft_escalate,
         ft_regexp_idx=ft_regexp_idx,
+        q_col_eq=q_col_eq,
+        q_col_ne=q_col_ne,
+        q_col_range=q_col_range,
+        q_col_at=q_col_at,
+        q_col_prefix=q_col_prefix,
+        q_col_suffix=q_col_suffix,
+        q_col_regexp=q_col_regexp,
+        q_pragma_dor=q_pragma_dor,
+        q_pragma_weights=q_pragma_weights,
+        q_pragma_similar=q_pragma_similar,
+        q_pragma_term_extract=q_pragma_term_extract,
+        ft_escalate_partial=ft_escalate_partial,
+        ft_escalate_threshold=ft_escalate_threshold,
+        lexicon_lcp_q=lexicon_lcp_q,
         scorer_tfidf_q=scorer_tfidf_q,
         scorer_tf_at_most_q=scorer_tf_at_most_q,
         adjuster_q=adjuster_q,
@@ -696,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cmd_select_q=cmd_select_q,
         in_values_nation=in_values_nation,
         edit_distance_nation=edit_distance_nation,
+        filter_sub_filter_q=filter_sub_filter_q,
+        filter_query_fn_q=filter_query_fn_q,
         sub_filter_orders=sub_filter_orders,
         ref_deref=ref_deref,
         highlight=highlight,
@@ -795,6 +905,63 @@ GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
 
     o["ft_regexp_idx"] = """SELECT doc_id, 1.0 AS score FROM documents
 WHERE regexp_matches(text, 'spark.*scan') ORDER BY doc_id"""
+
+    o["q_col_eq"] = f"""{_CTE}
+SELECT b.doc_id, round(b.s + 1.0, 4) AS score
+FROM bm b JOIN documents d ON b.doc_id = d.doc_id
+WHERE b.term = 'spark' AND d.lang = 'en'
+ORDER BY b.s + 1.0 DESC, b.doc_id LIMIT 10"""
+
+    o["q_col_ne"] = f"""{_CTE}
+SELECT b.doc_id, round(b.s + 1.0, 4) AS score
+FROM bm b JOIN documents d ON b.doc_id = d.doc_id
+WHERE b.term = 'spark' AND d.lang <> 'en'
+ORDER BY b.s + 1.0 DESC, b.doc_id LIMIT 10"""
+
+    o["q_col_range"] = """SELECT doc_id, 2.0 AS score FROM documents
+WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id LIMIT 20"""
+
+    o["q_col_at"] = o["ft_match_single"]
+
+    o["q_col_prefix"] = """SELECT doc_id, 1.0 AS score FROM documents
+WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 20"""
+
+    o["q_col_regexp"] = """SELECT doc_id, 1.0 AS score FROM documents
+WHERE regexp_matches(text, 'sc[a-z]n') ORDER BY doc_id LIMIT 10"""
+
+    o["q_pragma_dor"] = o["ft_match_or"]
+
+    o["q_pragma_similar"] = f"""{_CTE},
+sel AS (SELECT term FROM dft
+        WHERE term IN ('dup', 'key', 'fast', 'line', 'the', 'spark')
+        ORDER BY df, term LIMIT 1)
+SELECT doc_id, round(sum(s), 4) AS score FROM bm JOIN sel USING (term)
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["q_pragma_term_extract"] = f"""{_CTE},
+sel AS (SELECT term FROM dft
+        WHERE term IN ('spark', 'zzznotaword', 'scan', 'batch'))
+SELECT doc_id, round(sum(s), 4) AS score FROM bm JOIN sel USING (term)
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_escalate_partial"] = f"""{_CTE}
+SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term LIKE 'fas%'
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["ft_escalate_threshold"] = f"""{_CTE},
+base AS (SELECT doc_id, s FROM bm WHERE term = 'spark'),
+exp AS (SELECT doc_id, sum(s) AS se FROM bm WHERE term LIKE 'spark%'
+        GROUP BY doc_id)
+SELECT coalesce(base.doc_id, exp.doc_id) AS doc_id,
+       round(coalesce(base.s, 0) + coalesce(exp.se, 0), 4) AS score
+FROM base FULL OUTER JOIN exp ON base.doc_id = exp.doc_id
+ORDER BY coalesce(base.s, 0) + coalesce(exp.se, 0) DESC,
+         coalesce(base.doc_id, exp.doc_id) LIMIT 10"""
+
+    o["lexicon_lcp_q"] = f"""{_CTE}
+SELECT term, df FROM dft
+WHERE term = substr('sparkling', 1, len(term))
+ORDER BY len(term) DESC, term LIMIT 1"""
 
     o["ft_near"] = f"""{_CTE},
 pos AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS p FROM words),
@@ -945,6 +1112,16 @@ levenshtein(n_name, 'NATION_1')::BIGINT AS dist FROM nation"""
     o["sub_filter_orders"] = """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"""
 
+    o["filter_sub_filter_q"] = """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+AND c_acctbal > 0.0"""
+
+    o["filter_query_fn_q"] = f"""{_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.n_chars > 300
+AND d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'filter')
+AND d.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow')"""
+
     o["ref_deref"] = """SELECT n.n_name, count(*)::BIGINT AS n_orders,
 round(sum(o.o_totalprice), 2) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -964,6 +1141,9 @@ FROM bm b JOIN s USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
 WHERE b.term = 'spark'
 ORDER BY 2.0 * ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) + b.s DESC,
          b.doc_id LIMIT 10"""
+
+    # *W1:2,2 by section number == match_columns 'source * 2 || text'
+    o["q_pragma_weights"] = o["ft_sectioned"]
 
     o["snippet_q"] = """SELECT doc_id,
 replace(substr(text, greatest(1, strpos(text, 'spark') - 20), 45),
@@ -1073,6 +1253,9 @@ FROM s"""
     o["multimodal_meta"] = """SELECT doc_id AS media_id, 'image' AS kind,
 'text/plain' AS mime, octet_length(text::BLOB)::BIGINT AS n_bytes,
 sha256(text) AS sha FROM documents"""
+
+    # text:$er through query syntax == the suffix-search API
+    o["q_col_suffix"] = o["ft_suffix"]
 
     # ann_lsh_topk, lsh_neardup_q, ivf_topk_q, fingerprint_q, image_features:
     # engine-specific (seeded hyperplanes / IVF cells / rolling hash / fake

@@ -15,12 +15,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .query.script import parse_filter
+from .query.script import parse_filter, parse_filter_plan
+
+_SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(")
 
 
 class CommandContext:
@@ -36,6 +39,18 @@ class CommandContext:
         self.db_path = db_path
         os.makedirs(db_path, exist_ok=True)
         self._engines: dict[str, object] = {}
+        # table → {local_col: (foreign_table, foreign_key)} — the Groonga
+        # reference-column schema made explicit (parquet has no FK metadata)
+        self._refs: dict[str, dict[str, tuple[str, str]]] = {}
+
+    def set_reference(
+        self, table: str, local_col: str, foreign_table: str, foreign_key: str
+    ) -> None:
+        """Declare ``table.local_col`` as a reference into
+        ``foreign_table.foreign_key`` — the schema information Groonga's
+        reference columns carry implicitly (db.c column types).  Enables
+        ``sub_filter(local_col, "expr")`` in ``--filter``."""
+        self._refs.setdefault(table, {})[local_col] = (foreign_table, foreign_key)
 
     # -- table io ----------------------------------------------------------
     def _path(self, table: str) -> str:
@@ -147,6 +162,20 @@ class CommandContext:
         Writing it back via ``load`` round-trips the table."""
         return self._read(table)
 
+    def _get_engine(self, table, df, text_cols, tokenizer, id_col):
+        eng = self._engines.get(table)
+        if eng is None:
+            from .query.engine import SearchEngine
+
+            cols = text_cols or [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() == "string" and f.name != id_col
+            ]
+            eng = SearchEngine.build(df, cols, tokenizer=tokenizer, id_col=id_col)
+            self._engines[table] = eng
+        return eng
+
     # -- select (grn_select, proc.c:1087) ------------------------------------
     def select(
         self,
@@ -167,28 +196,59 @@ class CommandContext:
         engine, --filter via the script compiler, then sort/offset/limit,
         optional drilldowns.  Returns ``{"n_hits", "records", "drilldowns"}``
         with records as a DataFrame (serialize with :func:`format_output`).
+
+        ``n_hits`` is the TOTAL match count (the reference select's first
+        output element), never capped by the page size.  Negative offset /
+        limit wrap against it per ``grn_normalize_offset_and_limit``:
+        offset -5 = 5th-from-last record, limit -1 = everything remaining.
         """
         df = self._read(table)
+        # a negative offset/limit (or a post-match --filter) needs the FULL
+        # match set — the engine's top-k page can't serve it
+        need_full = filter is not None or offset < 0 or limit < 0
         if query is not None:
-            eng = self._engines.get(table)
-            if eng is None:
-                from .query.engine import SearchEngine
-
-                cols = text_cols or [
-                    f.name
-                    for f in df.schema.fields
-                    if f.dataType.typeName() == "string" and f.name != id_col
-                ]
-                eng = SearchEngine.build(df, cols, tokenizer=tokenizer, id_col=id_col)
-                self._engines[table] = eng
-            hits = eng.select(query, match_columns, k=offset + max(limit, 0) or 10)
+            eng = self._get_engine(table, df, text_cols, tokenizer, id_col)
+            topk, n_ft = eng.select_with_count(
+                query,
+                match_columns,
+                k=max(offset, 0) + max(limit, 0) or 10,
+                need_full=need_full,
+            )
+            hits = eng.last_scored if need_full else topk
             df = df.join(hits.withColumnRenamed("doc_id", id_col), id_col)
             if sortby is None:
                 sortby = "-_score"
         if filter is not None:
-            df = df.filter(parse_filter(filter))
+            if _SELECTOR_RE.search(filter):
+                # plan-level selectors: sub_filter membership joins resolve
+                # through the registered references; query() runs the
+                # fulltext engine for this table
+                refs = {
+                    lc: (self._read(ft), fk)
+                    for lc, (ft, fk) in self._refs.get(table, {}).items()
+                }
+                f_eng = (
+                    self._get_engine(table, df, text_cols, tokenizer, id_col)
+                    if re.search(r"\bquery\s*\(", filter)
+                    else self._engines.get(table)
+                )
+                df = parse_filter_plan(
+                    filter, df, id_col=id_col, engine=f_eng, refs=refs
+                )
+            else:
+                df = df.filter(parse_filter(filter))
 
-        n_hits = df.count()
+        if query is not None and not need_full:
+            n_hits = n_ft  # exact total from the engine's single evaluation
+        else:
+            n_hits = df.count()
+
+        # grn_normalize_offset_and_limit (reference lib/util.c): negative
+        # values wrap against the hit count; out-of-range clamps to empty
+        if offset < 0:
+            offset = max(n_hits + offset, 0)
+        if limit < 0:
+            limit = max(n_hits + limit + 1 - offset, 0)
 
         if sortby:
             keys = []

@@ -61,16 +61,52 @@ class _Atom:
     est_df: int = 0
 
 
+MAX_BROADCAST_DOCS = 500_000  # (doc_id, score) rows ≈ 16 B each → ≤ 8 MB
+
+
 class SearchEngine:
     def __init__(self, index: InvertedIndex):
         self.index = index
         self._n_pbuckets = None
+        self.docs: DataFrame | None = None
+        self.id_col: str = "doc_id"
+        # set by select_with_count: the FULL scored (doc_id, score) frame of
+        # the last query (persisted) and its exact hit count — callers that
+        # need to post-filter the complete match set (select --query +
+        # --filter) read last_scored instead of re-running the match
+        self.last_scored: DataFrame | None = None
+        self.last_n_hits: int = 0
+        self._persisted: list[DataFrame] = []
+
+    def _clear_cache(self) -> None:
+        """Release the previous query's persisted frames (called once at
+        the start of each select)."""
+        for old in self._persisted:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        self._persisted = []
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        """Persist a scored frame for the duration of one query (count +
+        top-k + caller page read share one evaluation); released by the
+        next query's :meth:`_clear_cache`."""
+        df = df.persist()
+        self._persisted.append(df)
+        return df
 
     @classmethod
     def build(cls, df: DataFrame, text_cols: list[str], tokenizer: str = "bigram", **kw):
         from ..index.build import build_index
 
-        return cls(build_index(df, text_cols, tokenizer=tokenizer, **kw))
+        eng = cls(build_index(df, text_cols, tokenizer=tokenizer, **kw))
+        # column-operator atoms (column:<v, column:@sub, ...) on unindexed
+        # columns evaluate as scans over the source frame; engines loaded
+        # from a checkpoint can attach one via `eng.docs = df`
+        eng.docs = df
+        eng.id_col = kw.get("id_col", "doc_id")
+        return eng
 
     # -- query tokenization (GET mode) ------------------------------------
     def _get_tokens(self, text: str) -> tuple[list[str], list[int]]:
@@ -158,9 +194,26 @@ class SearchEngine:
             if neg is None:
                 return pos
             return qp.Not(pos, neg)
+        if isinstance(node, qp.ColumnOp):
+            # evaluated standalone in _eval_colop — resolves its own terms
+            # (indexed section match/prefix/suffix) or scans the source
+            # frame (scalar comparisons, unindexed columns)
+            return node
         raise TypeError(node)
 
     # -- main entry ----------------------------------------------------------
+    def _resolve_weights(self, match_columns: str | None) -> dict[int, float]:
+        idx = self.index
+        if match_columns is None:
+            return {sid: 1.0 for sid in idx.stats.sections}
+        col_to_sid = {c: sid for sid, c in idx.stats.sections.items()}
+        weights: dict[int, float] = {}
+        for col, w in qp.parse_match_columns(match_columns):
+            if col not in col_to_sid:
+                raise ValueError(f"{col} is not an indexed section")
+            weights[col_to_sid[col]] = w
+        return weights
+
     def select(
         self,
         query: str,
@@ -170,6 +223,7 @@ class SearchEngine:
         prune: bool = True,
         scorer: str = "bm25",
         adjuster: list[tuple[str, float]] | None = None,
+        escalation_threshold: int = 0,
     ) -> DataFrame:
         """Returns (doc_id, score) top-k, rank-identical ordering.
 
@@ -183,22 +237,85 @@ class SearchEngine:
         ``adjuster`` mirrors ``--adjuster 'col @ "term" * factor'``
         (GRN_OP_ADJUST res_add variant, ii.c:5677-5683): after the main
         match, score += factor·tf(term) for result docs containing term.
+
+        ``escalation_threshold`` mirrors the reference's match-escalation
+        hit threshold (grn_ii_sel, ii.c:6659-6721; default 0 per
+        configure.ac:434): looser levels run while hits <= threshold.
         """
+        out, _ = self.select_with_count(
+            query,
+            match_columns,
+            k=k,
+            escalate=escalate,
+            prune=prune,
+            scorer=scorer,
+            adjuster=adjuster,
+            escalation_threshold=escalation_threshold,
+            count_hits=False,
+        )
+        return out
+
+    def select_with_count(
+        self,
+        query: str,
+        match_columns: str | None = None,
+        k: int = 10,
+        escalate: bool = True,
+        prune: bool = True,
+        scorer: str = "bm25",
+        adjuster: list[tuple[str, float]] | None = None,
+        escalation_threshold: int = 0,
+        need_full: bool = False,
+        count_hits: bool = True,
+    ) -> tuple[DataFrame, int]:
+        """Like :meth:`select` but also returns the exact TOTAL hit count
+        (the reference select's first output element) from the SAME
+        evaluation — the scored frame is persisted, counted once, and the
+        top-k is taken from the cache, so the query runs exactly one time
+        (r1 ran it up to 3×: escalation probe + n_hits recount + page).
+
+        ``need_full=True`` additionally guarantees ``self.last_scored`` is
+        the complete scored match set (disables block-max pruning, whose
+        output is only the top-k candidate superset).
+
+        ``count_hits=False`` (the plain :meth:`select` path) skips the
+        count job when nothing needs it — escalation still forces a count
+        because the threshold decision is exact; the returned count is -1
+        for "not computed"."""
         idx = self.index
         spark = idx.dictionary.sparkSession
-        ast = qp.parse_query(query)
+        self._clear_cache()
+        ast, prag = qp.parse_query_ex(query)
+        if prag.escalation_threshold is not None:
+            escalation_threshold = prag.escalation_threshold
+
+        # *S / *T mode pragmas route the whole query to similar-search /
+        # term-extract-match (expr.c:5592-5639 → ii.c:5836-6048)
+        if prag.mode is not None:
+            if prag.mode == "similar":
+                frame = self._similar_frame(prag.text)
+            else:
+                frame = self._term_extract_frame(prag.text)
+            frame = self._persist(frame)
+            n_hits = frame.count()
+            self.last_scored, self.last_n_hits = frame, n_hits
+            out = (
+                frame.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", "score")
+            )
+            return out, n_hits
+
         atoms: list[_Atom] = []
         plan = self._compile_atoms(ast, atoms)
-
-        if match_columns is None:
-            weights = {sid: 1.0 for sid in idx.stats.sections}
+        if prag.weights is not None:
+            # *W<sid>[:w] overrides match weights by section number
+            bad = [s for s in prag.weights if s not in idx.stats.sections]
+            if bad:
+                raise ValueError(f"*W names unknown sections {bad}")
+            weights = dict(prag.weights)
         else:
-            col_to_sid = {c: sid for sid, c in idx.stats.sections.items()}
-            weights = {}
-            for col, w in qp.parse_match_columns(match_columns):
-                if col not in col_to_sid:
-                    raise ValueError(f"{col} is not an indexed section")
-                weights[col_to_sid[col]] = w
+            weights = self._resolve_weights(match_columns)
 
         # resolve prefix expansions + per-term df on the driver (tiny)
         exact_terms = sorted({t for a in atoms for t in a.tokens if a.kind != "prefix"})
@@ -227,46 +344,79 @@ class SearchEngine:
         all_terms = sorted(
             {t for a in atoms for t in (a.expansions if a.kind == "prefix" else a.tokens)}
         )
-        if not all_terms or all(term_meta.get(t, 0) == 0 for t in all_terms):
-            empty = spark.createDataFrame([], "doc_id long, score double")
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        has_colop = _has_colop(plan)
+        if (not all_terms or all(term_meta.get(t, 0) == 0 for t in all_terms)) and (
+            not has_colop
+        ):
+            self.last_scored, self.last_n_hits = empty, 0
             if escalate:
-                return self._escalated(query, match_columns, k)
-            return empty
+                return self._escalated(
+                    _strip_pragmas(query),
+                    match_columns,
+                    k,
+                    scorer,
+                    escalation_threshold,
+                )
+            return empty, 0
 
         need_pos = any(a.kind in ("phrase", "near") for a in atoms)
-        term_doc, pos_rows = self._scored_term_doc(
-            all_terms, term_meta, weights, need_pos, scorer
-        )
 
         # single simple-term query → block-max two-phase pruning.
         # Only sound when exactly ONE section is matched: then each doc has
         # at most one posting for the term, so a block's max_score (scaled
         # by the section weight) upper-bounds every doc score inside it.
         # With multiple sections a doc's score sums across blocks and
-        # per-block bounds no longer bound the total.
+        # per-block bounds no longer bound the total.  The exact hit count
+        # comes from the dictionary: a single-section index has one posting
+        # per matching doc, so n_hits == df — no extra job.
         if (
             prune
+            and not need_full
+            and (not escalate or escalation_threshold == 0)
             and scorer == "bm25"
             and adjuster is None
             and isinstance(plan, _Atom)
             and plan.kind == "term"
             and not need_pos
             and len(weights) == 1
+            and len(idx.stats.sections) == 1
         ):
-            result = self._single_term_topk(plan.tokens[0], term_meta, weights, k)
+            result = self._persist(
+                self._single_term_topk(plan.tokens[0], term_meta, weights, k)
+            )
+            n_hits = term_meta.get(plan.tokens[0], 0)
         else:
+            term_doc, pos_rows = self._scored_term_doc(
+                all_terms, term_meta, weights, need_pos, scorer
+            )
             result = self._eval(plan, term_doc, pos_rows, term_meta)
-        if adjuster:
-            result = self._apply_adjuster(result, adjuster)
+            if adjuster:
+                result = self._apply_adjuster(result, adjuster)
+            if count_hits or escalate or need_full:
+                result = self._persist(result)
+            if count_hits or escalate:
+                n_hits = result.count()
+            else:
+                n_hits = -1  # not computed — nothing downstream needs it
+
+        self.last_scored, self.last_n_hits = result, n_hits
         out = (
             result.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score")
         )
-        if escalate:
-            if out.limit(1).count() == 0:
-                return self._escalated(query, match_columns, k)
-        return out
+        if escalate and n_hits <= escalation_threshold:
+            return self._escalated(
+                _strip_pragmas(query),
+                match_columns,
+                k,
+                scorer,
+                escalation_threshold,
+                base=result,
+                base_n=n_hits,
+            )
+        return out, n_hits
 
     def _apply_adjuster(self, result: DataFrame, adjuster) -> DataFrame:
         """GRN_OP_ADJUST (ii.c:5677-5683): score += factor·tf for result
@@ -294,25 +444,9 @@ class SearchEngine:
         dictionary via the reversed-term column (prefix predicate on rterm —
         a range scan, not a full dict scan), then OR the expansions' postings
         with BM25-summed scores."""
-        idx = self.index
-        rsfx = suffix[::-1]
-        rows = (
-            idx.dictionary.filter(F.col("rterm").startswith(rsfx))
-            .select("term", "df")
-            .orderBy(F.desc("df"))
-            .limit(MAX_EXPANSIONS)
-            .collect()
-        )
-        terms = [r["term"] for r in rows]
-        if not terms:
-            return idx.dictionary.sparkSession.createDataFrame(
-                [], "doc_id long, score double"
-            )
-        weights = {sid: 1.0 for sid in idx.stats.sections}
-        term_doc, _ = self._scored_term_doc(terms, {}, weights, False, "bm25")
+        weights = {sid: 1.0 for sid in self.index.stats.sections}
         return (
-            term_doc.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+            self._suffix_frame(suffix, weights)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score")
@@ -408,34 +542,27 @@ class SearchEngine:
         determinism), OR their postings.  Pinned scorer: summed BM25 of the
         selected terms (the reference's w1·w2·(tf+weight) default scorer is
         pluggable; we pin BM25 engine-wide)."""
-        idx = self.index
-        terms, _ = self._get_tokens(text)
-        uniq = sorted(set(terms))
-        if not uniq:
-            return idx.dictionary.sparkSession.createDataFrame(
-                [], "doc_id long, score double"
-            )
-        m = max_terms if max_terms is not None else (len(uniq) >> 3) + 1
-        rows = (
-            idx.dictionary.filter(F.col("term").isin(uniq))
-            .select("term", "df")
-            .orderBy(F.asc("df"), F.asc("term"))
-            .limit(m)
-            .collect()
-        )
-        sel = [r["term"] for r in rows]
-        if not sel:
-            return idx.dictionary.sparkSession.createDataFrame(
-                [], "doc_id long, score double"
-            )
-        weights = {sid: 1.0 for sid in idx.stats.sections}
-        term_doc, _ = self._scored_term_doc(sel, {}, weights, False, "bm25")
         return (
-            term_doc.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+            self._similar_frame(text, max_terms)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score")
+        )
+
+    def lcp_search(self, key: str) -> DataFrame:
+        """LCP key lookup (grn_table_search GRN_OP_LCP → grn_pat_lcp_search,
+        reference lib/db.c:2641-2741, lib/pat.c:968): the dictionary term
+        that is the LONGEST prefix of ``key``.  A distributed filter
+        ``term == substr(key, 1, len(term))`` + top-1 by key length — the
+        lexicon is never collected."""
+        esc = key.replace("\\", "\\\\").replace("'", "\\'")
+        return (
+            self.index.dictionary.filter(
+                F.col("term") == F.expr(f"substr('{esc}', 1, length(term))")
+            )
+            .orderBy(F.length("term").desc(), F.col("term").asc())
+            .limit(1)
+            .select("term", "df")
         )
 
     def term_extract(self, text: str) -> DataFrame:
@@ -454,19 +581,108 @@ class SearchEngine:
             .select("term", "df")
         )
 
-    def _escalated(self, query: str, match_columns, k: int) -> DataFrame:
-        """Match escalation (ii.c:6700-6717): re-run single-word queries as
-        prefix (EXACT → UNSPLIT/PARTIAL analogue). One level only."""
+    def _escalated(
+        self,
+        query: str,
+        match_columns,
+        k: int,
+        scorer: str = "bm25",
+        threshold: int = 0,
+        base: DataFrame | None = None,
+        base_n: int = 0,
+    ) -> tuple[DataFrame, int]:
+        """Match escalation chain (grn_ii_sel, reference ii.c:6659-6721):
+        after EXACT, looser levels run while the accumulated hit count is
+        <= threshold, each level's results OR-merged (score sum) into the
+        set — the reference accumulates with GRN_OP_OR, it does not replace.
+
+        * Level UNSPLIT (token_info_build via GRN_OP_UNSPLIT): the WHOLE
+          normalized query string as a single lexicon key, prefix-expanded
+          over the dictionary (pat prefix cursor) — catches queries the
+          tokenizer split into non-existent tokens whose joined form is a
+          dictionary term or term prefix.
+        * Level PARTIAL (GRN_OP_PARTIAL): every query word prefix-expanded
+          independently, OR-combined.
+
+        Only plain term queries escalate (phrase/group/prefix/negation
+        syntax is the user being explicit — same restraint as r1)."""
+        from ..normalize import normalize as _norm
+
         spark = self.index.dictionary.sparkSession
-        words = query.split()
-        if len(words) == 1 and not query.endswith("*") and '"' not in query:
-            try:
-                return self.select(
-                    query + "*", match_columns, k, escalate=False, prune=False
-                )
-            except qp.QueryParseError:
-                pass
-        return spark.createDataFrame([], "doc_id long, score double")
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        cur = base if base is not None else empty
+        n = base_n
+
+        def _finish(frame: DataFrame, count: int) -> tuple[DataFrame, int]:
+            self.last_scored, self.last_n_hits = frame, count
+            out = (
+                frame.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", "score")
+            )
+            return out, count
+
+        if any(ch in query for ch in '"()*-:') or " OR " in f" {query} ":
+            return _finish(cur, n)
+        weights = self._resolve_weights(match_columns)
+        words = [w for w in _norm(query).split() if w]
+        if not words:
+            return _finish(cur, n)
+
+        # -- UNSPLIT: whole normalized query as one key, prefix-expanded --
+        key = " ".join(words)
+        lvl = self._prefix_expansion_frame(key, weights, scorer)
+        if lvl is not None:
+            cur = self._persist(self._or_merge(cur, lvl))
+            n = cur.count()
+            if n > threshold:
+                return _finish(cur, n)
+
+        # -- PARTIAL: per-word prefix expansions, OR-combined --------------
+        if len(words) > 1:
+            for w in words:
+                lvl = self._prefix_expansion_frame(w, weights, scorer)
+                if lvl is not None:
+                    cur = self._or_merge(cur, lvl)
+            cur = self._persist(cur)
+            n = cur.count()
+        return _finish(cur, n)
+
+    def _prefix_expansion_frame(
+        self, prefix: str, weights, scorer: str = "bm25"
+    ) -> DataFrame | None:
+        """Sum-scored (doc_id, score) over all dictionary terms with the
+        given prefix (expansion capped at MAX_EXPANSIONS by df desc), or
+        None when no term matches."""
+        idx = self.index
+        rows = (
+            idx.dictionary.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"))
+            .limit(MAX_EXPANSIONS)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return None
+        term_doc, _ = self._scored_term_doc(terms, {}, weights, False, scorer)
+        return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    @staticmethod
+    def _or_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        """GRN_OP_OR result-set accumulation (db.c:3896-4007): union of doc
+        sets, scores summed."""
+        return (
+            a.withColumnRenamed("score", "_sa")
+            .join(b.withColumnRenamed("score", "_sb"), "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("_sa"), F.lit(0.0))
+                    + F.coalesce(F.col("_sb"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
 
     # -- decoded + scored rows --------------------------------------------
     def _filtered_blocks(self, terms: list[str], term_meta: dict[str, int]):
@@ -530,16 +746,32 @@ class SearchEngine:
     def _eval(self, node, term_doc, pos_rows, term_meta) -> DataFrame:
         if isinstance(node, _Atom):
             return self._eval_atom(node, term_doc, pos_rows)
+        if isinstance(node, qp.ColumnOp):
+            return self._eval_colop(node)
         if isinstance(node, qp.And):
             children = sorted(node.children, key=_est_df)
             out = self._eval(children[0], term_doc, pos_rows, term_meta)
+            out_est = _est_df(children[0])
             for c in children[1:]:
                 nxt = self._eval(c, term_doc, pos_rows, term_meta).withColumnRenamed(
                     "score", "_s2"
                 )
-                out = out.join(nxt, "doc_id").withColumn(
+                # the running intersection is bounded by the rarest child's
+                # df, which the planner knows from the dictionary — hint a
+                # broadcast when either side is provably small, replacing
+                # the SortMergeJoin's two exchanges (Catalyst can't infer
+                # these sizes through the decode UDF)
+                c_est = _est_df(c)
+                if out_est <= MAX_BROADCAST_DOCS and out_est <= c_est:
+                    joined = F.broadcast(out).join(nxt, "doc_id")
+                elif c_est <= MAX_BROADCAST_DOCS:
+                    joined = out.join(F.broadcast(nxt), "doc_id")
+                else:
+                    joined = out.join(nxt, "doc_id")
+                out = joined.withColumn(
                     "score", F.col("score") + F.col("_s2")
                 ).drop("_s2")
+                out_est = min(out_est, c_est)
             return out
         if isinstance(node, qp.Or):
             out = self._eval(node.children[0], term_doc, pos_rows, term_meta)
@@ -559,8 +791,12 @@ class SearchEngine:
             return out
         if isinstance(node, qp.Not):
             pos = self._eval(node.positive, term_doc, pos_rows, term_meta)
-            neg = self._eval(node.negative, term_doc, pos_rows, term_meta)
-            return pos.join(neg.select("doc_id"), "doc_id", "left_anti")
+            neg = self._eval(node.negative, term_doc, pos_rows, term_meta).select(
+                "doc_id"
+            )
+            if _est_df(node.negative) <= MAX_BROADCAST_DOCS:
+                neg = F.broadcast(neg)
+            return pos.join(neg, "doc_id", "left_anti")
         raise TypeError(node)
 
     def _eval_atom(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
@@ -579,6 +815,136 @@ class SearchEngine:
         if a.kind == "near":
             return self._eval_near(a, term_doc, pos_rows)
         raise ValueError(a.kind)
+
+    def _eval_colop(self, c: qp.ColumnOp) -> DataFrame:
+        """``column:value`` atom → (doc_id, score) frame.
+
+        Wiring per the r1 verdict: ``^`` → lexicon prefix expansion,
+        ``$`` → reversed-term suffix range scan, ``~`` → regexp scan
+        fallback, ``@`` → indexed section match; scalar comparisons and
+        any operator on an unindexed column filter the source frame —
+        Catalyst pushes those predicates into the parquet scan.  Filter
+        atoms score 1.0 per matching record (the scan path's behavior,
+        operator.c:904-930); indexed match/prefix/suffix keep BM25."""
+        col_to_sid = {col: sid for sid, col in self.index.stats.sections.items()}
+        sid = col_to_sid.get(c.column)
+
+        if c.op in ("match", "prefix", "suffix") and sid is not None:
+            weights = {sid: 1.0}
+            if c.op == "match":
+                terms, offs = self._get_tokens(c.value)
+                if not terms:
+                    return self._empty_frame()
+                term_doc, pos_rows = self._scored_term_doc(
+                    sorted(set(terms)), {}, weights, need_pos=len(terms) > 1
+                )
+                kind = "phrase" if len(terms) > 1 else "term"
+                a = _Atom(tokens=terms, offsets=offs, kind=kind)
+                return self._eval_atom(a, term_doc, pos_rows)
+            if c.op == "prefix":
+                frame = self._prefix_expansion_frame(c.value.lower(), weights)
+                return frame if frame is not None else self._empty_frame()
+            # suffix: reversed-term range scan restricted to the section
+            return self._suffix_frame(c.value.lower(), weights)
+
+        docs = self.docs
+        if docs is None:
+            raise ValueError(
+                f"column operator on {c.column!r} needs the source frame; "
+                "set engine.docs after loading from a checkpoint"
+            )
+        col = F.col(c.column)
+        if c.op in ("equal", "not_equal", "less", "greater", "less_equal", "greater_equal"):
+            val = c.value if c.quoted else _coerce(c.value)
+            cond = {
+                "equal": col == val,
+                "not_equal": col != val,
+                "less": col < val,
+                "greater": col > val,
+                "less_equal": col <= val,
+                "greater_equal": col >= val,
+            }[c.op]
+        elif c.op == "match":  # unindexed substring scan (operator.c:904)
+            cond = col.contains(c.value)
+        elif c.op == "prefix":
+            cond = col.startswith(c.value)
+        elif c.op == "suffix":
+            cond = col.endswith(c.value)
+        elif c.op == "regexp":
+            # regexp stays a scan even on indexed columns: only a
+            # TokenRegexp lexicon can index-accelerate it soundly
+            # (regexp_index_search is that path)
+            cond = col.rlike(c.value)
+        else:
+            raise ValueError(c.op)
+        return docs.filter(F.coalesce(cond, F.lit(False))).select(
+            F.col(self.id_col).alias("doc_id"), F.lit(1.0).alias("score")
+        )
+
+    def _empty_frame(self) -> DataFrame:
+        return self.index.dictionary.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
+    def _suffix_frame(self, suffix: str, weights) -> DataFrame:
+        """Full (doc_id, score) frame for a suffix search — reversed-term
+        prefix range scan over the dictionary (pat.c:1023 SIS analogue)."""
+        idx = self.index
+        rows = (
+            idx.dictionary.filter(F.col("rterm").startswith(suffix[::-1]))
+            .select("term", "df")
+            .orderBy(F.desc("df"))
+            .limit(MAX_EXPANSIONS)
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return self._empty_frame()
+        term_doc, _ = self._scored_term_doc(terms, {}, weights, False, "bm25")
+        return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _similar_frame(self, text: str, max_terms: int | None = None) -> DataFrame:
+        """Full scored frame of SIMILAR search (grn_ii_similar_search,
+        ii.c:5836-5960) — the *S pragma body and similar_search share it."""
+        idx = self.index
+        terms, _ = self._get_tokens(text)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self._empty_frame()
+        m = max_terms if max_terms is not None else (len(uniq) >> 3) + 1
+        rows = (
+            idx.dictionary.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(m)
+            .collect()
+        )
+        sel = [r["term"] for r in rows]
+        if not sel:
+            return self._empty_frame()
+        weights = {sid: 1.0 for sid in idx.stats.sections}
+        term_doc, _ = self._scored_term_doc(sel, {}, weights, False, "bm25")
+        return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _term_extract_frame(self, text: str) -> DataFrame:
+        """*T pragma: extract lexicon terms occurring in the text
+        (grn_ii_term_extract, ii.c:5965-6048), then OR-match the docs
+        containing them, scores summed."""
+        terms, _ = self._get_tokens(text)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self._empty_frame()
+        rows = (
+            self.index.dictionary.filter(F.col("term").isin(uniq))
+            .select("term")
+            .collect()
+        )
+        found = [r["term"] for r in rows]
+        if not found:
+            return self._empty_frame()
+        weights = {sid: 1.0 for sid in self.index.stats.sections}
+        term_doc, _ = self._scored_term_doc(found, {}, weights, False, "bm25")
+        return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def _phrase_candidates(self, a: _Atom, pos_rows) -> DataFrame:
         """(doc_id) where the token sequence occurs at consecutive offsets in
@@ -697,7 +1063,45 @@ def _est_df(node) -> int:
         return sum(_est_df(c) for c in node.children)
     if isinstance(node, qp.Not):
         return _est_df(node.positive)
-    return 1 << 60
+    return 1 << 60  # ColumnOp scans: cardinality unknown → join last
+
+
+def _strip_pragmas(q: str) -> str:
+    """Drop leading *E/*D/*W pragma words so the escalation chain sees the
+    query BODY (*N stays — it's body syntax; *S/*T never escalate)."""
+    words = q.split()
+    i = 0
+    while (
+        i < len(words)
+        and len(words[i]) > 1
+        and words[i][0] == "*"
+        and words[i][1] in "EDW"
+    ):
+        i += 1
+    return " ".join(words[i:])
+
+
+def _has_colop(node) -> bool:
+    if isinstance(node, qp.ColumnOp):
+        return True
+    if isinstance(node, (qp.And, qp.Or)):
+        return any(_has_colop(c) for c in node.children)
+    if isinstance(node, qp.Not):
+        return _has_colop(node.positive) or _has_colop(node.negative)
+    return False
+
+
+def _coerce(value: str):
+    """Unquoted column-op literal → int/float when it looks numeric
+    (Groonga casts by column type; Catalyst's coercion does the rest)."""
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        return value
 
 
 def _required_literal(core: str) -> tuple[str, tuple[int, int]] | None:

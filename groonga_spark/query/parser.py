@@ -1,4 +1,4 @@
-"""Groonga query-syntax parser (subset).
+"""Groonga query-syntax parser.
 
 Re-implements the published grammar of Groonga's ``--query`` syntax
 (reference ``lib/expr.c:5832`` parse_query, ``get_word_`` expr.c:5722-5826,
@@ -7,9 +7,26 @@ combines alternatives, ``-term`` negates, ``"..."`` is a positional phrase,
 ``( )`` groups, a trailing ``*`` asks for prefix expansion
 (GRN_QUERY_PREFIX, groonga.h:1067).  ``*N<k>`` prefix pragma selects NEAR
 mode with max_interval k (expr.c:5592-5639).
+
+Column operators (``get_word_`` expr.c:5722-5826 → ``get_op``
+expr.c:5493-5538): a word of the form ``column:value`` applies an operator
+to a named column instead of the default match —
+
+    ``column:value``   EQUAL          ``column:!value``  NOT EQUAL
+    ``column:<v``      LESS           ``column:>v``      GREATER
+    ``column:<=v``     LESS-EQUAL     ``column:>=v``     GREATER-EQUAL
+    ``column:@sub``    MATCH          ``column:^pfx``    PREFIX
+    ``column:$sfx``    SUFFIX         ``column:~re``     REGEXP
+
+Leading pragmas (expr.c:5592-5639): ``*E<n>`` escalation threshold,
+``*D+ / *DOR / *D-`` default operator for space-separated words,
+``*W<sid>[:w],...`` section weights, ``*S"text"`` similar search,
+``*T"text"`` term-extract — exposed through :func:`parse_query_ex`.
 """
 
 from __future__ import annotations
+
+import re
 
 from dataclasses import dataclass, field
 
@@ -50,6 +67,27 @@ class Not:
     negative: object = None
 
 
+@dataclass
+class ColumnOp:
+    """``column:value`` word (get_word_ expr.c:5722-5826)."""
+
+    column: str
+    op: str  # equal|not_equal|less|greater|less_equal|greater_equal|match|prefix|suffix|regexp
+    value: str
+    quoted: bool = False  # quoted value → never numeric-coerced
+
+
+@dataclass
+class Pragmas:
+    """Leading ``*X`` pragmas (expr.c:5592-5639)."""
+
+    escalation_threshold: int | None = None  # *E<n>
+    default_op: str = "and"  # *D+ / *DOR / *D-  → and | or | and_not
+    weights: dict[int, float] | None = None  # *W<sid>[:w],...
+    mode: str | None = None  # *S → "similar", *T → "term_extract"
+    text: str | None = None  # the rest of the query for *S / *T
+
+
 class QueryParseError(ValueError):
     pass
 
@@ -81,10 +119,21 @@ def _lex(q: str) -> list[tuple[str, str]]:
             toks.append(("PLUS", c))
             i += 1
         else:
+            # a word may embed a quoted span (column:@"multi word") — the
+            # quotes travel with the word and parse_primary strips them
             j = i
-            while j < n and not q[j].isspace() and q[j] not in '()"':
-                j += 1
-            w = q[i:j]
+            parts: list[str] = []
+            while j < n and not q[j].isspace() and q[j] not in "()":
+                if q[j] == '"':
+                    k = q.find('"', j + 1)
+                    if k < 0:
+                        raise QueryParseError(f"unterminated quote in {q!r}")
+                    parts.append(q[j : k + 1])
+                    j = k + 1
+                else:
+                    parts.append(q[j])
+                    j += 1
+            w = "".join(parts)
             if w == "OR":
                 toks.append(("OR", w))
             else:
@@ -93,10 +142,45 @@ def _lex(q: str) -> list[tuple[str, str]]:
     return toks
 
 
+_COLOP_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*):(.+)$", re.DOTALL)
+
+# operator symbol → name, longest-first (get_op, expr.c:5493-5538)
+_COLOP_SYMS = (
+    ("<=", "less_equal"),
+    (">=", "greater_equal"),
+    ("<", "less"),
+    (">", "greater"),
+    ("!", "not_equal"),
+    ("@", "match"),
+    ("^", "prefix"),
+    ("$", "suffix"),
+    ("~", "regexp"),
+)
+
+
+def _parse_colop(word: str) -> ColumnOp | None:
+    m = _COLOP_RE.match(word)
+    if not m:
+        return None
+    col, rest = m.groups()
+    op, value = "equal", rest
+    for sym, name in _COLOP_SYMS:
+        if rest.startswith(sym):
+            op, value = name, rest[len(sym) :]
+            break
+    quoted = len(value) >= 2 and value[0] == '"' and value[-1] == '"'
+    if quoted:
+        value = value[1:-1]
+    if not value:
+        return None  # 'col:' with no value is a plain term
+    return ColumnOp(col, op, value, quoted=quoted)
+
+
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]]):
+    def __init__(self, toks: list[tuple[str, str]], default_op: str = "and"):
         self.toks = toks
         self.i = 0
+        self.default_op = default_op
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("EOF", "")
@@ -129,7 +213,16 @@ class _Parser:
             (neg if negate else pos).append(node)
         if not pos:
             raise QueryParseError("query has no positive clause")
-        positive = pos[0] if len(pos) == 1 else And(pos)
+        # *D pragma: the operator joining space-separated words
+        # (expr.c:5592-5639 — *D+ AND, *DOR OR, *D- AND_NOT)
+        if self.default_op == "or":
+            positive = pos[0] if len(pos) == 1 else Or(pos)
+        elif self.default_op == "and_not":
+            positive = pos[0]
+            for p in pos[1:]:
+                positive = Not(positive, p)
+        else:
+            positive = pos[0] if len(pos) == 1 else And(pos)
         for n in neg:
             positive = Not(positive, n)
         return positive
@@ -150,20 +243,84 @@ class _Parser:
                 self.i = len(self.toks)
                 k = val[2:]
                 return Near(rest, int(k) if k else 10, no_offset=val[1] == "n")
+            colop = _parse_colop(val)
+            if colop is not None:
+                return colop
             if val.endswith("*") and len(val) > 1:
                 return Term(val[:-1], prefix=True)
             return Term(val)
         raise QueryParseError(f"unexpected token {kind}")
 
 
-def parse_query(q: str):
+def parse_query_ex(q: str) -> tuple[object, Pragmas]:
+    """Parse leading pragmas then the query body.  For ``*S``/``*T`` mode
+    pragmas the AST is None and ``pragmas.text`` carries the payload."""
+    prag = Pragmas()
     toks = _lex(q)
     if not toks:
         raise QueryParseError("empty query")
-    p = _Parser(toks)
+    i = 0
+    while i < len(toks) and toks[i][0] == "WORD" and toks[i][1].startswith("*"):
+        w = toks[i][1]
+        if len(w) < 2:
+            break
+        c = w[1]
+        if c in ("N", "n"):  # NEAR pragma: handled by the body parser
+            break
+        if c == "E":
+            try:
+                prag.escalation_threshold = int(w[2:])
+            except ValueError:
+                raise QueryParseError(f"bad *E pragma {w!r}")
+            i += 1
+            continue
+        if c == "D":
+            op = {"+": "and", "OR": "or", "-": "and_not"}.get(w[2:])
+            if op is None:
+                raise QueryParseError(f"bad *D pragma {w!r}")
+            prag.default_op = op
+            i += 1
+            continue
+        if c == "W":
+            weights: dict[int, float] = {}
+            try:
+                for part in w[2:].split(","):
+                    if ":" in part:
+                        s, wt = part.split(":", 1)
+                        weights[int(s)] = float(wt)
+                    else:
+                        weights[int(part)] = 1.0
+            except ValueError:
+                raise QueryParseError(f"bad *W pragma {w!r}")
+            prag.weights = weights
+            i += 1
+            continue
+        if c in ("S", "T"):
+            prag.mode = "similar" if c == "S" else "term_extract"
+            rest = w[2:]
+            tail = " ".join(v for _, v in toks[i + 1 :])
+            prag.text = f"{rest} {tail}".strip().strip('"').strip()
+            if not prag.text:
+                raise QueryParseError(f"*{c} pragma needs text")
+            return None, prag
+        break
+    body = toks[i:]
+    if not body:
+        raise QueryParseError("query has only pragmas")
+    p = _Parser(body, default_op=prag.default_op)
     node = p.parse_or()
     if p.peek()[0] != "EOF":
         raise QueryParseError(f"trailing tokens in {q!r}")
+    return node, prag
+
+
+def parse_query(q: str):
+    node, prag = parse_query_ex(q)
+    if node is None:
+        raise QueryParseError(
+            f"mode pragma *{'S' if prag.mode == 'similar' else 'T'} has no AST; "
+            "use parse_query_ex"
+        )
     return node
 
 

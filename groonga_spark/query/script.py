@@ -24,6 +24,13 @@ Supported (the operator set of §2.2/§2.8):
   ``between``, ``in_values``, ``all_records``, ``vector_size``,
   ``html_untag``, ``now``, ``rand``, ``max``, ``min`` (varargs scalar →
   greatest/least)
+* plan-level selector functions via :func:`parse_filter_plan`:
+  ``sub_filter(ref_col, "expr")`` (func_sub_filter, lib/proc.c:5269) and
+  ``query("cols", "q")`` (func_query, lib/proc.c:5138).  These cannot be
+  Column expressions — each compiles to a distributed membership semi-join
+  whose boolean flag substitutes into the surrounding expression, so
+  arbitrary boolean nesting (``!sub_filter(...) || x > 3``) stays correct
+  and fully distributed (no driver-side id collection).
 """
 
 from __future__ import annotations
@@ -100,6 +107,24 @@ def _fn_registry():
     }
 
 
+class _PlanCtx:
+    """Frame context for plan-level selector functions (sub_filter/query).
+
+    ``refs`` maps a LOCAL reference-column name to ``(foreign_df,
+    foreign_key)`` — the Groonga schema's reference column made explicit
+    (our parquet tables carry no FK metadata).  ``engine`` serves
+    ``query()`` atoms.  Each atom records (flag_column, ids_frame,
+    join_column); the wrapper left-joins the deduplicated id frames and the
+    boolean flags substitute into the compiled expression."""
+
+    def __init__(self, df, id_col, engine, refs):
+        self.df = df
+        self.id_col = id_col
+        self.engine = engine
+        self.refs = refs or {}
+        self.atoms: list[tuple[str, "DataFrame", str]] = []
+
+
 class _P:
     """Precedence-climbing parser → Column tree."""
 
@@ -130,10 +155,11 @@ class _P:
         "%": 10,
     }
 
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], plan_ctx: "_PlanCtx | None" = None):
         self.t = toks
         self.i = 0
         self.fns = _fn_registry()
+        self.plan_ctx = plan_ctx
 
     def peek(self):
         return self.t[self.i] if self.i < len(self.t) else None
@@ -198,6 +224,14 @@ class _P:
         raise ScriptSyntaxError(f"unexpected token {tok!r}")
 
     def call(self, name: str) -> Column:
+        if name in ("sub_filter", "query"):
+            if self.plan_ctx is None:
+                raise ScriptSyntaxError(
+                    f"{name}() is a plan-level selector — compile the filter "
+                    "with parse_filter_plan(src, df, ...) instead of "
+                    "parse_filter"
+                )
+            return self._selector_call(name)
         fn = self.fns.get(name)
         if fn is None:
             raise ScriptSyntaxError(f"unknown function {name!r}")
@@ -215,6 +249,63 @@ class _P:
             return fn(*self._unlit(args, name))
         self.next()  # )
         return fn()
+
+    def _selector_call(self, name: str) -> Column:
+        """``sub_filter(ref_col, "expr")`` (func_sub_filter, proc.c:5269)
+        and ``query(["cols",] "q")`` (func_query, proc.c:5138): parse raw
+        argument tokens, register a membership atom, return the flag column
+        (null → false after the left join)."""
+        ctx = self.plan_ctx
+        self.next()  # (
+        raw: list[str] = []
+        while True:
+            tok = self.next()
+            if tok == ")":
+                break
+            if tok != ",":
+                raw.append(tok)
+        flag = f"__m{len(ctx.atoms)}"
+        if name == "sub_filter":
+            if len(raw) != 2 or raw[0][0] in "\"'":
+                raise ScriptSyntaxError('sub_filter needs (ref_col, "expr")')
+            ref, expr = raw[0], _lit(raw[1])
+            if not isinstance(expr, str):
+                raise ScriptSyntaxError("sub_filter expr must be a string")
+            spec = ctx.refs.get(ref)
+            if spec is None:
+                raise ScriptSyntaxError(
+                    f"unknown reference column {ref!r} — register it via "
+                    "refs={'local_col': (foreign_df, 'foreign_key')}"
+                )
+            foreign_df, foreign_key = spec
+            ids = (
+                foreign_df.filter(parse_filter(expr))
+                .select(F.col(foreign_key).alias(ref))
+                .distinct()
+            )
+            ctx.atoms.append((flag, ids, ref))
+        else:  # query
+            lits = [_lit(t) for t in raw]
+            if len(lits) == 1 and isinstance(lits[0], str):
+                mc, q = None, lits[0]
+            elif len(lits) == 2 and all(isinstance(x, str) for x in lits):
+                mc, q = lits
+            else:
+                raise ScriptSyntaxError('query needs ("match_cols", "q") or ("q")')
+            if ctx.engine is None:
+                raise ScriptSyntaxError(
+                    "query() needs an engine — pass engine= to parse_filter_plan"
+                )
+            ctx.engine.select_with_count(
+                q, mc, k=1, need_full=True, count_hits=False
+            )
+            ids = (
+                ctx.engine.last_scored.select(
+                    F.col("doc_id").alias(ctx.id_col)
+                ).distinct()
+            )
+            ctx.atoms.append((flag, ids, ctx.id_col))
+        return F.coalesce(F.col(flag), F.lit(False))
 
     @staticmethod
     def _unlit(args, name):
@@ -275,3 +366,32 @@ class _P:
 def parse_filter(src: str) -> Column:
     """Compile a ``--filter`` script expression to a Spark Column."""
     return _P(_tokenize(src)).parse()
+
+
+def parse_filter_plan(
+    src: str,
+    df,
+    id_col: str = "doc_id",
+    engine=None,
+    refs: "dict | None" = None,
+):
+    """Compile a ``--filter`` expression that may use the plan-level
+    selector functions ``sub_filter(ref_col, "expr")`` and
+    ``query(["cols",] "q")`` and apply it to ``df``, returning the
+    filtered DataFrame.
+
+    Each selector becomes a distributed membership semi-join: its id frame
+    is deduplicated, left-joined onto ``df``, and the resulting boolean
+    flag substitutes into the surrounding expression — so negation and
+    disjunction over selectors stay correct, and nothing is collected to
+    the driver.  Plain filters (no selectors) compile to a single Catalyst
+    predicate exactly like :func:`parse_filter`."""
+    ctx = _PlanCtx(df, id_col, engine, refs)
+    cond = _P(_tokenize(src), plan_ctx=ctx).parse()
+    out = df
+    for flag, ids, join_col in ctx.atoms:
+        out = out.join(
+            ids.withColumn(flag, F.lit(True)), join_col, "left"
+        )
+    out = out.filter(cond)
+    return out.drop(*[flag for flag, _, _ in ctx.atoms])

@@ -68,6 +68,98 @@ class TestScriptFilter:
             parse_filter("(size == 1")
 
 
+class TestPlanSelectors:
+    """sub_filter / query as --filter script functions (func_sub_filter
+    proc.c:5269, func_query proc.c:5138) — plan-level membership joins."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        cust = spark.createDataFrame(
+            [(1, "ann"), (2, "bob"), (3, "cyd")], "ckey long, cname string"
+        )
+        orders = spark.createDataFrame(
+            [(10, 1, 500.0), (11, 1, 50.0), (12, 3, 700.0)],
+            "okey long, ckey_ref long, total double",
+        )
+        return cust, orders
+
+    def test_sub_filter_membership(self, frames):
+        from groonga_spark.query.script import parse_filter_plan
+
+        cust, orders = frames
+        out = parse_filter_plan(
+            'sub_filter(ckey, "total > 400.0")',
+            cust,
+            id_col="ckey",
+            refs={"ckey": (orders, "ckey_ref")},
+        )
+        assert sorted(r["ckey"] for r in out.collect()) == [1, 3]
+        assert out.columns == ["ckey", "cname"]  # flags dropped
+
+    def test_negated_selector_and_disjunction(self, frames):
+        from groonga_spark.query.script import parse_filter_plan
+
+        cust, orders = frames
+        out = parse_filter_plan(
+            '!sub_filter(ckey, "total > 400.0") || cname == "ann"',
+            cust,
+            id_col="ckey",
+            refs={"ckey": (orders, "ckey_ref")},
+        )
+        assert sorted(r["ckey"] for r in out.collect()) == [1, 2]
+
+    def test_query_fn(self, spark, frames):
+        from groonga_spark import SearchEngine
+        from groonga_spark.query.script import parse_filter_plan
+
+        docs = spark.createDataFrame(
+            [
+                (1, "merge sort tree", 10),
+                (2, "hash join probe", 20),
+                (3, "merge join order", 30),
+            ],
+            "doc_id long, text string, n long",
+        )
+        eng = SearchEngine.build(docs, ["text"], tokenizer="delimit")
+        out = parse_filter_plan(
+            'query("text", "merge") && n >= 20',
+            docs,
+            id_col="doc_id",
+            engine=eng,
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [3]
+
+    def test_parse_filter_rejects_selectors(self):
+        with pytest.raises(ScriptSyntaxError):
+            parse_filter('sub_filter(x, "y > 1")')
+        with pytest.raises(ScriptSyntaxError):
+            parse_filter('query("a", "b")')
+
+    def test_command_facade_with_references(self, spark, tmp_path):
+        ctx = CommandContext(spark, str(tmp_path / "refdb"))
+        ctx.load(
+            "cust",
+            [
+                {"_key": "a", "ckey": 1, "bal": 5.0},
+                {"_key": "b", "ckey": 2, "bal": -1.0},
+                {"_key": "c", "ckey": 3, "bal": 2.0},
+            ],
+        )
+        ctx.load(
+            "ords",
+            [
+                {"_key": "o1", "ckey_ref": 1, "total": 500.0},
+                {"_key": "o2", "ckey_ref": 3, "total": 100.0},
+            ],
+        )
+        ctx.set_reference("cust", "ckey", "ords", "ckey_ref")
+        res = ctx.select(
+            "cust", filter='sub_filter(ckey, "total > 400.0") && bal > 0.0'
+        )
+        assert res["n_hits"] == 1
+        assert [r["_key"] for r in res["records"].collect()] == ["a"]
+
+
 class TestCommands:
     @pytest.fixture()
     def ctx(self, spark, tmp_path):
@@ -137,6 +229,32 @@ class TestCommands:
         )
         keys = [r["_key"] for r in res["records"].collect()]
         assert set(keys) == {"d1", "d3"}
+
+    def test_negative_offset_limit_wrap(self, ctx):
+        # grn_normalize_offset_and_limit: offset -2 = 2nd-from-last,
+        # limit -1 = everything remaining
+        ctx.load("t", self.ROWS)
+        res = ctx.select(
+            "t", filter="all_records()", sortby="size", offset=-2, limit=-1
+        )
+        assert res["n_hits"] == 3
+        assert [r["_key"] for r in res["records"].collect()] == ["b", "c"]
+
+    def test_n_hits_not_capped_by_page(self, ctx):
+        docs = [
+            {"doc_id": 1, "_key": "d1", "text": "merge sort partition tree"},
+            {"doc_id": 2, "_key": "d2", "text": "hash join build probe"},
+            {"doc_id": 3, "_key": "d3", "text": "merge join sort order"},
+        ]
+        ctx.load("docs3", docs)
+        res = ctx.select("docs3", query="merge", text_cols=["text"], limit=1)
+        assert res["n_hits"] == 2  # full count, one-record page
+        assert res["records"].count() == 1
+        # query + filter: n_hits counts the POST-filter full match set
+        res = ctx.select(
+            "docs3", query="merge", filter="doc_id >= 3", text_cols=["text"], limit=1
+        )
+        assert res["n_hits"] == 1
 
     def test_select_query_engine_invalidated_on_load(self, ctx, spark):
         # load/delete/truncate must drop the cached SearchEngine: stats
