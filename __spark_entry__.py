@@ -631,6 +631,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash16(_read(spark, sf, "documents")).withColumnRenamed("id", "doc_id")
 
+    def simhash_pairs_q(spark, sf):
+        # banded 60-bit SimHash near-dup pairs — exact for hamming <= 3
+        # with 4 bands (pigeonhole); the r1 16-bit/256-bucket version was a
+        # scale-killer, this is its replacement
+        from groonga_spark.ops.dedup import simhash_dup_pairs
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        p = simhash_dup_pairs(docs, max_hamming=3, n_bands=4)
+        return p.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
     def jaccard_pairs(spark, sf):
         from groonga_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -816,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_bands_q=minhash_bands_q,
         minhash_pairs=minhash_pairs,
         simhash_q=simhash_q,
+        simhash_pairs_q=simhash_pairs_q,
         jaccard_pairs=jaccard_pairs,
         cosine_topk_q=cosine_topk_q,
         ann_lsh_topk=ann_lsh_topk,
@@ -858,6 +869,17 @@ _HEX4 = (
     "(strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256 + "
     "(strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16 + "
     "(strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1))"
+)
+
+# 60-bit value of the first 15 hex digits of md5(term) (simhash60)
+_HEX15 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(term), {i + 1}, 1)) - 1)"
+        f"::BIGINT * {1 << (4 * (14 - i))}"
+        for i in range(15)
+    )
+    + ")"
 )
 
 _SHINGLES = (
@@ -1189,6 +1211,22 @@ bits AS (SELECT doc_id,
   FROM h GROUP BY doc_id)
 SELECT doc_id, ({' + '.join(f"CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))})::BIGINT AS simhash
 FROM bits"""
+
+    o["simhash_pairs_q"] = f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  WHERE doc_id < 300),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, {_HEX15} AS hv FROM tf),
+bits AS (SELECT doc_id,
+  {', '.join(f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS d{j}" for j in range(60))}
+  FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id,
+  ({' + '.join(f"CASE WHEN d{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(60))})::BIGINT AS s
+  FROM bits)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.s, y.s))::BIGINT AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3"""
 
     o["jaccard_pairs"] = f"""WITH sh AS (
   SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents WHERE doc_id < 300),

@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_pairs",
     "simhash_q",
+    "simhash_pairs_q",
+    "jaccard_pairs",
+    "fingerprint_q",
     "cosine_topk_q",
     "token_counts_q",
     "quality_q",

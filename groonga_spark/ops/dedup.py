@@ -14,7 +14,7 @@ content hash which is unique per distinct document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,19 +111,59 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with k-shingle Jaccard >= threshold.
-    Exact — joins on shared shingles, so cost is Σ df(shingle)²; use after
-    an LSH prefilter at scale."""
+    EXACT, via the prefix filter (AllPairs / ppjoin family: Bayardo et al.
+    WWW'07, Chaudhuri et al. ICDE'06):
+
+    1. canonical total order on shingles = (global df asc, shingle asc) —
+       rarest first;
+    2. each doc keeps only its first |S| - ceil(t·|S|) + 1 shingles in that
+       order (its *prefix*): any pair with J >= t has overlap >=
+       ceil(t·|S|), so by pigeonhole the two prefixes must share a
+       shingle;
+    3. candidate pairs come from the prefix-only self-join — a boilerplate
+       shingle present in most docs is (almost) never in any prefix, so
+       the join no longer goes quadratic on stop-shingles;
+    4. the true Jaccard is then computed ONLY for candidates by
+       re-joining the full shingle sets.
+
+    Identical output to the naive all-shingles join (the filter is
+    lossless), but the shuffle is bounded by prefix df, not raw df."""
     sh = (
         word_shingles(df, text_col, k)
         .select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "s")
+
+    # canonical rank within each doc (df asc, s asc) — window per doc id;
+    # the global df frame is tiny relative to the corpus and the window
+    # partitions by id, so no single-partition funnel
+    dfc = sh.groupBy("s").agg(F.count("*").alias("s_df"))
+    ranked = (
+        sh.join(dfc, "s")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("s_df"), F.asc("s"))
+            ),
+        )
+    )
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "s")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "s")
         .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("a"), "s"), "a")
+        .join(sh.select(F.col("id").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -158,23 +198,82 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col("id"), sim.alias("simhash"))
 
 
+SIMHASH_BITS = 60  # 15 md5 hex digits — fits signed int64 in Spark AND the
+# DuckDB oracle (a full 64-bit value would overflow DuckDB's BIGINT checks)
+
+
+def simhash60(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over whitespace tokens, entirely
+    JVM-side: each token's 60 hash bits are the first 15 hex digits of
+    md5(token); bit j contributes +tf / -tf; simhash bit j is the sign.
+    Deterministic across engines (md5-based); the wide hash is what makes
+    the banded bucket join (:func:`simhash_dup_pairs`) selective — the r1
+    16-bit version had only 256 buckets and its self-join degenerated to
+    O(N²/256) at scale."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+    )
+    dims = []
+    for j in range(SIMHASH_BITS):
+        bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        dims.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"d{j}")
+        )
+    agg = h.groupBy("id").agg(*dims)
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return agg.select(F.col("id"), sim.alias("simhash"))
+
+
 def simhash_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance — self-join on the full
-    16-bit hash bucketed by the top byte (at 64-bit scale: multi-probe by
-    permuted bands)."""
-    s = simhash16(df, text_col, id_col)
-    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha")).withColumn(
-        "bucket", F.shiftright("ha", 8)
+    """(a, b, hamming) near-dup pairs with SimHash hamming distance <=
+    max_hamming — EXACT for ``max_hamming < n_bands`` by pigeonhole: split
+    the 60-bit hash into ``n_bands`` 15-bit bands; <= max_hamming flipped
+    bits cannot touch every band, so at least one band matches verbatim
+    and the pair survives the banded equi-join.  The join key (band_id,
+    band_value) has 4·2^15 · corpus-dependent cardinality — no 256-bucket
+    funnel — and the verify step is one bit_count per candidate."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded join is only exact for max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands})"
+        )
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    s = simhash60(df, text_col, id_col)
+    bands = None
+    for b in range(n_bands):
+        part = s.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col("id").alias("a"), F.col("simhash").alias("ha"), "band", "bv"
     )
-    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb")).withColumn(
-        "bucket", F.shiftright("hb", 8)
+    right = bands.select(
+        F.col("id").alias("b"), F.col("simhash").alias("hb"), "band", "bv"
     )
-    joined = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    joined = left.join(right, ["band", "bv"]).filter(F.col("a") < F.col("b"))
     xor = F.col("ha").bitwiseXOR(F.col("hb"))
     return (
         joined.withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
