@@ -142,6 +142,36 @@ class SearchEngine:
             return seg_terms, seg_pos
         return terms, poss
 
+    def _gram_n(self) -> int | None:
+        """n-gram size of the index tokenizer (None for whole-token
+        tokenizers like delimit/code)."""
+        from ..tokenize import _NGRAM_VARIANTS
+
+        tok = self.index.tokenizer
+        if tok == "regexp":
+            return 2
+        v = _NGRAM_VARIANTS.get(tok)
+        return v[0] if v is not None and v[0] > 1 else None
+
+    def _adjust_ngram_tail(
+        self, terms: list[str], offs: list[int]
+    ) -> tuple[list[str], list[int], bool]:
+        """GET-mode trailing-gram correction for n-gram tokenizers
+        (ADVICE r1 / reference GET cursor semantics): the query's final
+        shortened gram (< n chars) is only ever indexed at run ENDS, so a
+        mid-run document occurrence never has it — phrase-matching it
+        yields false negatives.  With >= 2 tokens the tail is REDUNDANT
+        (its chars are the previous gram's suffix) → drop it, exactness
+        preserved.  A lone short token instead becomes prefix-matchable
+        (returns as_prefix=True), mirroring the reference's treatment of
+        the final short gram."""
+        n = self._gram_n()
+        if n is None or not terms or len(terms[-1]) >= n:
+            return terms, offs, False
+        if len(terms) > 1:
+            return terms[:-1], offs[:-1], False
+        return terms, offs, True
+
     # -- atom construction --------------------------------------------------
     def _compile_atoms(self, node, atoms: list[_Atom]):
         """Compile the AST to atoms; a clause whose tokens are ALL filtered
@@ -156,23 +186,35 @@ class SearchEngine:
                 if len(terms) != 1:
                     raise qp.QueryParseError("prefix query must be single-token")
                 a = _Atom(tokens=terms, offsets=offs, kind="prefix")
-            elif len(terms) == 1:
-                a = _Atom(tokens=terms, offsets=offs, kind="term")
             else:
-                a = _Atom(tokens=terms, offsets=offs, kind="phrase")
+                terms, offs, as_prefix = self._adjust_ngram_tail(terms, offs)
+                if as_prefix:
+                    a = _Atom(tokens=terms, offsets=offs, kind="prefix")
+                elif len(terms) == 1:
+                    a = _Atom(tokens=terms, offsets=offs, kind="term")
+                else:
+                    a = _Atom(tokens=terms, offsets=offs, kind="phrase")
             atoms.append(a)
             return a
         if isinstance(node, qp.Phrase):
             terms, offs = self._get_tokens(node.text)
             if not terms:
                 return None
-            a = _Atom(tokens=terms, offsets=offs, kind="phrase" if len(terms) > 1 else "term")
+            terms, offs, as_prefix = self._adjust_ngram_tail(terms, offs)
+            if as_prefix:
+                a = _Atom(tokens=terms, offsets=offs, kind="prefix")
+            else:
+                a = _Atom(
+                    tokens=terms, offsets=offs, kind="phrase" if len(terms) > 1 else "term"
+                )
             atoms.append(a)
             return a
         if isinstance(node, qp.Near):
             terms, offs = self._get_tokens(node.text)
             if not terms:
                 return None
+            if len(terms) > 1:  # drop the redundant short tail gram too
+                terms, offs, _ = self._adjust_ngram_tail(terms, offs)
             if node.no_offset:
                 offs = [0] * len(terms)  # NEAR2: raw positions (ii.c:5639)
             a = _Atom(tokens=terms, offsets=offs, kind="near", max_interval=node.max_interval)
@@ -835,6 +877,10 @@ class SearchEngine:
                 terms, offs = self._get_tokens(c.value)
                 if not terms:
                     return self._empty_frame()
+                terms, offs, as_prefix = self._adjust_ngram_tail(terms, offs)
+                if as_prefix:
+                    frame = self._prefix_expansion_frame(terms[0], weights)
+                    return frame if frame is not None else self._empty_frame()
                 term_doc, pos_rows = self._scored_term_doc(
                     sorted(set(terms)), {}, weights, need_pos=len(terms) > 1
                 )

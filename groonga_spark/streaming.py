@@ -15,8 +15,15 @@ a full rebuild over the current document set.
 
 Exactly-once: the sink records the last applied ``batchId`` in the index
 manifest and skips replayed batches (the standard idempotent-foreachBatch
-contract); the snapshot swap is a tmp-dir rename, so a crash mid-batch
-leaves the previous snapshot intact and the batch replays cleanly.
+contract).  Each batch writes into fresh VERSIONED directories
+(``docs_v<N>`` / ``index_v<N>``) and the atomic ``state.json`` replace is
+the single commit point naming the live version — a crash at ANY point
+before it leaves the previous version's directories untouched, so the
+replayed batch reads consistent (docs, index) state.  (The r1 layout
+rm-renamed ``docs`` then ``index`` as two steps; a crash between them left
+docs=new against index=old, and the replay's delta would corrupt
+dictionary df/cf.)  Stale version directories are removed only AFTER
+commit.
 """
 
 from __future__ import annotations
@@ -64,7 +71,7 @@ class StreamingIndexMaintainer:
             with open(self._p("state.json")) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"last_batch_id": -1, "initialized": False}
+            return {"last_batch_id": -1, "initialized": False, "version": 0}
 
     def _save_state(self, st: dict) -> None:
         tmp = self._p("state.json.tmp")
@@ -73,11 +80,15 @@ class StreamingIndexMaintainer:
         os.replace(tmp, self._p("state.json"))
 
     # -- public surface ----------------------------------------------------
+    def _live(self, kind: str) -> str:
+        ver = self._state().get("version", 0)
+        return self._p(f"{kind}_v{ver}")
+
     def load_index(self) -> InvertedIndex:
-        return read_index(self.spark, self._p("index"))
+        return read_index(self.spark, self._live("index"))
 
     def load_docs(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("docs"))
+        return self.spark.read.parquet(self._live("docs"))
 
     def sink(self, changes: DataFrame, checkpoint: str | None = None, **trigger_kw):
         """Attach as a streaming sink: ``changes`` is a streaming DataFrame
@@ -106,12 +117,17 @@ class StreamingIndexMaintainer:
         # per id per batch for deterministic results)
         upserts = upserts.dropDuplicates([self.id_col])
 
+        old_ver = st.get("version", 0)
+        new_ver = old_ver + 1
+        docs_new = self._p(f"docs_v{new_ver}")
+        index_new = self._p(f"index_v{new_ver}")
+
         if not st["initialized"]:
             docs = upserts.join(deletes, self.id_col, "left_anti")
-            docs.write.mode("overwrite").parquet(self._p("docs.tmp"))
-            docs = self.spark.read.parquet(self._p("docs.tmp"))
+            docs.write.mode("overwrite").parquet(docs_new)
+            docs = self.spark.read.parquet(docs_new)
             idx = build_index(docs, self.text_cols, self.tokenizer, self.id_col)
-            write_index(idx, self._p("index.tmp"))
+            write_index(idx, index_new)
         else:
             snapshot = self.load_docs()
             idx = self.load_index()
@@ -119,19 +135,22 @@ class StreamingIndexMaintainer:
             old_docs = snapshot.join(changed_ids, self.id_col, "left_semi").select(*cols)
             # apply_update semantics: old-only = delete, new-only = insert
             new_idx = apply_update(idx, old_docs, upserts, id_col=self.id_col)
-            write_index(new_idx, self._p("index.tmp"))
+            write_index(new_idx, index_new)
             docs = (
                 snapshot.join(changed_ids, self.id_col, "left_anti")
                 .select(*cols)
                 .unionByName(upserts)
             )
-            docs.write.mode("overwrite").parquet(self._p("docs.tmp"))
+            docs.write.mode("overwrite").parquet(docs_new)
 
-        # atomic-enough swap: state.json is the commit point — a crash
-        # before _save_state leaves last_batch_id unchanged and the batch
-        # replays against the previous (still intact) snapshot dirs
-        for name in ("docs", "index"):
-            if os.path.exists(self._p(name)):
-                shutil.rmtree(self._p(name))
-            os.rename(self._p(name + ".tmp"), self._p(name))
-        self._save_state({"last_batch_id": batch_id, "initialized": True})
+        # COMMIT: the atomic state.json replace flips the live version.
+        # Any crash before this line leaves version old_ver fully intact
+        # (the half-written _v{new_ver} dirs are overwritten on replay).
+        self._save_state(
+            {"last_batch_id": batch_id, "initialized": True, "version": new_ver}
+        )
+        # cleanup AFTER commit: previous version + any stale strays
+        for name in os.listdir(self.root):
+            for kind in ("docs_v", "index_v"):
+                if name.startswith(kind) and name != f"{kind}{new_ver}":
+                    shutil.rmtree(self._p(name), ignore_errors=True)

@@ -155,30 +155,55 @@ class OracleEngine:
             out[doc] = s
         return out
 
+    def _adjust_tail(self, toks, offs):
+        """GET-mode trailing-gram correction — mirrors
+        SearchEngine._adjust_ngram_tail (engine.py) so rank identity holds
+        for n-gram tokenizers: drop the redundant short tail gram; a lone
+        short token becomes prefix-matchable."""
+        from groonga_spark.tokenize import _NGRAM_VARIANTS
+
+        tok = self.idx.tokenizer
+        n = 2 if tok == "regexp" else _NGRAM_VARIANTS.get(tok, (0, (), False))[0]
+        if n < 2 or not toks or len(toks[-1]) >= n:
+            return toks, offs, False
+        if len(toks) > 1:
+            return toks[:-1], offs[:-1], False
+        return toks, offs, True
+
+    def _prefix_scores(self, pfx: str, weights) -> dict[int, float]:
+        exp = sorted(t for t in self.idx.terms() if t.startswith(pfx))
+        out: dict[int, float] = defaultdict(float)
+        for t in exp:
+            for d, s in self._term_scores(t, weights).items():
+                out[d] += s
+        return dict(out)
+
     def _eval(self, node, weights) -> dict[int, float]:
         if isinstance(node, qp.Term):
             toks, offs = self._get_tokens(node.text)
             if node.prefix:
                 assert len(toks) == 1
-                pfx = toks[0]
-                exp = sorted(t for t in self.idx.terms() if t.startswith(pfx))
-                out: dict[int, float] = defaultdict(float)
-                for t in exp:
-                    for d, s in self._term_scores(t, weights).items():
-                        out[d] += s
-                return dict(out)
+                return self._prefix_scores(toks[0], weights)
+            toks, offs, as_pfx = self._adjust_tail(toks, offs)
+            if as_pfx:
+                return self._prefix_scores(toks[0], weights)
             if len(toks) == 1:
                 return self._term_scores(toks[0], weights)
             docs = self._phrase_docs(toks, offs, weights)
             return self._multi_token_scores(toks, docs, weights)
         if isinstance(node, qp.Phrase):
             toks, offs = self._get_tokens(node.text)
+            toks, offs, as_pfx = self._adjust_tail(toks, offs)
+            if as_pfx:
+                return self._prefix_scores(toks[0], weights)
             if len(toks) == 1:
                 return self._term_scores(toks[0], weights)
             docs = self._phrase_docs(toks, offs, weights)
             return self._multi_token_scores(toks, docs, weights)
         if isinstance(node, qp.Near):
             toks, offs = self._get_tokens(node.text)
+            if len(toks) > 1:
+                toks, offs, _ = self._adjust_tail(toks, offs)
             docs = self._near_docs(toks, offs, node.max_interval, weights)
             return self._multi_token_scores(toks, docs, weights)
         if isinstance(node, qp.And):

@@ -102,3 +102,42 @@ class TestStreamingMaintenance:
         assert m.load_docs().count() == 4
         eng = SearchEngine(m.load_index())
         assert len(_ranks(eng, "sort")) > 0
+
+    def test_crash_mid_batch_replays_cleanly(self, spark, tmp_path):
+        """A crash AFTER writing the new version dirs but BEFORE the
+        state.json commit must leave the previous snapshot live; the
+        replayed batch overwrites the orphan dirs and commits once."""
+        import json as _json
+        import os
+        import shutil
+
+        root = str(tmp_path / "crashroot")
+        m = StreamingIndexMaintainer(spark, root, ["text"], tokenizer="delimit")
+        b0 = spark.createDataFrame(DOCS0, "doc_id long, text string")
+        m.apply_batch(b0.select("doc_id", "text"), 0)
+        st1 = m._state()
+        assert st1["version"] == 1
+
+        # simulate the crashed attempt: half-written docs_v2 (garbage), no
+        # index_v2, state.json NOT bumped
+        os.makedirs(os.path.join(root, "docs_v2"))
+        with open(os.path.join(root, "docs_v2", "_garbage"), "w") as f:
+            f.write("partial write")
+
+        # live snapshot still consistent
+        assert m._state()["version"] == 1
+        assert m.load_index().stats.n_docs == 4
+
+        # replay the 'crashed' batch (an upsert of doc 1)
+        b1 = spark.createDataFrame(
+            [(1, "replayed content after crash")], "doc_id long, text string"
+        )
+        m.apply_batch(b1, 1)
+        st2 = m._state()
+        assert st2["version"] == 2 and st2["last_batch_id"] == 1
+        docs = {r["doc_id"]: r["text"] for r in m.load_docs().collect()}
+        assert docs[1] == "replayed content after crash"
+        assert m.load_index().stats.n_docs == 4
+        # stale version dirs cleaned after commit
+        left = {d for d in os.listdir(root) if d.startswith(("docs_v", "index_v"))}
+        assert left == {"docs_v2", "index_v2"}
