@@ -589,6 +589,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_contains(F.split("text", " "), "spark") & (F.col("doc_id") < 100)
         ).select("doc_id", snippet_html(F.col("text"), "spark", width=40).alias("snippet"))
 
+    def highlight_full_q(spark, sf):
+        # multi-keyword highlight with custom tags (highlight_full,
+        # proc.c:6045)
+        from groonga_spark.functions import highlight_full
+
+        docs = _read(spark, sf, "documents")
+        return docs.filter(
+            F.col("text").contains("spark") & (F.col("doc_id") < 200)
+        ).select(
+            "doc_id",
+            highlight_full(F.col("text"), ["spark", "scan"], "<em>", "</em>").alias(
+                "html"
+            ),
+        )
+
+    def snippet_multi_q(spark, sf):
+        # multi-keyword multi-fragment KWIC (lib/snip.c:368-756); fragments
+        # joined with '|' so the value-hash compare sees a scalar column
+        from groonga_spark.functions import snippet_html_multi
+
+        docs = _read(spark, sf, "documents")
+        frags = snippet_html_multi(
+            F.col("text"), ["spark", "scan"], width=30, max_fragments=2
+        )
+        return docs.filter(F.col("doc_id") < 200).select(
+            "doc_id", F.array_join(frags, "|").alias("snips")
+        )
+
+    def drilldown_params_q(spark, sf):
+        # per-label drilldown output params (grn_select_drilldowns,
+        # proc.c:784-875): calc aggregates + sortby + offset/limit
+        from groonga_spark.commands import CommandContext
+
+        sfname = sf.rstrip("/").rsplit("/", 1)[-1]
+        ctx = CommandContext(spark, f"/tmp/groonga_spark_dddb_{sfname}")
+        ctx.load(
+            "docs",
+            _read(spark, sf, "documents").withColumn("_key", F.col("doc_id")),
+        )
+        res = ctx.select(
+            "docs",
+            filter="all_records()",
+            limit=0,
+            drilldowns={
+                "by_source": {
+                    "keys": "source",
+                    "calc": [("max", "n_chars"), ("sum", "n_chars")],
+                    "sortby": "-_nsubrecs",
+                    "offset": 1,
+                    "limit": 5,
+                }
+            },
+        )
+        g = res["drilldowns"]["by_source"]
+        return g.select("source", "_nsubrecs", "_max", "_sum")
+
     def html_untag_q(spark, sf):
         from groonga_spark.functions import html_untag
 
@@ -819,7 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sub_filter_orders=sub_filter_orders,
         ref_deref=ref_deref,
         highlight=highlight,
+        highlight_full_q=highlight_full_q,
         snippet_q=snippet_q,
+        snippet_multi_q=snippet_multi_q,
+        drilldown_params_q=drilldown_params_q,
         html_untag_q=html_untag_q,
         stopword_tf_q=stopword_tf_q,
         dedup_exact=dedup_exact,
@@ -1166,6 +1225,26 @@ ORDER BY 2.0 * ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) + b.s DESC,
 
     # *W1:2,2 by section number == match_columns 'source * 2 || text'
     o["q_pragma_weights"] = o["ft_sectioned"]
+
+    o["highlight_full_q"] = """SELECT doc_id,
+replace(replace(text, 'spark', '<em>spark</em>'), 'scan', '<em>scan</em>') AS html
+FROM documents WHERE text LIKE '%spark%' AND doc_id < 200"""
+
+    _frag = (
+        "CASE WHEN strpos(text, '{kw}') > 0 THEN "
+        "replace(replace(substr(text, greatest(1, strpos(text, '{kw}') - 15), {w}), "
+        "'spark', '<span class=\"keyword\">spark</span>'), "
+        "'scan', '<span class=\"keyword\">scan</span>') END"
+    )
+    o["snippet_multi_q"] = f"""SELECT doc_id,
+coalesce(array_to_string(list_filter([{_frag.format(kw='spark', w=35)},
+{_frag.format(kw='scan', w=34)}], x -> x IS NOT NULL), '|'), '') AS snips
+FROM documents WHERE doc_id < 200"""
+
+    o["drilldown_params_q"] = """SELECT source, count(*)::BIGINT AS _nsubrecs,
+max(n_chars) AS _max, sum(n_chars)::BIGINT AS _sum
+FROM documents GROUP BY source
+ORDER BY _nsubrecs DESC, source LIMIT 5 OFFSET 1"""
 
     o["snippet_q"] = """SELECT doc_id,
 replace(substr(text, greatest(1, strpos(text, 'spark') - 20), 45),

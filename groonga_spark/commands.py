@@ -188,6 +188,7 @@ class CommandContext:
         offset: int = 0,
         limit: int = 10,
         drilldown: str | None = None,
+        drilldowns: dict | None = None,
         text_cols: list[str] | None = None,
         tokenizer: str = "bigram",
         id_col: str = "doc_id",
@@ -275,6 +276,39 @@ class CommandContext:
                     .agg(F.count("*").alias("_nsubrecs"))
                     .orderBy(F.desc("_nsubrecs"), F.asc(key))
                 )
+        # labeled drilldowns with per-label output params
+        # (--drilldowns[label].keys/.calc_types/.sortby/.offset/.limit/
+        # .output_columns — grn_select_drilldowns, proc.c:784-875)
+        _calc = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg}
+        for label, spec in (drilldowns or {}).items():
+            keys = spec["keys"]
+            keys = [keys] if isinstance(keys, str) else list(keys)
+            aggs = [F.count("*").alias("_nsubrecs")]
+            for fn, target in spec.get("calc", []):
+                aggs.append(_calc[fn](target).alias(f"_{fn}"))
+            g = df.groupBy(*keys).agg(*aggs)
+            sort_cols = []
+            for part in spec.get("sortby", "-_nsubrecs").split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                name = part.lstrip("+-")
+                sort_cols.append(
+                    F.col(name).desc() if part.startswith("-") else F.col(name).asc()
+                )
+            # trailing group keys pin a deterministic total order
+            g = g.orderBy(*sort_cols, *[F.col(k2).asc() for k2 in keys])
+            d_off = int(spec.get("offset", 0))
+            d_lim = spec.get("limit")
+            if d_off:
+                g = g.offset(d_off)
+            if d_lim is not None:
+                g = g.limit(int(d_lim))
+            if spec.get("output_columns"):
+                g = g.select(
+                    *[c.strip() for c in spec["output_columns"].split(",")]
+                )
+            dd[label] = g
         return {"n_hits": n_hits, "records": page, "drilldowns": dd}
 
     # -- status (proc.c:6797) ----------------------------------------------
@@ -291,12 +325,14 @@ class CommandContext:
 
 
 def format_output(df: DataFrame, content_type: str = "json", limit: int = 1000):
-    """Serialize a result page the way ``output.c`` does: JSON is the
-    Groonga response body shape ``[[count], [[name,type]...], rows...]``;
-    TSV matches GRN_CONTENT_TSV.  XML/MessagePack raise (documented
-    out-of-scope serializers).  ``limit`` caps the driver-side collect —
-    this formats a RESPONSE PAGE, never a full table.
-    """
+    """Serialize a result page per ``output.c`` / GRN_CONTENT_*
+    (groonga.h:182-187): JSON is the Groonga response body shape
+    ``[[count], [[name,type]...], rows...]``; TSV matches GRN_CONTENT_TSV;
+    XML mirrors the RESULTSET/HIT/FIELD element shape; ``msgpack`` packs
+    the same structure as JSON through the pure-Python codec in
+    :mod:`groonga_spark.msgpack` (returns ``bytes``).  ``limit`` caps the
+    driver-side collect — this formats a RESPONSE PAGE, never a full
+    table."""
     rows = df.limit(limit).collect()
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     if content_type == "json":
@@ -310,4 +346,33 @@ def format_output(df: DataFrame, content_type: str = "json", limit: int = 1000):
         for r in rows:
             lines.append("\t".join("" if r[n] is None else str(r[n]) for n, _ in fields))
         return "\n".join(lines)
-    raise NotImplementedError(f"content_type {content_type!r} (xml/msgpack not implemented)")
+    if content_type == "xml":
+        from xml.sax.saxutils import escape, quoteattr
+
+        parts = [f'<RESULTSET NHITS="{len(rows)}">']
+        for no, r in enumerate(rows, 1):
+            cells = "".join(
+                f"<FIELD NAME={quoteattr(name)}>"
+                + escape("" if r[name] is None else str(r[name]))
+                + "</FIELD>"
+                for name, _ in fields
+            )
+            parts.append(f'<HIT NO="{no}">{cells}</HIT>')
+        parts.append("</RESULTSET>")
+        return "".join(parts)
+    if content_type == "msgpack":
+        from . import msgpack
+
+        def _plain(v):
+            if v is None or isinstance(v, (bool, int, float, str, bytes)):
+                return v
+            if isinstance(v, (list, tuple)):
+                return [_plain(x) for x in v]
+            return str(v)
+
+        body = [
+            [[len(rows)], [list(f) for f in fields]]
+            + [[_plain(r[name]) for name, _ in fields] for r in rows]
+        ]
+        return msgpack.packb(body)
+    raise NotImplementedError(f"content_type {content_type!r}")

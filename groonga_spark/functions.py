@@ -48,9 +48,64 @@ def html_untag(col) -> Column:
 
 
 def highlight_html(col, keyword: str, open_tag: str = '<span class="keyword">', close_tag: str = "</span>") -> Column:
-    """highlight_html/highlight_full (proc.c:5961,6045): wrap keyword
-    occurrences.  Uses literal replace (no regex metachar surprises)."""
+    """highlight_html (proc.c:5961): wrap keyword occurrences.  Uses
+    literal replace (no regex metachar surprises).  Multi-keyword /
+    custom-tag / escaping variants: :func:`highlight_full`."""
     return F.replace(col, F.lit(keyword), F.lit(open_tag + keyword + close_tag))
+
+
+def highlight_full(
+    col,
+    keywords: "list[str]",
+    open_tag: str = '<span class="keyword">',
+    close_tag: str = "</span>",
+    html_escape: bool = False,
+) -> Column:
+    """highlight_full (proc.c:6045): multiple keywords, caller-chosen
+    open/close tags, optional HTML escaping of the source text first
+    (grn_text_escape analogue).  Keywords apply longest-first so a keyword
+    that is a prefix of another never shadows it.  Pinned deviation from
+    the reference's normalizer-aware scan: matching is exact-literal (the
+    engine normalizes text at index time, so post-top-k highlighting sees
+    already-normalized text); a keyword occurring inside an inserted tag
+    is not re-protected."""
+    c = _col(col)
+    if html_escape:
+        for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+            c = F.replace(c, F.lit(raw), F.lit(esc))
+    for kw in sorted(keywords, key=len, reverse=True):
+        c = F.replace(c, F.lit(kw), F.lit(open_tag + kw + close_tag))
+    return c
+
+
+def snippet_html_multi(
+    col,
+    keywords: "list[str]",
+    width: int = 60,
+    max_fragments: int = 3,
+    open_tag: str = '<span class="keyword">',
+    close_tag: str = "</span>",
+) -> Column:
+    """Multi-keyword, multi-fragment KWIC snippet (lib/snip.c:368-756):
+    one window per keyword's FIRST occurrence (up to ``max_fragments``),
+    every keyword highlighted inside every fragment; absent keywords yield
+    no fragment.  Returns ``array<string>`` like the reference's
+    snippet vector.  Pure Column expressions — meant to run AFTER top-k on
+    k rows, but cheap enough for a full scan (codegen'd).
+
+    Pinned deviation: the reference windows over ALL occurrences with a
+    byte budget; we window over first-occurrence-per-keyword, which keeps
+    the expression closed-form (and DuckDB-oracle-able)."""
+    c = _col(col)
+    frags = []
+    for kw in keywords[:max_fragments]:
+        pos = F.locate(kw, c)
+        start = F.greatest(F.lit(1), pos - F.lit(width // 2))
+        frag = F.substring(c, start.cast("int"), F.lit(width + len(kw)).cast("int"))
+        for k2 in sorted(keywords, key=len, reverse=True):
+            frag = F.replace(frag, F.lit(k2), F.lit(open_tag + k2 + close_tag))
+        frags.append(F.when(pos > 0, frag))
+    return F.filter(F.array(*frags), lambda x: x.isNotNull())
 
 
 def snippet_html(col, keyword: str, width: int = 40) -> Column:

@@ -68,6 +68,59 @@ class TestScriptFilter:
             parse_filter("(size == 1")
 
 
+class TestOutputFunctions:
+    def test_highlight_full_multi_keyword(self, spark):
+        from groonga_spark.functions import highlight_full
+
+        df = spark.createDataFrame(
+            [(1, "spark does a table scan on sparkly data")],
+            "id long, text string",
+        )
+        out = df.select(
+            highlight_full(
+                F.col("text"), ["spark", "scan"], "<em>", "</em>"
+            ).alias("h")
+        ).collect()[0]["h"]
+        # longest-first: 'sparkly' keeps its 'spark' prefix wrapped once,
+        # 'scan' wrapped independently
+        assert "<em>spark</em> does" in out
+        assert "table <em>scan</em>" in out
+        assert "<em>spark</em>ly" in out
+
+    def test_highlight_full_escape(self, spark):
+        from groonga_spark.functions import highlight_full
+
+        df = spark.createDataFrame([(1, "a<b & spark")], "id long, text string")
+        out = df.select(
+            highlight_full(F.col("text"), ["spark"], "<em>", "</em>", html_escape=True)
+            .alias("h")
+        ).collect()[0]["h"]
+        assert out == "a&lt;b &amp; <em>spark</em>"
+
+    def test_snippet_multi_fragments(self, spark):
+        from groonga_spark.functions import snippet_html_multi
+
+        long_text = ("x " * 40) + "spark here " + ("y " * 40) + "scan there " + ("z " * 10)
+        df = spark.createDataFrame(
+            [(1, long_text), (2, "only spark present"), (3, "neither word")],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id",
+                snippet_html_multi(
+                    F.col("text"), ["spark", "scan"], width=20, max_fragments=2
+                ).alias("s"),
+            ).collect()
+        }
+        assert len(rows[1]) == 2  # one KWIC window per keyword
+        assert '<span class="keyword">spark</span>' in rows[1][0]
+        assert '<span class="keyword">scan</span>' in rows[1][1]
+        assert len(rows[2]) == 1 and "spark" in rows[2][0]
+        assert rows[3] == []
+
+
 class TestPlanSelectors:
     """sub_filter / query as --filter script functions (func_sub_filter
     proc.c:5269, func_query proc.c:5138) — plan-level membership joins."""
@@ -285,4 +338,57 @@ class TestCommands:
         assert tsv.splitlines()[0] == "_key\tsize"
         assert tsv.splitlines()[1] == "b\t2"
         with pytest.raises(NotImplementedError):
-            format_output(res["records"], "xml")
+            format_output(res["records"], "nosuchformat")
+
+    def test_format_output_xml_msgpack(self, ctx):
+        import xml.etree.ElementTree as ET
+
+        from groonga_spark.msgpack import unpackb
+
+        ctx.load("t", self.ROWS)
+        res = ctx.select("t", filter="all_records()", sortby="size",
+                         output_columns="_key,size")
+        xml = format_output(res["records"], "xml")
+        root = ET.fromstring(xml)
+        assert root.tag == "RESULTSET" and root.attrib["NHITS"] == "3"
+        hits = list(root)
+        assert [h.find("FIELD[@NAME='_key']").text for h in hits] == ["a", "b", "c"]
+        mp = format_output(res["records"], "msgpack")
+        body = unpackb(mp)
+        # same shape as the JSON body: [[[count], [fields...]], rows...]
+        assert body[0][0] == [3]
+        assert [f[0] for f in body[0][1]] == ["_key", "size"]
+        assert body[0][2] == ["a", 1]
+
+    def test_msgpack_roundtrip_types(self):
+        from groonga_spark.msgpack import packb, unpackb
+
+        vals = [
+            None, True, False, 0, 1, 127, 128, 255, 256, 65536, 1 << 40,
+            -1, -32, -33, -128, -129, -(1 << 40), 3.14, "", "héllo",
+            "x" * 300, b"\x00\xff", [1, [2, "a"]], {"k": [1, 2], "n": None},
+            list(range(20)),
+        ]
+        for v in vals:
+            assert unpackb(packb(v)) == v
+
+    def test_labeled_drilldowns_with_params(self, ctx):
+        ctx.load("t", self.ROWS)
+        res = ctx.select(
+            "t",
+            filter="all_records()",
+            limit=0,
+            drilldowns={
+                "by_lang": {
+                    "keys": "lang",
+                    "calc": [("max", "size"), ("sum", "size")],
+                    "sortby": "-_nsubrecs",
+                    "limit": 1,
+                }
+            },
+        )
+        rows = res["drilldowns"]["by_lang"].collect()
+        assert len(rows) == 1
+        assert rows[0]["lang"] == "py"
+        assert rows[0]["_nsubrecs"] == 2
+        assert rows[0]["_max"] == 3 and rows[0]["_sum"] == 4
