@@ -1,0 +1,162 @@
+"""Distributed byte-pair-encoding (BPE) training + encoding for
+training-data pipelines (Sennrich et al., ACL'16 — the published
+subword-nmt algorithm re-expressed Spark-first).
+
+Training operates on the DISTINCT-WORD frequency table, not the corpus:
+at 100 TB the corpus may hold 10^12 tokens but only 10^7-ish distinct
+words, so each merge iteration is a groupBy over a small frame.  Shape per
+iteration:
+
+    words(syms: array<string>, wc: long)
+      → explode adjacent pairs (Column exprs, codegen)
+      → groupBy pair, sum(wc)  [one small shuffle]
+      → argmax pair to the driver (1 row)
+      → vectorized merge of that pair in every word (pandas UDF)
+
+Determinism: ties on pair count break lexicographically, so the merge
+sequence is reproducible across engines and cluster sizes — the same
+property the engine pins everywhere else (rank identity).
+
+Encoding replays the merge list greedily (lowest merge rank first — the
+standard BPE encode) inside one pandas UDF over the corpus; the merge
+list itself is a tiny broadcast variable."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc) — the distinct-word frequency table BPE trains on."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def _merge_pair_udf(a: str, b: str):
+    merged = a + b
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def merge(syms: pd.Series) -> pd.Series:
+        out = []
+        for s in syms:
+            s = list(s)
+            i, n, acc = 0, len(s), []
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    acc.append(merged)
+                    i += 2
+                else:
+                    acc.append(s[i])
+                    i += 1
+            out.append(acc)
+        return pd.Series(out)
+
+    return merge
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus.  Returns the ordered
+    merge list [(left, right), ...].  Stops early when no pair reaches
+    ``min_count``."""
+    words = word_frequencies(df, text_col).withColumn(
+        "syms",
+        F.concat(
+            F.split(F.col("word"), ""),  # per-character symbols
+            F.array(F.lit(END_OF_WORD)),
+        ),
+    )
+    words = words.select("syms", "wc").persist()
+    words.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                # fully-merged words (1 symbol) have no pairs — and
+                # sequence(1, 0) would DESCEND, not return empty
+                words.filter(F.size("syms") > 1)
+                .select(
+                    "wc",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("wc").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["n"] < min_count:
+                break
+            a, b = pairs[0]["a"], pairs[0]["b"]
+            merges.append((a, b))
+            nxt = words.withColumn("syms", _merge_pair_udf(a, b)(F.col("syms"))).persist()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens: array<string>, n_tokens) — encode each doc with the
+    learned merges (greedy lowest-rank-first, the standard BPE encode).
+    The merge table is tiny and ships inside the UDF closure (broadcast
+    by Spark's task serialization)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word) + [END_OF_WORD]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        return syms
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts.fillna(""):
+            toks: list[str] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                enc = cache.get(w)
+                if enc is None:
+                    enc = _encode_word(w)
+                    cache[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out)
+
+    out = df.select(F.col(id_col), encode(F.col(text_col)).alias("tokens"))
+    return out.withColumn("n_tokens", F.size("tokens").cast("long"))

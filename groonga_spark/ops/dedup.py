@@ -160,19 +160,7 @@ def ngram_jaccard_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    inter = (
-        cand.join(sh.select(F.col("id").alias("a"), "s"), "a")
-        .join(sh.select(F.col("id").alias("b"), "s"), ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    return _jaccard_on_pairs(sh, sizes, cand).filter(F.col("jaccard") >= threshold)
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -196,6 +184,73 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for j in range(16):
         sim = sim + F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return agg.select(F.col("id"), sim.alias("simhash"))
+
+
+def _jaccard_on_pairs(
+    sh: DataFrame, sizes: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for given candidate (a, b) pairs from the distinct
+    (id, s) shingle frame — the verification step shared by the prefix
+    filter and LSH-candidate paths."""
+    inter = (
+        cand.join(sh.select(F.col("id").alias("a"), "s"), "a")
+        .join(sh.select(F.col("id").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+        .select("a", "b", "jaccard")
+    )
+
+
+def dedup_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "exact",
+    threshold: float = 0.8,
+    k: int = 3,
+    n_bands: int = 4,
+    r: int = 2,
+) -> DataFrame:
+    """End-to-end corpus deduplication: returns ``df`` with duplicates
+    REMOVED (the canonical training-data pipeline step).
+
+    * ``method='exact'`` — hash-groupBy: one survivor (min id) per
+      identical text.
+    * ``method='minhash'`` — near-dedup: MinHash-LSH band join proposes
+      candidate pairs, exact k-shingle Jaccard verifies them, and every
+      doc that pairs (J >= threshold) with a SMALLER id is dropped.
+      Greedy pairwise semantics, pinned and deterministic: the kept set is
+      exactly {d : no verified pair (a, d) with a < d} — NOT transitive-
+      closure clustering (at 100 TB the connected-components iteration is
+      a separate opt-in; greedy-by-id is what subword/dolma-style
+      pipelines ship).  Identical docs always share all bands, so exact
+      duplicates are a subset of the candidates.
+    """
+    if method == "exact":
+        fp = exact_fingerprints(df, text_col, id_col)
+        keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        return df.join(keep, id_col, "left_semi")
+    if method != "minhash":
+        raise ValueError(method)
+    cand = minhash_candidate_pairs(df, text_col, id_col, n_bands, k, r)
+    sh = (
+        word_shingles(df, text_col, k)
+        .select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    verified = _jaccard_on_pairs(sh, sizes, cand).filter(
+        F.col("jaccard") >= threshold
+    )
+    drop = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
 
 
 SIMHASH_BITS = 60  # 15 md5 hex digits — fits signed int64 in Spark AND the

@@ -104,6 +104,58 @@ def lsh_neardup_pairs(
     )
 
 
+def _cell_assigner(cents_n: "np.ndarray"):
+    """pandas UDF assigning each vector to its nearest (cosine) centroid —
+    one broadcast matmul per Arrow batch."""
+
+    @F.pandas_udf(LongType())
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(m @ cents_n.T, axis=1).astype(np.int64))
+
+    return cell_udf
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic Lloyd refinement for IVF cells: init = the first
+    ``n_cells`` vectors by id (reproducible), then ``n_iter`` iterations of
+    assign (vectorized matmul UDF) → per-cell elementwise mean (posexplode
+    + groupBy(cell, dim) avg — a shuffle of n_cells·dim tiny rows, never
+    the vectors to the driver).  Empty cells keep their previous centroid.
+    Returns the L2-normalized (n_cells, dim) array."""
+    cent_rows = (
+        df.filter(F.col(id_col) < n_cells).orderBy(id_col).select(vec_col).collect()
+    )
+    cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+    cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    for _ in range(n_iter):
+        assigned = df.withColumn("_cell", _cell_assigner(cents_n)(F.col(vec_col)))
+        rows = (
+            assigned.select("_cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("_cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        nxt = cents_n.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["_cell"]), {})[int(r["pos"])] = float(r["m"])
+        for c, dims in by_cell.items():
+            vec = np.array([dims[p] for p in sorted(dims)], dtype=np.float64)
+            n = np.linalg.norm(vec)
+            if n > 1e-30:
+                nxt[c] = vec / n
+        cents_n = nxt
+    return cents_n
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec_id: int,
@@ -112,31 +164,18 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 2,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: deterministic centroids (the first n_cells
-    vectors by id — reproducible without k-means iterations), every vector
-    assigned to its nearest centroid (one broadcast matmul per Arrow batch),
-    query probes the n_probe nearest cells and scores exactly inside them.
-    At scale the assignment is a build-time table partitioned by cell; a
-    query touches n_probe/n_cells of the data."""
-    import pandas as pd  # noqa: F811
+    """IVF (inverted-file) ANN: deterministic Lloyd-refined centroids
+    (:func:`kmeans_centroids` — seeded by the first n_cells vectors, so
+    reproducible), every vector assigned to its nearest centroid (one
+    broadcast matmul per Arrow batch), query probes the n_probe nearest
+    cells and scores exactly inside them.  At scale the assignment is a
+    build-time table partitioned by cell; a query touches
+    n_probe/n_cells of the data."""
+    cents_n = kmeans_centroids(df, n_cells, refine_iters, vec_col, id_col)
 
-    cent_rows = (
-        df.filter(F.col(id_col) < n_cells)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    cents = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
-    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-
-    @F.pandas_udf(LongType())
-    def cell_udf(vs: pd.Series) -> pd.Series:
-        m = np.asarray(vs.tolist(), dtype=np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return pd.Series(np.argmax(m @ cents_n.T, axis=1).astype(np.int64))
-
-    assigned = df.withColumn("_cell", cell_udf(F.col(vec_col)))
+    assigned = df.withColumn("_cell", _cell_assigner(cents_n)(F.col(vec_col)))
     qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     qv = np.asarray(qrow[0][0], dtype=np.float64)
     qn = qv / np.linalg.norm(qv)

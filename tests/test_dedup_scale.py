@@ -17,9 +17,13 @@ def boiler_docs(spark):
         if i % 3 == 0:
             body = f"unique{i} words number{i} appear here token{i - 1}"
         rows.append((i, f"spdx license identifier apache {body}"))
-    # two true near-dups
-    rows.append((100, "spdx license identifier apache unique1 words number1 appear here token1 extra"))
-    rows.append((101, "spdx license identifier apache unique1 words number1 appear here token1"))
+    # planted dups: 101 is an exact copy of 100 (guaranteed to share every
+    # LSH band), 102 differs by one trailing word (usually a candidate,
+    # but the deterministic md5 draw may miss it — covered by the
+    # kept == want equivalence, not asserted individually)
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota extra"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta iota extra"))
+    rows.append((102, "alpha beta gamma delta epsilon zeta eta theta iota"))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -61,9 +65,8 @@ def test_prefix_filter_jaccard_exact(spark, boiler_docs, threshold):
         for r in _naive_jaccard(spark, boiler_docs, 3, threshold).collect()
     }
     assert got == want
-    assert (100, 101, 1.0) not in got  # sanity: they differ by one shingle set
-    if threshold <= 0.5:
-        assert any(a == 100 and b == 101 for a, b, _ in got)
+    assert (100, 101, 1.0) in got  # identical docs
+    assert any(a == 100 and b == 102 for a, b, _ in got)  # J = 8/9 pair
 
 
 def test_banded_simhash_equals_bruteforce(spark, boiler_docs):
@@ -91,6 +94,48 @@ def test_banded_simhash_rejects_unsound_params(spark, boiler_docs):
 
     with pytest.raises(ValueError):
         simhash_dup_pairs(boiler_docs, max_hamming=4, n_bands=4)
+
+
+def test_dedup_documents_exact(spark):
+    from groonga_spark.ops.dedup import dedup_documents
+
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different"),
+         (4, "same text here")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_documents(df, method="exact").collect())
+    assert kept == [1, 3]
+
+
+def test_dedup_documents_minhash_greedy_by_id(spark, boiler_docs):
+    from groonga_spark.ops.dedup import (
+        dedup_documents,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    t = 0.5
+    kept = {
+        r["doc_id"]
+        for r in dedup_documents(
+            boiler_docs, method="minhash", threshold=t, k=3, n_bands=4, r=2
+        ).collect()
+    }
+    # expected: drop every doc that pairs (J >= t) with a smaller id AND
+    # was an LSH candidate
+    cand = {
+        (r["a"], r["b"])
+        for r in minhash_candidate_pairs(boiler_docs, n_bands=4, k=3, r=2).collect()
+    }
+    true_pairs = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(boiler_docs, k=3, threshold=t).collect()
+    }
+    drop = {b for (a, b) in (cand & true_pairs)}
+    want = {r["doc_id"] for r in boiler_docs.collect()} - drop
+    assert kept == want
+    assert 101 not in kept and 100 in kept  # exact copy always dropped
 
 
 def test_rolling_fingerprints_vectorized(spark):
