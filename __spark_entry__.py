@@ -330,6 +330,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def logical_select_q(spark, sf):
+        # logical_select (plugins/sharding/logical_select.rb): shard-range
+        # select = partition-pruning predicate over the time-keyed table
+        from groonga_spark.commands import CommandContext
+
+        sfname = sf.rstrip("/").rsplit("/", 1)[-1]
+        ctx = CommandContext(spark, f"/tmp/groonga_spark_lsdb_{sfname}")
+        ctx.load(
+            "events", _read(spark, sf, "events").withColumn("_key", F.col("event_id"))
+        )
+        res = ctx.logical_select(
+            "events",
+            shard_key="ts",
+            min_v="2024-01-02",
+            max_v="2024-01-04",
+            filter="value >= 5",
+            sortby="ts",
+            limit=50,
+            output_columns="event_id,value",
+        )
+        return res["records"]
+
+    def logical_range_filter_q(spark, sf):
+        # logical_range_filter: early-terminating ordered slice —
+        # TakeOrderedAndProject over the pruned shard range
+        from groonga_spark.commands import CommandContext
+
+        sfname = sf.rstrip("/").rsplit("/", 1)[-1]
+        ctx = CommandContext(spark, f"/tmp/groonga_spark_lsdb2_{sfname}")
+        ctx.load(
+            "events", _read(spark, sf, "events").withColumn("_key", F.col("event_id"))
+        )
+        return ctx.logical_range_filter(
+            "events",
+            shard_key="ts",
+            min_v="2024-01-03",
+            order="descending",
+            limit=30,
+            output_columns="event_id,value",
+        )
+
+    def dynamic_column_q(spark, sf):
+        # --columns[label]: derived column computed at select time from a
+        # script expression, usable in --filter/--sortby/--output_columns
+        from groonga_spark.commands import CommandContext
+
+        sfname = sf.rstrip("/").rsplit("/", 1)[-1]
+        ctx = CommandContext(spark, f"/tmp/groonga_spark_dcdb_{sfname}")
+        ctx.load(
+            "orders_t", _read(spark, sf, "orders").withColumn("_key", F.col("o_orderkey"))
+        )
+        res = ctx.select(
+            "orders_t",
+            columns={"discounted": {"stage": "initial", "value": "o_totalprice * 0.9"}},
+            filter="discounted > 400000.0",
+            sortby="-discounted,o_orderkey",
+            output_columns="o_orderkey,discounted",
+            limit=20,
+        )
+        return res["records"].select(
+            "o_orderkey", F.round("discounted", 2).alias("discounted")
+        )
+
     def logical_count_q(spark, sf):
         # logical_count (plugins/sharding/logical_count.rb): count across
         # time-sharded tables = count over the time-partitioned table
@@ -923,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drilldown_labeled=drilldown_labeled,
         drilldown_vector=drilldown_vector,
         logical_count_q=logical_count_q,
+        logical_select_q=logical_select_q,
+        logical_range_filter_q=logical_range_filter_q,
+        dynamic_column_q=dynamic_column_q,
         setop_and=setop_and,
         setop_and_not=setop_and_not,
         setop_adjust=setop_adjust,
@@ -1182,6 +1248,18 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20"""
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
 GROUP BY event_type"""
+
+    o["logical_select_q"] = """SELECT event_id, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04'
+AND value >= 5 ORDER BY ts LIMIT 50"""
+
+    o["logical_range_filter_q"] = """SELECT event_id, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-03' ORDER BY ts DESC LIMIT 30"""
+
+    o["dynamic_column_q"] = """SELECT o_orderkey,
+round(o_totalprice * 0.9, 2) AS discounted FROM orders
+WHERE o_totalprice * 0.9 > 400000.0
+ORDER BY o_totalprice * 0.9 DESC, o_orderkey LIMIT 20"""
 
     o["range_filter_q"] = """SELECT event_id, value FROM events
 WHERE value >= 10 AND value <= 20

@@ -189,6 +189,7 @@ class CommandContext:
         limit: int = 10,
         drilldown: str | None = None,
         drilldowns: dict | None = None,
+        columns: dict | None = None,
         text_cols: list[str] | None = None,
         tokenizer: str = "bigram",
         id_col: str = "doc_id",
@@ -204,6 +205,14 @@ class CommandContext:
         offset -5 = 5th-from-last record, limit -1 = everything remaining.
         """
         df = self._read(table)
+        # dynamic columns (--columns[label].stage=initial + .value, the
+        # grn_select "columns" parameter, proc.c select_v2 path): computed
+        # BEFORE filtering so --filter/--sortby/--output_columns can
+        # reference them; the value is a script expression compiled to a
+        # Catalyst Column (whole-stage codegen, pushdown-friendly)
+        for cname, spec in (columns or {}).items():
+            value = spec["value"] if isinstance(spec, dict) else spec
+            df = df.withColumn(cname, parse_filter(value))
         # a negative offset/limit (or a post-match --filter) needs the FULL
         # match set — the engine's top-k page can't serve it
         need_full = filter is not None or offset < 0 or limit < 0
@@ -310,6 +319,102 @@ class CommandContext:
                 )
             dd[label] = g
         return {"n_hits": n_hits, "records": page, "drilldowns": dd}
+
+    # -- sharding commands (plugins/sharding/logical_*.rb) ------------------
+    @staticmethod
+    def _range_filter_expr(
+        shard_key: str,
+        min_v,
+        max_v,
+        min_border: str = "include",
+        max_border: str = "exclude",
+        filter: str | None = None,
+    ) -> str | None:
+        parts = []
+        if min_v is not None:
+            op = ">=" if min_border == "include" else ">"
+            parts.append(f'{shard_key} {op} "{min_v}"')
+        if max_v is not None:
+            op = "<=" if max_border == "include" else "<"
+            parts.append(f'{shard_key} {op} "{max_v}"')
+        if filter:
+            parts.append(f"({filter})")
+        return " && ".join(parts) or None
+
+    def logical_select(
+        self,
+        table: str,
+        shard_key: str = "ts",
+        min_v=None,
+        max_v=None,
+        min_border: str = "include",
+        max_border: str = "exclude",
+        filter: str | None = None,
+        **select_kw,
+    ) -> dict:
+        """``logical_select`` (plugins/sharding/logical_select.rb): select
+        across time shards.  The reference walks per-day shard tables; the
+        Spark-native shape is ONE time-partitioned table where the shard
+        range compiles to a partition-pruning predicate — the scan touches
+        only the shards in range (``PartitionFilters`` in the plan)."""
+        cond = self._range_filter_expr(
+            shard_key, min_v, max_v, min_border, max_border, filter
+        )
+        return self.select(table, filter=cond, **select_kw)
+
+    def logical_range_filter(
+        self,
+        table: str,
+        shard_key: str = "ts",
+        min_v=None,
+        max_v=None,
+        min_border: str = "include",
+        max_border: str = "exclude",
+        filter: str | None = None,
+        order: str = "ascending",
+        offset: int = 0,
+        limit: int = 10,
+        output_columns: str | None = None,
+    ) -> DataFrame:
+        """``logical_range_filter`` (logical_range_filter.rb): the
+        early-terminating ordered slice over the shard range — shard-key
+        order + limit, i.e. Catalyst's TakeOrderedAndProject over the
+        pruned scan (the reference stops walking shards once the limit
+        fills; top-k over pruned partitions is the same work-skipping)."""
+        res = self.logical_select(
+            table,
+            shard_key,
+            min_v,
+            max_v,
+            min_border,
+            max_border,
+            filter,
+            sortby=(("-" if order == "descending" else "") + shard_key),
+            offset=offset,
+            limit=limit,
+            output_columns=output_columns,
+        )
+        return res["records"]
+
+    def logical_count(
+        self,
+        table: str,
+        shard_key: str = "ts",
+        min_v=None,
+        max_v=None,
+        min_border: str = "include",
+        max_border: str = "exclude",
+        filter: str | None = None,
+    ) -> int:
+        """``logical_count`` (logical_count.rb): count over the shard
+        range — a pruned scan + count, nothing collected."""
+        df = self._read(table)
+        cond = self._range_filter_expr(
+            shard_key, min_v, max_v, min_border, max_border, filter
+        )
+        if cond:
+            df = df.filter(parse_filter(cond))
+        return df.count()
 
     # -- status (proc.c:6797) ----------------------------------------------
     def status(self) -> dict:

@@ -372,6 +372,39 @@ class TestCommands:
         for v in vals:
             assert unpackb(packb(v)) == v
 
+    def test_logical_commands(self, ctx, spark):
+        rows = [
+            {"_key": f"e{i}", "eid": i, "ts": f"2024-01-0{i}", "v": i * 10}
+            for i in range(1, 8)
+        ]
+        ctx.load("ev", rows)
+        assert ctx.logical_count("ev", shard_key="ts", min_v="2024-01-02",
+                                 max_v="2024-01-05") == 3  # 2,3,4 (max excl)
+        assert ctx.logical_count("ev", shard_key="ts", min_v="2024-01-02",
+                                 max_v="2024-01-05", max_border="include") == 4
+        res = ctx.logical_select("ev", shard_key="ts", min_v="2024-01-03",
+                                 filter="v >= 40", sortby="ts", limit=10,
+                                 output_columns="eid,v")
+        assert [r["eid"] for r in res["records"].collect()] == [4, 5, 6, 7]
+        rec = ctx.logical_range_filter("ev", shard_key="ts", max_v="2024-01-06",
+                                       order="descending", limit=2,
+                                       output_columns="eid")
+        assert [r["eid"] for r in rec.collect()] == [5, 4]
+
+    def test_dynamic_columns(self, ctx):
+        ctx.load("t", self.ROWS)
+        res = ctx.select(
+            "t",
+            columns={"double_size": {"stage": "initial", "value": "size * 2"}},
+            filter="double_size >= 4",
+            sortby="-double_size",
+            output_columns="_key,double_size",
+        )
+        assert [(r["_key"], r["double_size"]) for r in res["records"].collect()] == [
+            ("c", 6),
+            ("b", 4),
+        ]
+
     def test_labeled_drilldowns_with_params(self, ctx):
         ctx.load("t", self.ROWS)
         res = ctx.select(
