@@ -1075,6 +1075,9 @@ class SearchEngine:
         single matched section, so the weighted block bound is sound."""
         (sec_weight,) = weights.values()
         blocks = self._filtered_blocks([term], term_meta)
+        # unpartitioned window over BLOCK METADATA only (≈ df/128 rows for
+        # ONE term — thousands of rows for a 100M-doc term, never postings);
+        # the single-partition funnel is bounded by that metadata size
         w = Window.orderBy(F.desc("max_score"), F.asc("first_doc_id"))
         blocks = blocks.withColumn("_cum", F.sum("n").over(w))
         phase1 = blocks.filter(F.col("_cum") - F.col("n") < k).drop("_cum")
