@@ -266,6 +266,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term that is a prefix of 'sparkling'
         return _engine(spark, sf).lcp_search("sparkling")
 
+    # ---- suggest family (plugins/suggest/suggest.c) -----------------------
+    def suggest_complete_q(spark, sf):
+        from groonga_spark.suggest import complete
+
+        return complete(_engine(spark, sf), "sc", 10)
+
+    def suggest_correct_q(spark, sf):
+        from groonga_spark.suggest import correct
+
+        return correct(_engine(spark, sf), "spork", max_distance=2, k=10)
+
+    def suggest_cooccur_q(spark, sf):
+        from groonga_spark.suggest import suggest_cooccur
+
+        return suggest_cooccur(_read(spark, sf, "documents"), "spark", k=15)
+
     # ---- pluggable scorers + adjuster (§2.3, §2.12) -----------------------
     def scorer_tfidf_q(spark, sf):
         eng = _engine(spark, sf)
@@ -850,6 +866,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return langid(_read(spark, sf, "documents"))
 
+    def langid_trigram_q(spark, sf):
+        # trigram-profile language ID (Cavnar-Trenkle) — upgrade over the
+        # stopword-ratio heuristic of langid_q; pure Column exprs
+        from groonga_spark.ops.textstats import langid_trigram
+
+        return langid_trigram(_read(spark, sf, "documents"))
+
     def fingerprint_q(spark, sf):
         from groonga_spark.ops.textstats import rolling_fingerprints
 
@@ -981,6 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_col_suffix=q_col_suffix,
         q_pragma_similar=q_pragma_similar,
         lexicon_lcp_q=lexicon_lcp_q,
+        suggest_complete_q=suggest_complete_q,
+        suggest_correct_q=suggest_correct_q,
+        suggest_cooccur_q=suggest_cooccur_q,
         scorer_tf_at_most_q=scorer_tf_at_most_q,
         doclen_stats=doclen_stats,
         drilldown_labeled=drilldown_labeled,
@@ -1004,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         html_untag_q=html_untag_q,
         stopword_tf_q=stopword_tf_q,
         langid_q=langid_q,
+        langid_trigram_q=langid_trigram_q,
         bpe_counts_q=bpe_counts_q,
         minhash_bands_q=minhash_bands_q,
         multimodal_meta=multimodal_meta,
@@ -1195,6 +1222,21 @@ GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
     o["ft_term_extract"] = f"""{_CTE}
 SELECT term, df FROM dft
 WHERE term IN ('spark', 'zzznotaword', 'scan', 'batch')"""
+
+    o["suggest_complete_q"] = f"""{_CTE}
+SELECT term, df FROM dft WHERE term LIKE 'sc%'
+ORDER BY df DESC, term LIMIT 10"""
+
+    o["suggest_correct_q"] = f"""{_CTE}
+SELECT term, df, levenshtein(term, 'spork')::BIGINT AS distance FROM dft
+WHERE levenshtein(term, 'spork') <= 2
+ORDER BY distance, df DESC, term LIMIT 10"""
+
+    o["suggest_cooccur_q"] = f"""{_CTE}
+SELECT term, count(*)::BIGINT AS n FROM tf
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+AND term <> 'spark'
+GROUP BY term ORDER BY n DESC, term LIMIT 15"""
 
     o["scorer_tfidf_q"] = f"""{_CTE}
 SELECT doc_id,
@@ -1511,6 +1553,29 @@ FROM s"""
 FROM documents)
 SELECT doc_id, round(ns::DOUBLE / nw::DOUBLE, 4) AS en_ratio,
 CASE WHEN na >= nw AND nw > 0 THEN 'en' ELSE 'unk' END AS pred
+FROM s"""
+
+    from groonga_spark.ops.textstats import lang_profiles
+
+    _profs = lang_profiles()
+
+    def _score_sql(lang: str) -> str:
+        lit = ", ".join("'" + g.replace("'", "''") + "'" for g in _profs[lang])
+        return (
+            "len(list_intersect(list_distinct(list_transform("
+            "range(1, length(' ' || text || ' ') - 1), "
+            "i -> substr(' ' || text || ' ', i, 3))), "
+            f"[{lit}]))::BIGINT"
+        )
+
+    o["langid_trigram_q"] = f"""WITH s AS (SELECT doc_id,
+  {_score_sql('en')} AS s_en, {_score_sql('fr')} AS s_fr,
+  {_score_sql('de')} AS s_de, {_score_sql('es')} AS s_es
+FROM documents)
+SELECT doc_id, s_en, s_fr, s_de, s_es,
+CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+     WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred
 FROM s"""
 
     o["multimodal_meta"] = """SELECT doc_id AS media_id, 'image' AS kind,

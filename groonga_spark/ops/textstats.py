@@ -73,6 +73,68 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
+# character-trigram profiles per language (Cavnar & Trenkle '94 n-gram
+# text categorization, profile = padded trigrams of high-frequency
+# function words — public linguistics knowledge, ASCII-only on purpose)
+_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with",
+           "was", "on", "are", "this", "have", "not"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "est",
+           "que", "pour", "dans", "avec", "pas"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "mit", "von", "den", "auf", "als", "sich", "dem"],
+    "es": ["el", "los", "las", "de", "y", "en", "un", "una", "es", "que",
+           "por", "con", "para", "no", "del"],
+}
+
+
+def lang_profiles() -> dict[str, list[str]]:
+    """lang → sorted padded-trigram profile (shared with the oracle)."""
+    out = {}
+    for lang, words in _LANG_WORDS.items():
+        grams: set[str] = set()
+        for w in words:
+            p = f" {w} "
+            grams |= {p[i : i + 3] for i in range(len(p) - 2)}
+        out[lang] = sorted(grams)
+    return out
+
+
+def langid_trigram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, s_en, s_fr, s_de, s_es, pred) — trigram-profile language ID:
+    the doc's distinct padded character trigrams intersect each language
+    profile; pred = argmax score (ties resolved in en,fr,de,es order).
+    Pure Column expressions (one trigram array per row + 4 JVM-side
+    array_intersects) — no UDF, no shuffle; the per-row trigram array is
+    O(len(text)) and never materialized past the project."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length(concat(' ', {text_col}, ' ')) - 2),"
+            f" i -> substring(concat(' ', {text_col}, ' '), i, 3))"
+        )
+    )
+    profs = lang_profiles()
+    scores = {
+        lang: F.size(
+            F.array_intersect(
+                grams, F.array(*[F.lit(g) for g in profs[lang]])
+            )
+        ).cast("long")
+        for lang in ("en", "fr", "de", "es")
+    }
+    out = df.select(F.col(id_col), *[scores[l].alias(f"s_{l}") for l in scores])
+    pred = F.when(
+        (F.col("s_en") >= F.col("s_fr"))
+        & (F.col("s_en") >= F.col("s_de"))
+        & (F.col("s_en") >= F.col("s_es")),
+        F.lit("en"),
+    ).when(
+        (F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")),
+        F.lit("fr"),
+    ).when(F.col("s_de") >= F.col("s_es"), F.lit("de")).otherwise(F.lit("es"))
+    return out.withColumn("pred", pred)
+
+
 _BASE = 1000003
 _M64 = 1 << 64
 
