@@ -266,6 +266,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term that is a prefix of 'sparkling'
         return _engine(spark, sf).lcp_search("sparkling")
 
+    def query_expander_q(spark, sf):
+        # --query_expander (QueryExpanderTSV): 'fast' rewrites to the OR
+        # of its substitutions before matching
+        eng = _engine(spark, sf)
+        res = eng.select(
+            "fast",
+            k=10,
+            escalate=False,
+            query_expander={"fast": ["fast", "slow"]},
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    def lm_bigram_q(spark, sf):
+        # corpus-MLE bigram LM quality score (bits/token) — perplexity
+        # filter of training-data pipelines
+        from groonga_spark.ops.textstats import lm_bigram_scores
+
+        return lm_bigram_scores(_read(spark, sf, "documents"))
+
     # ---- suggest family (plugins/suggest/suggest.c) -----------------------
     def suggest_complete_q(spark, sf):
         from groonga_spark.suggest import complete
@@ -1004,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_col_suffix=q_col_suffix,
         q_pragma_similar=q_pragma_similar,
         lexicon_lcp_q=lexicon_lcp_q,
+        query_expander_q=query_expander_q,
+        lm_bigram_q=lm_bigram_q,
         suggest_complete_q=suggest_complete_q,
         suggest_correct_q=suggest_correct_q,
         suggest_cooccur_q=suggest_cooccur_q,
@@ -1222,6 +1243,25 @@ GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
     o["ft_term_extract"] = f"""{_CTE}
 SELECT term, df FROM dft
 WHERE term IN ('spark', 'zzznotaword', 'scan', 'batch')"""
+
+    o["query_expander_q"] = f"""{_CTE}
+SELECT doc_id, round(sum(s), 4) AS score FROM bm
+WHERE term IN ('fast', 'slow')
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    o["lm_bigram_q"] = """WITH pr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+pairs AS (SELECT doc_id, unnest(list_transform(range(2, len(a) + 1),
+          i -> struct_pack(prev := a[i-1], w := a[i]))) AS p FROM pr),
+flat AS (SELECT doc_id, p.prev AS prev, p.w AS w FROM pairs),
+pc AS (SELECT prev, w, count(*)::BIGINT AS c_pair FROM flat GROUP BY 1, 2),
+pv AS (SELECT prev, sum(c_pair)::BIGINT AS c_prev FROM pc GROUP BY 1)
+SELECT f.doc_id, count(*)::BIGINT AS n_bigrams,
+round(avg(log2(pv.c_prev::DOUBLE) - log2(pc.c_pair::DOUBLE)), 4) AS nll
+FROM flat f JOIN pc ON f.prev = pc.prev AND f.w = pc.w
+JOIN pv ON f.prev = pv.prev
+GROUP BY f.doc_id"""
 
     o["suggest_complete_q"] = f"""{_CTE}
 SELECT term, df FROM dft WHERE term LIKE 'sc%'

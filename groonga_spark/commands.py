@@ -75,6 +75,59 @@ class CommandContext:
             if os.path.isdir(os.path.join(self.db_path, d))
         )
 
+    # -- DDL commands (proc.c table_create:2722, column_create:2930,
+    #    column_list:3523, table_remove:2852) --------------------------------
+    def table_create(self, table: str, schema: str = "_key string") -> None:
+        """``table_create --name T``: an empty parquet directory with the
+        declared schema (the Iceberg path is CREATE TABLE)."""
+        path = self._path(table)
+        if os.path.exists(path):
+            raise ValueError(f"table {table!r} exists")
+        self.spark.createDataFrame([], schema).write.parquet(path)
+        self._invalidate(table)
+
+    def table_remove(self, table: str) -> None:
+        """``table_remove --name T`` (proc.c:2852)."""
+        shutil.rmtree(self._path(table))
+        self._engines.pop(table, None)
+
+    def column_create(
+        self, table: str, name: str, type: str = "string", default=None
+    ) -> None:
+        """``column_create --table T --name c --type t``: schema evolution
+        by rewrite (Iceberg: ALTER TABLE ADD COLUMN, metadata-only)."""
+        df = self._read(table)
+        if name in df.columns:
+            raise ValueError(f"column {name!r} exists")
+        out = df.withColumn(name, F.lit(default).cast(type))
+        path = self._path(table)
+        tmp = path + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._invalidate(table)
+
+    def column_list(self, table: str) -> list[tuple[str, str]]:
+        """``column_list --table T`` → [(name, type), ...]."""
+        return [
+            (f.name, f.dataType.simpleString())
+            for f in self._read(table).schema.fields
+        ]
+
+    def reindex(
+        self,
+        table: str,
+        text_cols: list[str] | None = None,
+        tokenizer: str = "bigram",
+        id_col: str = "doc_id",
+    ) -> None:
+        """``reindex`` (proc.c reindex command): drop the cached engine and
+        eagerly rebuild the inverted index for the table."""
+        self._engines.pop(table, None)
+        df = self._read(table)
+        eng = self._get_engine(table, df, text_cols, tokenizer, id_col)
+        eng.index.persist()
+
     # -- load (proc.c:1371) ------------------------------------------------
     def load(
         self,

@@ -73,6 +73,56 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
+def lm_bigram_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bigrams, nll) — language-model quality score: mean negative
+    log2-likelihood (bits per token) of each doc under the corpus's own
+    MLE bigram model.  Low nll = repetitive/templated text, high nll =
+    unusual token transitions — the standard perplexity filter of
+    training-data pipelines, minus the external LM.
+
+    Distributed shape: bigram explode (Column exprs) → global (prev, w)
+    count → count join back → per-doc mean.  The model table is
+    O(distinct bigrams), the join is a plain equi-join on (prev, w) —
+    no driver-side model, no UDF.  MLE on the scoring corpus itself means
+    every observed bigram has nonzero probability (no smoothing needed);
+    docs with < 2 tokens score null."""
+    arr = F.split(F.col(text_col), " ")
+    pairs = (
+        df.select(F.col(id_col), arr.alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i-1] AS prev, a[i] AS w))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.prev", "p.w")
+    )
+    pair_counts = pairs.groupBy("prev", "w").agg(F.count("*").alias("c_pair"))
+    prev_counts = pair_counts.groupBy("prev").agg(F.sum("c_pair").alias("c_prev"))
+    scored = (
+        pairs.join(pair_counts, ["prev", "w"])
+        .join(prev_counts, "prev")
+        .withColumn(
+            "bits",
+            F.log2(F.col("c_prev").cast("double"))
+            - F.log2(F.col("c_pair").cast("double")),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("bits"), 4).alias("nll"),
+        )
+    )
+
+
 # character-trigram profiles per language (Cavnar & Trenkle '94 n-gram
 # text categorization, profile = padded trigrams of high-frequency
 # function words — public linguistics knowledge, ASCII-only on purpose)

@@ -266,6 +266,7 @@ class SearchEngine:
         scorer: str = "bm25",
         adjuster: list[tuple[str, float]] | None = None,
         escalation_threshold: int = 0,
+        query_expander: "dict[str, list[str]] | None" = None,
     ) -> DataFrame:
         """Returns (doc_id, score) top-k, rank-identical ordering.
 
@@ -294,6 +295,7 @@ class SearchEngine:
             adjuster=adjuster,
             escalation_threshold=escalation_threshold,
             count_hits=False,
+            query_expander=query_expander,
         )
         return out
 
@@ -309,6 +311,7 @@ class SearchEngine:
         escalation_threshold: int = 0,
         need_full: bool = False,
         count_hits: bool = True,
+        query_expander: "dict[str, list[str]] | None" = None,
     ) -> tuple[DataFrame, int]:
         """Like :meth:`select` but also returns the exact TOTAL hit count
         (the reference select's first output element) from the SAME
@@ -348,6 +351,11 @@ class SearchEngine:
             )
             return out, n_hits
 
+        if query_expander:
+            # --query_expander (QueryExpanderTSV, plugins/query_expanders/
+            # tsv.c): each matching source term rewrites to the OR of its
+            # substitutions BEFORE tokenization/compilation
+            ast = _expand_ast(ast, query_expander)
         atoms: list[_Atom] = []
         plan = self._compile_atoms(ast, atoms)
         if prag.weights is not None:
@@ -1113,6 +1121,26 @@ def _est_df(node) -> int:
     if isinstance(node, qp.Not):
         return _est_df(node.positive)
     return 1 << 60  # ColumnOp scans: cardinality unknown → join last
+
+
+def _expand_ast(node, table: "dict[str, list[str]]"):
+    """Query expansion (QueryExpanderTSV, plugins/query_expanders/tsv.c):
+    a Term whose text is a key of ``table`` becomes the OR of its
+    substitution terms; everything else passes through.  Phrases/NEAR and
+    column operators are not expanded (the reference expands word tokens
+    only)."""
+    if isinstance(node, qp.Term) and not node.prefix:
+        subs = table.get(node.text)
+        if subs:
+            terms = [qp.Term(s[:-1], prefix=True) if s.endswith("*") and len(s) > 1
+                     else qp.Term(s) for s in subs]
+            return terms[0] if len(terms) == 1 else qp.Or(terms)
+        return node
+    if isinstance(node, (qp.And, qp.Or)):
+        return type(node)([_expand_ast(c, table) for c in node.children])
+    if isinstance(node, qp.Not):
+        return qp.Not(_expand_ast(node.positive, table), _expand_ast(node.negative, table))
+    return node
 
 
 def _strip_pragmas(q: str) -> str:

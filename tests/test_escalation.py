@@ -71,6 +71,19 @@ def test_explicit_syntax_never_escalates(eng):
     assert n == 0 and _ids(out) == []
 
 
+def test_query_expander_prefix_substitution(eng):
+    # QueryExpanderTSV: substitutions may themselves be prefix patterns
+    out, n = eng.select_with_count(
+        "fast", escalate=False, query_expander={"fast": ["fas*"]}
+    )
+    assert _ids(out) == [1, 2] and n == 2  # fast + fastest
+    # non-matching terms pass through unexpanded
+    out2, n2 = eng.select_with_count(
+        "rare", escalate=False, query_expander={"fast": ["fas*"]}
+    )
+    assert _ids(out2) == [4] and n2 == 1
+
+
 def test_n_hits_uncapped_by_k(eng):
     # k=1 page, but n_hits reports the full match count
     out, n = eng.select_with_count("the", k=1, escalate=False)

@@ -372,6 +372,34 @@ class TestCommands:
         for v in vals:
             assert unpackb(packb(v)) == v
 
+    def test_ddl_commands(self, ctx, spark):
+        ctx.table_create("newt", "_key string, n long")
+        assert "newt" in ctx.table_list()
+        assert ctx.dump("newt").count() == 0
+        with pytest.raises(ValueError):
+            ctx.table_create("newt")
+        ctx.load("newt", [{"_key": "a", "n": 1}])
+        ctx.column_create("newt", "tag", "string", default="x")
+        assert ("tag", "string") in ctx.column_list("newt")
+        assert ctx.dump("newt").collect()[0]["tag"] == "x"
+        with pytest.raises(ValueError):
+            ctx.column_create("newt", "tag")
+        ctx.table_remove("newt")
+        assert "newt" not in ctx.table_list()
+
+    def test_reindex(self, ctx, spark):
+        ctx.load(
+            "ridx",
+            [
+                {"doc_id": 1, "_key": "a", "text": "merge sort"},
+                {"doc_id": 2, "_key": "b", "text": "hash join"},
+            ],
+        )
+        ctx.reindex("ridx", text_cols=["text"], tokenizer="delimit")
+        assert "ridx" in ctx._engines
+        res = ctx.select("ridx", query="merge", text_cols=["text"])
+        assert res["n_hits"] == 1
+
     def test_logical_commands(self, ctx, spark):
         rows = [
             {"_key": f"e{i}", "eid": i, "ts": f"2024-01-0{i}", "v": i * 10}
