@@ -428,6 +428,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", F.round("discounted", 2).alias("discounted")
         )
 
+    def ordered_topk_q(spark, sf):
+        # index-assisted sort (§2.7): range-partitioned sorted layout +
+        # footer-statistics file pruning — ORDER BY ts LIMIT k scans only
+        # the files whose min/max can contain the top-k
+        import os as _os
+
+        from groonga_spark.ordered import topk_sorted, write_sorted
+
+        sfname = sf.rstrip("/").rsplit("/", 1)[-1]
+        path = f"/tmp/groonga_spark_sorted_{sfname}"
+        write_sorted(_read(spark, sf, "events"), path, "ts", n_buckets=8)
+        return topk_sorted(spark, path, "ts", 25, select_cols=["event_id", "value"])
+
     def logical_count_q(spark, sf):
         # logical_count (plugins/sharding/logical_count.rb): count across
         # time-sharded tables = count over the time-partitioned table
@@ -1035,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         logical_count_q=logical_count_q,
         logical_select_q=logical_select_q,
         logical_range_filter_q=logical_range_filter_q,
+        ordered_topk_q=ordered_topk_q,
         dynamic_column_q=dynamic_column_q,
         setop_and=setop_and,
         setop_and_not=setop_and_not,
@@ -1337,6 +1351,9 @@ AND value >= 5 ORDER BY ts LIMIT 50"""
 
     o["logical_range_filter_q"] = """SELECT event_id, value FROM events
 WHERE ts >= TIMESTAMP '2024-01-03' ORDER BY ts DESC LIMIT 30"""
+
+    o["ordered_topk_q"] = """SELECT event_id, value FROM events
+ORDER BY ts LIMIT 25"""
 
     o["dynamic_column_q"] = """SELECT o_orderkey,
 round(o_totalprice * 0.9, 2) AS discounted FROM orders

@@ -54,6 +54,8 @@ HEADLINE = [
     "simhash_pairs_q",
     "jaccard_pairs",
     "fingerprint_q",
+    "dedup_near_q",
+    "lm_bigram_q",
     "cosine_topk_q",
     "token_counts_q",
     "quality_q",

@@ -64,6 +64,34 @@ def main() -> None:
     tf2 = salted_tf(tf, doclens, make_dictionary(tf), single_section=True)
     out.append("```\n" + grab(tf2) + "```\n")
 
+    out.append("## Column-operator pushdown (q_col_range)\n")
+    out.append(
+        "Check: the scalar column operators (`n_chars:>=200 n_chars:<400`) "
+        "reach the parquet scan as `PushedFilters` — the whole colop-only "
+        "query is a pruned scan + TakeOrderedAndProject, no UDF, no index "
+        "touch.\n"
+    )
+    out.append("```\n" + grab(entry.queries()["q_col_range"](spark, sf)) + "```\n")
+
+    out.append("## Shard-range pruning (logical_select path)\n")
+    out.append(
+        "Check: the logical_select shard range (`ts >= ... && ts < ...`) "
+        "appears in `PushedFilters` of the events scan — on a "
+        "ts-partitioned production table these become PartitionFilters "
+        "(partition pruning), the shard-walk of the reference's sharding "
+        "plugin.\n"
+    )
+    from groonga_spark.query.script import parse_filter
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    lr = (
+        ev.filter(parse_filter('ts >= "2024-01-02" && ts < "2024-01-04"'))
+        .orderBy("ts")
+        .limit(20)
+        .select("event_id", "value")
+    )
+    out.append("```\n" + grab(lr) + "```\n")
+
     with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
