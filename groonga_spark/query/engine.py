@@ -799,7 +799,31 @@ class SearchEngine:
         if isinstance(node, qp.ColumnOp):
             return self._eval_colop(node)
         if isinstance(node, qp.And):
-            children = sorted(node.children, key=_est_df)
+            # fuse scan-path column-operator children into ONE filtered
+            # scan: each contributes a constant 1.0 per match, so the fused
+            # frame scores len(conds).  N colops become one pruned parquet
+            # scan instead of N scans + N-1 self-joins (the reference's
+            # scan executor also evaluates them as a single sequential
+            # pass, operator.c:904-930).
+            scan_conds, rest = [], []
+            for ch in node.children:
+                fc = (
+                    self._colop_filter_cond(ch)
+                    if isinstance(ch, qp.ColumnOp) and self.docs is not None
+                    else None
+                )
+                (scan_conds if fc is not None else rest).append(fc if fc is not None else ch)
+            fused = None
+            if len(scan_conds) >= 2:
+                cond = scan_conds[0]
+                for fc in scan_conds[1:]:
+                    cond = cond & fc
+                fused = self._docs_filter_frame(cond, float(len(scan_conds)))
+                if not rest:
+                    return fused
+            else:
+                rest = list(node.children)
+            children = sorted(rest, key=_est_df)
             out = self._eval(children[0], term_doc, pos_rows, term_meta)
             out_est = _est_df(children[0])
             for c in children[1:]:
@@ -822,6 +846,15 @@ class SearchEngine:
                     "score", F.col("score") + F.col("_s2")
                 ).drop("_s2")
                 out_est = min(out_est, c_est)
+            if fused is not None:
+                # the fused scan joins last (cardinality unknown); the
+                # scored side is bounded by the rarest term's df
+                left = F.broadcast(out) if out_est <= MAX_BROADCAST_DOCS else out
+                out = (
+                    left.join(fused.withColumnRenamed("score", "_s2"), "doc_id")
+                    .withColumn("score", F.col("score") + F.col("_s2"))
+                    .drop("_s2")
+                )
             return out
         if isinstance(node, qp.Or):
             out = self._eval(node.children[0], term_doc, pos_rows, term_meta)
@@ -901,16 +934,21 @@ class SearchEngine:
             # suffix: reversed-term range scan restricted to the section
             return self._suffix_frame(c.value.lower(), weights)
 
-        docs = self.docs
-        if docs is None:
-            raise ValueError(
-                f"column operator on {c.column!r} needs the source frame; "
-                "set engine.docs after loading from a checkpoint"
-            )
+        return self._docs_filter_frame(self._colop_filter_cond(c), 1.0)
+
+    def _colop_filter_cond(self, c: qp.ColumnOp):
+        """Column predicate for a scan-path colop, or None when the atom
+        resolves through the index (match/prefix/suffix on an indexed
+        section).  A plain predicate — no null-coalescing wrapper — so
+        Catalyst translates it into parquet ``PushedFilters`` (a NULL
+        predicate drops the row in a filter exactly like coalesce-false)."""
+        if c.op in ("match", "prefix", "suffix"):
+            if c.column in {col for col in self.index.stats.sections.values()}:
+                return None
         col = F.col(c.column)
         if c.op in ("equal", "not_equal", "less", "greater", "less_equal", "greater_equal"):
             val = c.value if c.quoted else _coerce(c.value)
-            cond = {
+            return {
                 "equal": col == val,
                 "not_equal": col != val,
                 "less": col < val,
@@ -918,21 +956,31 @@ class SearchEngine:
                 "less_equal": col <= val,
                 "greater_equal": col >= val,
             }[c.op]
-        elif c.op == "match":  # unindexed substring scan (operator.c:904)
-            cond = col.contains(c.value)
-        elif c.op == "prefix":
-            cond = col.startswith(c.value)
-        elif c.op == "suffix":
-            cond = col.endswith(c.value)
-        elif c.op == "regexp":
+        if c.op == "match":  # unindexed substring scan (operator.c:904)
+            return col.contains(c.value)
+        if c.op == "prefix":
+            return col.startswith(c.value)
+        if c.op == "suffix":
+            return col.endswith(c.value)
+        if c.op == "regexp":
             # regexp stays a scan even on indexed columns: only a
             # TokenRegexp lexicon can index-accelerate it soundly
             # (regexp_index_search is that path)
-            cond = col.rlike(c.value)
-        else:
-            raise ValueError(c.op)
-        return docs.filter(F.coalesce(cond, F.lit(False))).select(
-            F.col(self.id_col).alias("doc_id"), F.lit(1.0).alias("score")
+            return col.rlike(c.value)
+        raise ValueError(c.op)
+
+    def _docs_filter_frame(self, cond, score: float) -> DataFrame:
+        """(doc_id, score) frame for a scan-path predicate over the source
+        table; ``score`` is the constant contribution (1.0 per filter atom,
+        operator.c:904-930)."""
+        docs = self.docs
+        if docs is None:
+            raise ValueError(
+                "column operator needs the source frame; "
+                "set engine.docs after loading from a checkpoint"
+            )
+        return docs.filter(cond).select(
+            F.col(self.id_col).alias("doc_id"), F.lit(score).alias("score")
         )
 
     def _empty_frame(self) -> DataFrame:
