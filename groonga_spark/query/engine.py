@@ -333,6 +333,9 @@ class SearchEngine:
         ast, prag = qp.parse_query_ex(query)
         if prag.escalation_threshold is not None:
             escalation_threshold = prag.escalation_threshold
+        if prag.force_exact:
+            # *X (expr.c:5526-5531): EXACT mode only — never escalate
+            escalate = False
 
         # *S / *T mode pragmas route the whole query to similar-search /
         # term-extract-match (expr.c:5592-5639 → ii.c:5836-6048)

@@ -86,6 +86,7 @@ class Pragmas:
     weights: dict[int, float] | None = None  # *W<sid>[:w],...
     mode: str | None = None  # *S → "similar", *T → "term_extract"
     text: str | None = None  # the rest of the query for *S / *T
+    force_exact: bool = False  # *X → EXACT mode, no escalation (expr.c:5526)
 
 
 class QueryParseError(ValueError):
@@ -295,6 +296,16 @@ def parse_query_ex(q: str) -> tuple[object, Pragmas]:
             prag.weights = weights
             i += 1
             continue
+        if c == "X":
+            # force exact mode (expr.c:5526-5531): op=AND, mode=EXACT —
+            # disables match escalation; the body may be glued (*Xfoo)
+            prag.force_exact = True
+            rest = w[2:]
+            if rest:
+                toks[i] = ("WORD", rest)
+            else:
+                i += 1
+            break
         if c in ("S", "T"):
             prag.mode = "similar" if c == "S" else "term_extract"
             rest = w[2:]

@@ -71,6 +71,18 @@ def test_explicit_syntax_never_escalates(eng):
     assert n == 0 and _ids(out) == []
 
 
+def test_force_exact_pragma_disables_escalation(eng):
+    # *X (expr.c:5526-5531): EXACT mode only.  'fas' would escalate to
+    # [1, 2] (see above); under *X it must return nothing, whatever the
+    # threshold says.
+    out, n = eng.select_with_count("*X fas", k=10, escalate=True)
+    assert n == 0 and _ids(out) == []
+    out2, n2 = eng.select_with_count(
+        "*Xrare", k=10, escalate=True, escalation_threshold=5
+    )
+    assert _ids(out2) == [4] and n2 == 1  # glued body, no UNSPLIT step
+
+
 def test_query_expander_prefix_substitution(eng):
     # QueryExpanderTSV: substitutions may themselves be prefix patterns
     out, n = eng.select_with_count(
