@@ -230,6 +230,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text:~re — regexp scan fallback (score 1.0 per matching doc)
         return _topk(_engine(spark, sf), "text:~sc[a-z]n", 10)
 
+    def q_leading_not(spark, sf):
+        # --query_flags ALLOW_LEADING_NOT: '-query' alone = all records
+        # minus the matches (expr.c:5917-5924 injects all_records())
+        out = _engine(spark, sf).select(
+            "-query", k=15, query_flags="ALLOW_COLUMN|ALLOW_LEADING_NOT"
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
     # ---- query pragmas (*D / *W / *S / *T / *E, expr.c:5592-5639) ---------
     def q_pragma_dor(spark, sf):
         # *DOR: space-separated words OR-combine
@@ -1049,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         logical_select_q=logical_select_q,
         logical_range_filter_q=logical_range_filter_q,
         ordered_topk_q=ordered_topk_q,
+        q_leading_not=q_leading_not,
         dynamic_column_q=dynamic_column_q,
         setop_and=setop_and,
         setop_and_not=setop_and_not,
@@ -1187,6 +1196,12 @@ WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 20"""
 
     o["q_col_regexp"] = """SELECT doc_id, 1.0 AS score FROM documents
 WHERE regexp_matches(text, 'sc[a-z]n') ORDER BY doc_id LIMIT 10"""
+
+    o["q_leading_not"] = """SELECT doc_id, 1.0 AS score FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents) WHERE term = 'query')
+ORDER BY doc_id LIMIT 15"""
 
     o["q_pragma_dor"] = o["ft_match_or"]
 

@@ -25,6 +25,25 @@ from .query.script import parse_filter, parse_filter_plan
 
 _SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(")
 
+_ADJUSTER_RE = re.compile(
+    r'\s*(\w+)\s*@\s*"((?:[^"\\]|\\.)*)"\s*(?:\*\s*(\d+(?:\.\d+)?))?\s*'
+)
+
+
+def parse_adjuster(spec):
+    """``--adjuster 'col @ "term" * 5 + col @ "other" * 3'`` →
+    [("term", 5.0), ("other", 3.0)] (grn_select adjuster syntax,
+    lib/proc.c; factor defaults to 1).  A pre-parsed list passes through."""
+    if spec is None or isinstance(spec, list):
+        return spec
+    out = []
+    for part in spec.split("+"):
+        m = _ADJUSTER_RE.fullmatch(part)
+        if not m:
+            raise ValueError(f"bad adjuster fragment {part!r}")
+        out.append((m.group(2), float(m.group(3) or 1.0)))
+    return out
+
 
 class CommandContext:
     """One database = one directory of parquet tables (``grn_db`` analogue).
@@ -246,6 +265,11 @@ class CommandContext:
         text_cols: list[str] | None = None,
         tokenizer: str = "bigram",
         id_col: str = "doc_id",
+        scorer: str = "bm25",
+        adjuster: "str | list[tuple[str, float]] | None" = None,
+        match_escalation_threshold: int = 0,
+        query_expander: "dict[str, list[str]] | None" = None,
+        query_flags: str | None = None,
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -276,6 +300,11 @@ class CommandContext:
                 match_columns,
                 k=max(offset, 0) + max(limit, 0) or 10,
                 need_full=need_full,
+                scorer=scorer,
+                adjuster=parse_adjuster(adjuster),
+                escalation_threshold=match_escalation_threshold,
+                query_expander=query_expander,
+                query_flags=query_flags,
             )
             hits = eng.last_scored if need_full else topk
             df = df.join(hits.withColumnRenamed("doc_id", id_col), id_col)

@@ -241,6 +241,8 @@ class SearchEngine:
             # (indexed section match/prefix/suffix) or scans the source
             # frame (scalar comparisons, unindexed columns)
             return node
+        if isinstance(node, qp.AllRecords):
+            return node  # ALLOW_LEADING_NOT positive: the source frame
         raise TypeError(node)
 
     # -- main entry ----------------------------------------------------------
@@ -267,6 +269,7 @@ class SearchEngine:
         adjuster: list[tuple[str, float]] | None = None,
         escalation_threshold: int = 0,
         query_expander: "dict[str, list[str]] | None" = None,
+        query_flags: "str | None" = None,
     ) -> DataFrame:
         """Returns (doc_id, score) top-k, rank-identical ordering.
 
@@ -296,6 +299,7 @@ class SearchEngine:
             escalation_threshold=escalation_threshold,
             count_hits=False,
             query_expander=query_expander,
+            query_flags=query_flags,
         )
         return out
 
@@ -312,6 +316,7 @@ class SearchEngine:
         need_full: bool = False,
         count_hits: bool = True,
         query_expander: "dict[str, list[str]] | None" = None,
+        query_flags: "str | None" = None,
     ) -> tuple[DataFrame, int]:
         """Like :meth:`select` but also returns the exact TOTAL hit count
         (the reference select's first output element) from the SAME
@@ -330,7 +335,7 @@ class SearchEngine:
         idx = self.index
         spark = idx.dictionary.sparkSession
         self._clear_cache()
-        ast, prag = qp.parse_query_ex(query)
+        ast, prag = qp.parse_query_ex(query, flags=query_flags)
         if prag.escalation_threshold is not None:
             escalation_threshold = prag.escalation_threshold
         if prag.force_exact:
@@ -801,6 +806,9 @@ class SearchEngine:
             return self._eval_atom(node, term_doc, pos_rows)
         if isinstance(node, qp.ColumnOp):
             return self._eval_colop(node)
+        if isinstance(node, qp.AllRecords):
+            # all_records() injected by ALLOW_LEADING_NOT (expr.c:5917-5924)
+            return self._docs_filter_frame(F.lit(True), 1.0)
         if isinstance(node, qp.And):
             # fuse scan-path column-operator children into ONE filtered
             # scan: each contributes a constant 1.0 per match, so the fused
@@ -1210,7 +1218,7 @@ def _strip_pragmas(q: str) -> str:
 
 
 def _has_colop(node) -> bool:
-    if isinstance(node, qp.ColumnOp):
+    if isinstance(node, (qp.ColumnOp, qp.AllRecords)):
         return True
     if isinstance(node, (qp.And, qp.Or)):
         return any(_has_colop(c) for c in node.children)

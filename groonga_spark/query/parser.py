@@ -89,8 +89,42 @@ class Pragmas:
     force_exact: bool = False  # *X → EXACT mode, no escalation (expr.c:5526)
 
 
+@dataclass
+class AllRecords:
+    """Implicit positive clause under ALLOW_LEADING_NOT: ``-term`` alone
+    means every record minus the matches (grn_expr flags,
+    include/groonga/groonga.h GRN_EXPR_ALLOW_LEADING_NOT)."""
+
+
 class QueryParseError(ValueError):
     pass
+
+
+# --query_flags (grn_expr_parse flags; select default is
+# ALLOW_PRAGMA|ALLOW_COLUMN, lib/proc.c).  ALLOW_UPDATE is accepted for
+# interface parity but is a no-op here: it only affects script-syntax
+# assignment, which the --query grammar cannot express.
+QUERY_FLAGS = frozenset(
+    {"ALLOW_PRAGMA", "ALLOW_COLUMN", "ALLOW_UPDATE", "ALLOW_LEADING_NOT"}
+)
+DEFAULT_QUERY_FLAGS = frozenset({"ALLOW_PRAGMA", "ALLOW_COLUMN"})
+
+
+def parse_flags(spec) -> frozenset:
+    """``"ALLOW_COLUMN|ALLOW_LEADING_NOT"`` → flag set; None → select's
+    default; ``"NONE"`` → empty."""
+    if spec is None:
+        return DEFAULT_QUERY_FLAGS
+    if isinstance(spec, (set, frozenset)):
+        flags = frozenset(spec)
+    else:
+        flags = frozenset(
+            p.strip() for p in spec.split("|") if p.strip() and p.strip() != "NONE"
+        )
+    unknown = flags - QUERY_FLAGS
+    if unknown:
+        raise QueryParseError(f"unknown query_flags {sorted(unknown)}")
+    return flags
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -178,10 +212,18 @@ def _parse_colop(word: str) -> ColumnOp | None:
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]], default_op: str = "and"):
+    def __init__(
+        self,
+        toks: list[tuple[str, str]],
+        default_op: str = "and",
+        allow_column: bool = True,
+        allow_leading_not: bool = False,
+    ):
         self.toks = toks
         self.i = 0
         self.default_op = default_op
+        self.allow_column = allow_column
+        self.allow_leading_not = allow_leading_not
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("EOF", "")
@@ -213,7 +255,12 @@ class _Parser:
             node = self.parse_primary()
             (neg if negate else pos).append(node)
         if not pos:
-            raise QueryParseError("query has no positive clause")
+            if self.allow_leading_not and neg:
+                # ALLOW_LEADING_NOT: all records minus the matches; each
+                # surviving record scores 1.0 like any scan-path predicate
+                pos = [AllRecords()]
+            else:
+                raise QueryParseError("query has no positive clause")
         # *D pragma: the operator joining space-separated words
         # (expr.c:5592-5639 — *D+ AND, *DOR OR, *D- AND_NOT)
         if self.default_op == "or":
@@ -244,24 +291,32 @@ class _Parser:
                 self.i = len(self.toks)
                 k = val[2:]
                 return Near(rest, int(k) if k else 10, no_offset=val[1] == "n")
-            colop = _parse_colop(val)
-            if colop is not None:
-                return colop
+            if self.allow_column:
+                colop = _parse_colop(val)
+                if colop is not None:
+                    return colop
             if val.endswith("*") and len(val) > 1:
                 return Term(val[:-1], prefix=True)
             return Term(val)
         raise QueryParseError(f"unexpected token {kind}")
 
 
-def parse_query_ex(q: str) -> tuple[object, Pragmas]:
+def parse_query_ex(q: str, flags=None) -> tuple[object, Pragmas]:
     """Parse leading pragmas then the query body.  For ``*S``/``*T`` mode
-    pragmas the AST is None and ``pragmas.text`` carries the payload."""
+    pragmas the AST is None and ``pragmas.text`` carries the payload.
+    ``flags`` is a --query_flags spec (see :func:`parse_flags`)."""
+    fl = parse_flags(flags)
     prag = Pragmas()
     toks = _lex(q)
     if not toks:
         raise QueryParseError("empty query")
     i = 0
-    while i < len(toks) and toks[i][0] == "WORD" and toks[i][1].startswith("*"):
+    while (
+        "ALLOW_PRAGMA" in fl
+        and i < len(toks)
+        and toks[i][0] == "WORD"
+        and toks[i][1].startswith("*")
+    ):
         w = toks[i][1]
         if len(w) < 2:
             break
@@ -318,7 +373,12 @@ def parse_query_ex(q: str) -> tuple[object, Pragmas]:
     body = toks[i:]
     if not body:
         raise QueryParseError("query has only pragmas")
-    p = _Parser(body, default_op=prag.default_op)
+    p = _Parser(
+        body,
+        default_op=prag.default_op,
+        allow_column="ALLOW_COLUMN" in fl,
+        allow_leading_not="ALLOW_LEADING_NOT" in fl,
+    )
     node = p.parse_or()
     if p.peek()[0] != "EOF":
         raise QueryParseError(f"trailing tokens in {q!r}")

@@ -133,3 +133,44 @@ class TestPragmas:
             eng.select("*Exy spark", escalate=False)
         with pytest.raises(QueryParseError):
             eng.select("*DNOPE spark", escalate=False)
+
+
+class TestQueryFlags:
+    """--query_flags (grn_expr_parse flags, include/groonga/expr.h:79;
+    select default ALLOW_PRAGMA|ALLOW_COLUMN, proc.c:5087)."""
+
+    def test_allow_leading_not(self, eng):
+        # reference injects all_records() before the AND_NOT
+        # (expr.c:5917-5924); without the flag a leading '-' is an error
+        out, n = eng.select_with_count(
+            "-spark", query_flags="ALLOW_PRAGMA|ALLOW_COLUMN|ALLOW_LEADING_NOT"
+        )
+        assert _ids(out) == [4, 5] and n == 2
+        from groonga_spark.query.parser import QueryParseError
+
+        with pytest.raises(QueryParseError):
+            eng.select_with_count("-spark")
+
+    def test_no_allow_column_treats_colop_as_text(self, eng):
+        # lang:en parses as a plain term under NONE → tokenizes to no
+        # indexed term → 0 hits instead of a lang filter
+        out, n = eng.select_with_count(
+            "lang:en spark", query_flags="NONE", escalate=False
+        )
+        assert n == 0
+        out2, n2 = eng.select_with_count("lang:en spark", escalate=False)
+        assert n2 == 2  # default flags: colop applies
+
+    def test_no_allow_pragma_keeps_star_words_literal(self, eng):
+        # *DOR is body text under ALLOW_COLUMN only → its tokens match
+        # nothing → whole AND clause has a 0-df term → 0 hits
+        out, n = eng.select_with_count(
+            "*DOR merge nothing", query_flags="ALLOW_COLUMN", escalate=False
+        )
+        assert n == 0
+
+    def test_unknown_flag_raises(self, eng):
+        from groonga_spark.query.parser import QueryParseError
+
+        with pytest.raises(QueryParseError):
+            eng.select_with_count("spark", query_flags="ALLOW_NOPE")

@@ -283,6 +283,50 @@ class TestCommands:
         keys = [r["_key"] for r in res["records"].collect()]
         assert set(keys) == {"d1", "d3"}
 
+    def test_select_adjuster_scorer_escalation_args(self, ctx):
+        # select parity args: --adjuster string syntax, --scorer,
+        # --match_escalation_threshold, --query_expander
+        docs = [
+            {"doc_id": 1, "_key": "d1", "text": "merge sort partition tree"},
+            {"doc_id": 2, "_key": "d2", "text": "hash join build probe"},
+            {"doc_id": 3, "_key": "d3", "text": "merge join sort order"},
+        ]
+        ctx.load("docsadj", docs)
+        base = ctx.select(
+            "docsadj", query="merge", text_cols=["text"], output_columns="_key,_score"
+        )
+        b = {r["_key"]: r["score"] for r in base["records"].collect()}
+        # adjuster boosts docs containing 'tree' → d1 gains, d3 doesn't
+        adj = ctx.select(
+            "docsadj",
+            query="merge",
+            adjuster='text @ "tree" * 5',
+            text_cols=["text"],
+            output_columns="_key,_score",
+        )
+        a = {r["_key"]: r["score"] for r in adj["records"].collect()}
+        assert a["d1"] > b["d1"] and a["d3"] == b["d3"]
+        # tf_idf scorer runs through the command path
+        res = ctx.select("docsadj", query="merge", scorer="tf_idf", text_cols=["text"])
+        assert res["n_hits"] == 2
+        # escalation threshold: 'mer' has no exact hit; threshold 0 still
+        # escalates EXACT→UNSPLIT (prefix) through the command path
+        res2 = ctx.select(
+            "docsadj",
+            query="mer",
+            match_escalation_threshold=0,
+            text_cols=["text"],
+        )
+        assert res2["n_hits"] == 2
+        # query_expander rewrites terms before compilation
+        res3 = ctx.select(
+            "docsadj",
+            query="combine",
+            query_expander={"combine": ["merge", "join"]},
+            text_cols=["text"],
+        )
+        assert res3["n_hits"] == 3
+
     def test_negative_offset_limit_wrap(self, ctx):
         # grn_normalize_offset_and_limit: offset -2 = 2nd-from-last,
         # limit -1 = everything remaining
