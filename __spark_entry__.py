@@ -483,6 +483,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 20)
         return tokens_df(docs, ["text"], "bigram").select("doc_id", "term", "pos")
 
+    def table_tokenize_cmd(spark, sf):
+        # `table_tokenize` command (proc.c:6521): GET-mode tokens of a
+        # string resolved against the table's lexicon — term_id is the
+        # global PAT-key (sorted-term) rank, df from the dictionary; the
+        # OOV token stays unresolved (null id/df)
+        import tempfile
+
+        from groonga_spark.commands import CommandContext
+
+        ctx = CommandContext(spark, tempfile.mkdtemp(prefix="gs_ttok_"))
+        ctx.load("docs", _read(spark, sf, "documents").select("doc_id", "text"),
+                 key_col="doc_id")
+        return ctx.table_tokenize(
+            "docs", "spark the zzzqx", text_cols=["text"], tokenizer="delimit"
+        )
+
     def normalize_cmd(spark, sf):
         # `normalize` command (proc.c:6889): NormalizerAuto ASCII path
         from groonga_spark.functions import normalize_text
@@ -1078,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_counts_q=bpe_counts_q,
         minhash_bands_q=minhash_bands_q,
         multimodal_meta=multimodal_meta,
+        table_tokenize_cmd=table_tokenize_cmd,
         # ---- rows-only (engine-specific; no reasonable SQL oracle) ----
         bpe_train_q=bpe_train_q,
         bpe_encode_q=bpe_encode_q,
@@ -1386,6 +1403,17 @@ FROM documents WHERE doc_id < 20"""
 
     o["normalize_cmd"] = """SELECT c_custkey, lower(c_name) AS normalized
 FROM customer"""
+
+    o["table_tokenize_cmd"] = """WITH qt AS (
+  SELECT * FROM (VALUES (0, 'spark'), (1, 'the'), (2, 'zzzqx')) AS t(pos, token)),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS term FROM words),
+tdf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*)::BIGINT AS df,
+                row_number() OVER (ORDER BY term) AS term_id
+         FROM tdf GROUP BY term)
+SELECT qt.pos, qt.token, d.term_id, d.df
+FROM qt LEFT JOIN dict d ON d.term = qt.token"""
 
     _a = "SELECT doc_id, 1.0 AS score FROM documents WHERE (' ' || text || ' ') LIKE '% spark %'"
     _b = "SELECT doc_id, 2.0 AS score FROM documents WHERE n_chars > 300"

@@ -58,6 +58,8 @@ class CommandContext:
         self.db_path = db_path
         os.makedirs(db_path, exist_ok=True)
         self._engines: dict[str, object] = {}
+        self._selectors: dict[str, object] = {}
+        self._plugins: dict[str, object] = {}
         # table → {local_col: (foreign_table, foreign_key)} — the Groonga
         # reference-column schema made explicit (parquet has no FK metadata)
         self._refs: dict[str, dict[str, tuple[str, str]]] = {}
@@ -118,13 +120,7 @@ class CommandContext:
         df = self._read(table)
         if name in df.columns:
             raise ValueError(f"column {name!r} exists")
-        out = df.withColumn(name, F.lit(default).cast(type))
-        path = self._path(table)
-        tmp = path + ".tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        self._invalidate(table)
+        self._rewrite(table, df.withColumn(name, F.lit(default).cast(type)))
 
     def column_list(self, table: str) -> list[tuple[str, str]]:
         """``column_list --table T`` → [(name, type), ...]."""
@@ -132,6 +128,48 @@ class CommandContext:
             (f.name, f.dataType.simpleString())
             for f in self._read(table).schema.fields
         ]
+
+    def table_rename(self, table: str, new_name: str) -> None:
+        """``table_rename --name T --new_name U`` (proc.c:2884): a
+        directory move — metadata-only, no data rewrite (Iceberg: ALTER
+        TABLE RENAME)."""
+        dst = self._path(new_name)  # validates the new identifier
+        if os.path.exists(dst):
+            raise ValueError(f"table {new_name!r} exists")
+        os.rename(self._path(table), dst)
+        self._engines.pop(table, None)
+        if table in self._refs:
+            self._refs[new_name] = self._refs.pop(table)
+        self._invalidate(new_name)
+
+    def column_rename(self, table: str, name: str, new_name: str) -> None:
+        """``column_rename --table T --name c --new_name d`` (proc.c:3468):
+        rewrite with the column renamed (Iceberg: ALTER TABLE RENAME
+        COLUMN, metadata-only)."""
+        df = self._read(table)
+        if name not in df.columns:
+            raise ValueError(f"no column {name!r}")
+        if new_name in df.columns:
+            raise ValueError(f"column {new_name!r} exists")
+        self._rewrite(table, df.withColumnRenamed(name, new_name))
+
+    def column_remove(self, table: str, name: str) -> None:
+        """``column_remove --table T --name c`` (proc.c:3430): rewrite
+        without the column (Iceberg: ALTER TABLE DROP COLUMN)."""
+        df = self._read(table)
+        if name not in df.columns:
+            raise ValueError(f"no column {name!r}")
+        self._rewrite(table, df.drop(name))
+
+    def _rewrite(self, table: str, out: DataFrame) -> None:
+        """Full-table rewrite with tmp-dir swap (the non-Iceberg path for
+        schema changes; see the Iceberg notes on each caller)."""
+        path = self._path(table)
+        tmp = path + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._invalidate(table)
 
     def reindex(
         self,
@@ -498,6 +536,126 @@ class CommandContext:
             df = df.filter(parse_filter(cond))
         return df.count()
 
+    # -- introspection (proc.c tokenizer_list:6545, normalizer_list:6584) ----
+    def tokenizer_list(self) -> list[dict]:
+        """``tokenizer_list`` → every registered tokenizer, with the
+        Groonga-style name alongside our registry key."""
+        from .tokenize import ALL_TOKENIZERS
+
+        def grn_name(key: str) -> str:
+            if key == "code":
+                return "TokenCode"  # this engine's code-aware addition
+            return "Token" + "".join(p.capitalize() for p in key.split("_"))
+
+        return [{"name": grn_name(k), "key": k} for k in ALL_TOKENIZERS]
+
+    def normalizer_list(self) -> list[dict]:
+        """``normalizer_list`` → registered normalizers (the reference
+        ships NormalizerAuto + NFKC51; ours implements the Auto path,
+        normalize.py)."""
+        return [{"name": "NormalizerAuto", "key": "auto"}]
+
+    # -- table_tokenize (proc.c:6521) ----------------------------------------
+    def table_tokenize(
+        self,
+        table: str,
+        string: str,
+        mode: str = "GET",
+        text_cols: list[str] | None = None,
+        tokenizer: str = "bigram",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """``table_tokenize --table T --string s --mode GET|ADD``: tokenize
+        ``string`` with the table's tokenizer + token filters and resolve
+        each token against the table's lexicon → (pos, token, term_id, df).
+
+        GET uses query-mode tokenization (stopwords dropped, overlapping
+        code tokens skipped, trailing short gram handled — engine
+        ``_get_tokens``); ADD uses document-mode (every emitted token).
+        Unknown tokens keep ``term_id``/``df`` null — the reference's ADD
+        registers them in the lexicon, which here is :meth:`reindex`'s job
+        (the index is rebuilt from documents, not patched per string).
+        """
+        df = self._read(table)
+        eng = self._get_engine(table, df, text_cols, tokenizer, id_col)
+        if mode.upper() == "GET":
+            terms, poss = eng._get_tokens(string)
+        else:
+            from .tokenize import tokenize_batch
+
+            terms, poss = tokenize_batch([string], eng.index.tokenizer)[0]
+        toks = self.spark.createDataFrame(
+            list(zip(poss, terms)) or [(None, None)], "pos int, token string"
+        ).filter(F.col("token").isNotNull())
+        # term_id is global (PAT-key order over the whole lexicon —
+        # dense_term_ids), so assign BEFORE filtering to the token set;
+        # the filtered slice is tiny and broadcast into the join
+        from .index.build import dense_term_ids
+
+        dct = dense_term_ids(eng.index.dictionary).filter(
+            F.col("term").isin(sorted(set(terms)))
+        ).select(F.col("term").alias("token"), "term_id", "df")
+        return toks.join(F.broadcast(dct), "token", "left").select(
+            "pos", "token", "term_id", "df"
+        ).orderBy("pos", "token")
+
+    # -- dump as command stream (proc.c:6868 dump emits re-loadable
+    #    table_create/column_create/load commands) --------------------------
+    def dump_commands(self, limit: int = 1000) -> str:
+        """Whole-database export as a Groonga command stream: replaying the
+        returned text against a fresh :class:`CommandContext` (via
+        :func:`replay_commands`) recreates every table.  ``limit`` caps the
+        rows collected PER TABLE — this is a driver-side export for small /
+        sampled databases; bulk export is :meth:`dump` (stays a
+        DataFrame)."""
+        parts = []
+        for t in self.table_list():
+            cols = self.column_list(t)
+            schema = ", ".join(f"{n} {ty}" for n, ty in cols)
+            parts.append(f"table_create --name {t} --schema {schema!r}")
+            rows = [r.asDict() for r in self._read(t).limit(limit).collect()]
+            parts.append(
+                f"load --table {t}\n" + json.dumps(rows, default=str)
+            )
+        return "\n".join(parts)
+
+    # -- define_selector (proc.c:1354) ---------------------------------------
+    def define_selector(self, name: str, **defaults):
+        """``define_selector --name N --table T ...``: register ``N`` as a
+        new command = :meth:`select` with the given arguments pre-bound
+        (callers may override any of them per call)."""
+
+        def _sel(**kw):
+            return self.select(**{**defaults, **kw})
+
+        self._selectors[name] = _sel
+        return _sel
+
+    def call(self, name: str, **kw):
+        """Invoke a selector registered by :meth:`define_selector`."""
+        return self._selectors[name](**kw)
+
+    # -- plugin_register / plugin_unregister (proc.c:6724,6755; the
+    #    reference dlopens a .so and runs grn_plugin_register — ours imports
+    #    a Python module and runs its ``register(ctx)`` hook) ---------------
+    def plugin_register(self, module_name: str) -> None:
+        """Import ``module_name`` and call its ``register(ctx)`` hook; the
+        plugin may add script functions
+        (:func:`groonga_spark.query.script.register_function`), selectors
+        (:meth:`define_selector`), or table references."""
+        import importlib
+
+        mod = importlib.import_module(module_name)
+        mod.register(self)
+        self._plugins[module_name] = mod
+
+    def plugin_unregister(self, module_name: str) -> None:
+        """Run the plugin's ``unregister(ctx)`` hook if present and forget
+        it (the reference unloads the shared object)."""
+        mod = self._plugins.pop(module_name, None)
+        if mod is not None and hasattr(mod, "unregister"):
+            mod.unregister(self)
+
     # -- status (proc.c:6797) ----------------------------------------------
     def status(self) -> dict:
         return {
@@ -506,6 +664,28 @@ class CommandContext:
             "n_tables": len(self.table_list()),
             "db_path": self.db_path,
         }
+
+
+def replay_commands(ctx: CommandContext, stream: str) -> None:
+    """Replay a :meth:`CommandContext.dump_commands` stream into ``ctx`` —
+    the reference's restore path is piping the dump back through the
+    command interpreter."""
+    lines = stream.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("table_create "):
+            m = re.match(r"table_create --name (\w+) --schema '([^']*)'", line)
+            if not m:
+                raise ValueError(f"bad table_create line {line!r}")
+            ctx.table_create(m.group(1), m.group(2))
+        elif line.startswith("load "):
+            m = re.match(r"load --table (\w+)", line)
+            i += 1
+            rows = json.loads(lines[i])
+            if rows:
+                ctx.load(m.group(1), rows, key_col=next(iter(rows[0])))
+        i += 1
 
 
 # -- output serialization (lib/output.c; GRN_CONTENT_*) ----------------------

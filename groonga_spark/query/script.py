@@ -89,9 +89,32 @@ def _lit(tok: str):
     return None
 
 
+# plugin-added scalar functions (grn_proc_create from a loaded plugin —
+# plugins/*/…; registered via commands.plugin_register → register_function)
+_EXTRA_FNS: dict = {}
+
+
+def register_function(name: str, fn) -> None:
+    """Add ``name`` to the ``--filter`` script-function registry.  ``fn``
+    receives the parsed argument atoms (column-name strings / literals —
+    lift with :func:`lift`) and returns a Column."""
+    _EXTRA_FNS[name] = fn
+
+
+def unregister_function(name: str) -> None:
+    _EXTRA_FNS.pop(name, None)
+
+
+def lift(atom):
+    """Public lift: parsed script atom (column name / literal) → Column —
+    for plugin-registered functions."""
+    return _c(atom)
+
+
 # registered scalar functions (lib/proc.c:6910-7000 registry analogue)
 def _fn_registry():
     return {
+        **_EXTRA_FNS,
         # between's borders and in_values' value list need RAW python
         # values; everything else lifts its args to Columns
         "edit_distance": lambda a, b: gf.edit_distance(_c(a), _c(b)),

@@ -497,3 +497,123 @@ class TestCommands:
         assert rows[0]["lang"] == "py"
         assert rows[0]["_nsubrecs"] == 2
         assert rows[0]["_max"] == 3 and rows[0]["_sum"] == 4
+
+
+class TestAdminCommands:
+    """table/column rename+remove, tokenizer/normalizer listing, and
+    table_tokenize (proc.c:2884,3430,3468,6521,6545,6584)."""
+
+    @pytest.fixture()
+    def ctx(self, spark, tmp_path):
+        c = CommandContext(spark, str(tmp_path / "db"))
+        c.load("t", TestCommands.ROWS)
+        return c
+
+    def test_table_rename(self, ctx):
+        ctx.table_rename("t", "u")
+        assert ctx.table_list() == ["u"]
+        assert ctx.dump("u").count() == 3
+        with pytest.raises(Exception):  # AnalysisException: PATH_NOT_FOUND
+            ctx.dump("t").count()
+        ctx.load("t", TestCommands.ROWS)
+        with pytest.raises(ValueError):
+            ctx.table_rename("t", "u")  # destination exists
+
+    def test_column_rename_and_remove(self, ctx):
+        ctx.column_rename("t", "size", "bytes")
+        assert dict(ctx.column_list("t"))["bytes"] == "bigint"
+        assert "size" not in ctx.dump("t").columns
+        out = {r["_key"]: r["bytes"] for r in ctx.dump("t").collect()}
+        assert out == {"a": 1, "b": 2, "c": 3}
+        ctx.column_remove("t", "lang")
+        assert sorted(ctx.dump("t").columns) == ["_key", "bytes"]
+        with pytest.raises(ValueError):
+            ctx.column_remove("t", "nope")
+        with pytest.raises(ValueError):
+            ctx.column_rename("t", "bytes", "_key")  # destination exists
+
+    def test_tokenizer_and_normalizer_list(self, ctx):
+        toks = ctx.tokenizer_list()
+        names = {t["name"] for t in toks}
+        # the 8 reference TokenBigram* variants + Unigram/Trigram +
+        # Delimit family + Regexp + the code tokenizer
+        assert {"TokenBigram", "TokenTrigram", "TokenUnigram",
+                "TokenDelimit", "TokenDelimitNull", "TokenRegexp",
+                "TokenBigramSplitSymbolAlpha",
+                "TokenBigramIgnoreBlank", "TokenCode"} <= names
+        assert len(toks) == len({t["key"] for t in toks})
+        assert ctx.normalizer_list() == [{"name": "NormalizerAuto", "key": "auto"}]
+
+    def test_table_tokenize_get_vs_add(self, ctx, spark):
+        ctx.load(
+            "docs",
+            [
+                {"doc_id": 1, "_key": "d1", "text": "alpha beta gamma"},
+                {"doc_id": 2, "_key": "d2", "text": "beta delta"},
+            ],
+        )
+        got = ctx.table_tokenize(
+            "docs", "beta zulu", text_cols=["text"], tokenizer="delimit"
+        ).collect()
+        by_tok = {r["token"]: r for r in got}
+        assert list(by_tok) == ["beta", "zulu"]
+        # 'beta' resolves in the lexicon with its document frequency
+        assert by_tok["beta"]["df"] == 2 and by_tok["beta"]["term_id"] is not None
+        # OOV token: reported, unresolved (ADD-registration is reindex's job)
+        assert by_tok["zulu"]["term_id"] is None and by_tok["zulu"]["df"] is None
+        # term_id is the global PAT-key (sorted-term) rank over the lexicon:
+        # alpha=1 beta=2 delta=3 gamma=4
+        assert by_tok["beta"]["term_id"] == 2
+        # ADD mode = document tokenization: bigram emits n-grams, GET drops
+        # nothing here but the modes go through different tokenizer paths
+        add = ctx.table_tokenize("docs", "beta", mode="ADD", text_cols=["text"],
+                                 tokenizer="delimit").collect()
+        assert [r["token"] for r in add] == ["beta"]
+
+    def test_define_selector(self, ctx):
+        # proc.c:1354 — a named select with pre-bound arguments
+        ctx.define_selector("py_files", table="t", filter='lang == "py"',
+                            output_columns="_key,size", sortby="-size")
+        res = ctx.call("py_files")
+        assert [r["_key"] for r in res["records"].collect()] == ["c", "a"]
+        # per-call overrides win over the bound defaults
+        res = ctx.call("py_files", sortby="size", limit=1)
+        assert [r["_key"] for r in res["records"].collect()] == ["a"]
+
+    def test_plugin_register(self, ctx, tmp_path, monkeypatch):
+        import sys
+        (tmp_path / "my_plugin.py").write_text(
+            "from groonga_spark.query.script import "
+            "register_function, unregister_function, lift\n"
+            "def register(ctx):\n"
+            "    register_function('triple', lambda c: lift(c) * 3)\n"
+            "    ctx.define_selector('all_t', table='t', filter='all_records()')\n"
+            "def unregister(ctx):\n"
+            "    unregister_function('triple')\n"
+        )
+        monkeypatch.syspath_prepend(str(tmp_path))
+        ctx.plugin_register("my_plugin")
+        try:
+            # the plugin's script function parses inside --filter
+            res = ctx.select("t", filter="triple(size) == 6",
+                             output_columns="_key")
+            assert [r["_key"] for r in res["records"].collect()] == ["b"]
+            assert ctx.call("all_t")["n_hits"] == 3
+        finally:
+            ctx.plugin_unregister("my_plugin")
+            sys.modules.pop("my_plugin", None)
+        from groonga_spark.query.script import ScriptSyntaxError
+        with pytest.raises(Exception):  # function gone after unregister
+            ctx.select("t", filter="triple(size) == 6")
+
+    def test_dump_commands_roundtrip(self, ctx, spark, tmp_path):
+        # dump → command stream → replay into a fresh db recreates the table
+        from groonga_spark.commands import replay_commands
+
+        stream = ctx.dump_commands()
+        assert "table_create --name t" in stream and "load --table t" in stream
+        ctx2 = CommandContext(spark, str(tmp_path / "db2"))
+        replay_commands(ctx2, stream)
+        assert ctx2.table_list() == ["t"]
+        got = {r["_key"]: (r["size"], r["lang"]) for r in ctx2.dump("t").collect()}
+        assert got == {"a": (1, "py"), "b": (2, "c"), "c": (3, "py")}
