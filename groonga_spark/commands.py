@@ -17,6 +17,7 @@ import json
 import os
 import re
 import shutil
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,10 @@ class CommandContext:
         self._engines: dict[str, object] = {}
         self._selectors: dict[str, object] = {}
         self._plugins: dict[str, object] = {}
+        # select query cache (lib/cache.c; default capacity = the
+        # reference's GRN_CACHE_DEFAULT_MAX_N_ENTRIES 100)
+        self._select_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._cache_max = 100
         # table → {local_col: (foreign_table, foreign_key)} — the Groonga
         # reference-column schema made explicit (parquet has no FK metadata)
         self._refs: dict[str, dict[str, tuple[str, str]]] = {}
@@ -88,6 +93,10 @@ class CommandContext:
         the rewritten path (same directory, new files — a stale
         InMemoryFileIndex would list deleted part files)."""
         self._engines.pop(table, None)
+        # grn_cache_expire-on-write: the reference expires the WHOLE query
+        # cache on any write (a cached select may depend on other tables
+        # via sub_filter), so clear everything, not just this table's keys
+        self._select_cache.clear()
         self.spark.catalog.refreshByPath(self._path(table))
 
     def table_list(self) -> list[str]:
@@ -111,6 +120,7 @@ class CommandContext:
         """``table_remove --name T`` (proc.c:2852)."""
         shutil.rmtree(self._path(table))
         self._engines.pop(table, None)
+        self._select_cache.clear()
 
     def column_create(
         self, table: str, name: str, type: str = "string", default=None
@@ -138,6 +148,7 @@ class CommandContext:
             raise ValueError(f"table {new_name!r} exists")
         os.rename(self._path(table), dst)
         self._engines.pop(table, None)
+        self._select_cache.clear()
         if table in self._refs:
             self._refs[new_name] = self._refs.pop(table)
         self._invalidate(new_name)
@@ -308,6 +319,7 @@ class CommandContext:
         match_escalation_threshold: int = 0,
         query_expander: "dict[str, list[str]] | None" = None,
         query_flags: str | None = None,
+        cache: bool = True,
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -318,7 +330,24 @@ class CommandContext:
         output element), never capped by the page size.  Negative offset /
         limit wrap against it per ``grn_normalize_offset_and_limit``:
         offset -5 = 5th-from-last record, limit -1 = everything remaining.
+
+        Results are memoized per full argument vector (the reference's
+        query cache, lib/cache.c — select checks it before evaluating,
+        ``--cache no`` skips); any mutation of the table flushes its
+        entries (grn_cache_expire on write).  ``cache=False`` bypasses
+        both lookup and store.
         """
+        ck = None
+        if cache and not callable(adjuster):
+            ck = (table, query, match_columns, filter, output_columns,
+                  sortby, offset, limit, drilldown, repr(drilldowns),
+                  repr(columns), repr(text_cols), tokenizer, id_col, scorer,
+                  repr(adjuster), match_escalation_threshold,
+                  repr(query_expander), query_flags)
+            hit = self._select_cache.get(ck)
+            if hit is not None:
+                self._select_cache.move_to_end(ck)  # LRU touch
+                return hit
         df = self._read(table)
         # dynamic columns (--columns[label].stage=initial + .value, the
         # grn_select "columns" parameter, proc.c select_v2 path): computed
@@ -438,7 +467,12 @@ class CommandContext:
                     *[c.strip() for c in spec["output_columns"].split(",")]
                 )
             dd[label] = g
-        return {"n_hits": n_hits, "records": page, "drilldowns": dd}
+        out = {"n_hits": n_hits, "records": page, "drilldowns": dd}
+        if ck is not None:
+            self._select_cache[ck] = out
+            while len(self._select_cache) > self._cache_max:
+                self._select_cache.popitem(last=False)  # evict LRU
+        return out
 
     # -- sharding commands (plugins/sharding/logical_*.rb) ------------------
     @staticmethod
@@ -656,12 +690,24 @@ class CommandContext:
         if mod is not None and hasattr(mod, "unregister"):
             mod.unregister(self)
 
+    # -- cache_limit (proc.c:6838; lib/cache.c grn_cache_set_max_n_entries) --
+    def cache_limit(self, max: int | None = None) -> int:
+        """``cache_limit [--max N]``: return the select-cache capacity,
+        setting it first when ``max`` is given (0 disables; shrinking
+        evicts LRU immediately, as the reference reallocates the cache)."""
+        if max is not None:
+            self._cache_max = int(max)
+            while len(self._select_cache) > self._cache_max:
+                self._select_cache.popitem(last=False)
+        return self._cache_max
+
     # -- status (proc.c:6797) ----------------------------------------------
     def status(self) -> dict:
         return {
             "alloc_count": 0,
             "version": "groonga_spark",
             "n_tables": len(self.table_list()),
+            "n_queries_cached": len(self._select_cache),
             "db_path": self.db_path,
         }
 

@@ -617,3 +617,24 @@ class TestAdminCommands:
         assert ctx2.table_list() == ["t"]
         got = {r["_key"]: (r["size"], r["lang"]) for r in ctx2.dump("t").collect()}
         assert got == {"a": (1, "py"), "b": (2, "c"), "c": (3, "py")}
+
+    def test_select_query_cache(self, ctx):
+        # lib/cache.c semantics: same argument vector → cached result
+        # object; any write expires the whole cache; --cache no bypasses
+        r1 = ctx.select("t", filter="size >= 2", output_columns="_key")
+        r2 = ctx.select("t", filter="size >= 2", output_columns="_key")
+        assert r2 is r1  # served from cache
+        assert ctx.status()["n_queries_cached"] == 1
+        r3 = ctx.select("t", filter="size >= 2", output_columns="_key",
+                        cache=False)
+        assert r3 is not r1
+        ctx.load("t", [{"_key": "d", "size": 9, "lang": "go"}])
+        r4 = ctx.select("t", filter="size >= 2", output_columns="_key")
+        assert r4 is not r1 and r4["n_hits"] == 3  # b, c, d after the write
+        assert ctx.cache_limit() == 100
+        ctx.cache_limit(0)  # disable → evict everything
+        assert ctx.status()["n_queries_cached"] == 0
+        assert ctx.select("t", filter="size >= 2") is not ctx.select(
+            "t", filter="size >= 2"
+        )
+        ctx.cache_limit(100)
