@@ -320,6 +320,7 @@ class CommandContext:
         query_expander: "dict[str, list[str]] | None" = None,
         query_flags: str | None = None,
         cache: bool = True,
+        scan_columns: "list[str] | None" = None,
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -343,7 +344,7 @@ class CommandContext:
                   sortby, offset, limit, drilldown, repr(drilldowns),
                   repr(columns), repr(text_cols), tokenizer, id_col, scorer,
                   repr(adjuster), match_escalation_threshold,
-                  repr(query_expander), query_flags)
+                  repr(query_expander), query_flags, repr(scan_columns))
             hit = self._select_cache.get(ck)
             if hit is not None:
                 self._select_cache.move_to_end(ck)  # LRU touch
@@ -356,12 +357,27 @@ class CommandContext:
         # Catalyst Column (whole-stage codegen, pushdown-friendly)
         for cname, spec in (columns or {}).items():
             value = spec["value"] if isinstance(spec, dict) else spec
-            df = df.withColumn(cname, parse_filter(value))
+            col = parse_filter(value)
+            if isinstance(spec, dict) and spec.get("cast"):
+                # integer-typed assignment truncates to the column's
+                # storage type (select --scorer 'output /= value')
+                col = col.cast(spec["cast"])
+            df = df.withColumn(cname, col)
+        # a whitespace-only --query parses to an empty expression in the
+        # reference → no condition → every record (suite/select/query/
+        # space_only fixture); str.split() covers unicode blanks
+        if query is not None and not query.split():
+            query = None
         # a negative offset/limit (or a post-match --filter) needs the FULL
         # match set — the engine's top-k page can't serve it
         need_full = filter is not None or offset < 0 or limit < 0
         if query is not None:
             eng = self._get_engine(table, df, text_cols, tokenizer, id_col)
+            # per-call scan/index split: a Groonga column with no index
+            # column evaluates its query-syntax operators by sequential
+            # scan — the engine here always has a dictionary, so the
+            # caller declares which columns must NOT use it
+            eng.scan_columns = set(scan_columns or ())
             topk, n_ft = eng.select_with_count(
                 query,
                 match_columns,
@@ -395,7 +411,35 @@ class CommandContext:
                     filter, df, id_col=id_col, engine=f_eng, refs=refs
                 )
             else:
-                df = df.filter(parse_filter(filter))
+                cond = parse_filter(filter)
+                # Groonga truthiness (grn_obj_is_true): a non-boolean
+                # filter value matches unless it is false/0/null; the
+                # scan-match _score is the value coerced to a number,
+                # defaulting to 1 (suite/select/filter/no_index/score/*:
+                # --filter '"29"' → _score 29, '"string"' → 1, a vector
+                # → 1).  The score column is only attached when the
+                # request references _score, keeping plain filter plans
+                # unchanged.
+                dt = df.select(cond.alias("__c")).schema[0].dataType.simpleString()
+                score_expr = F.lit(1).cast("double")
+                if dt == "boolean":
+                    match = cond
+                elif dt in ("string",):
+                    match = cond.isNotNull() & (F.length(cond) > 0)
+                    score_expr = F.coalesce(
+                        cond.try_cast("double"), F.lit(1.0)
+                    )
+                elif dt.startswith(("array", "map", "struct")):
+                    match = cond.isNotNull()
+                else:  # numeric
+                    match = cond.isNotNull() & (cond != 0)
+                    score_expr = cond.cast("double")
+                df = df.filter(match)
+                wants_score = "_score" in (output_columns or "") or "_score" in (
+                    sortby or ""
+                )
+                if query is None and wants_score and "score" not in df.columns:
+                    df = df.withColumn("score", score_expr)
 
         if query is not None and not need_full:
             n_hits = n_ft  # exact total from the engine's single evaluation

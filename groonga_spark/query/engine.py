@@ -77,6 +77,11 @@ class SearchEngine:
         self.last_scored: DataFrame | None = None
         self.last_n_hits: int = 0
         self._persisted: list[DataFrame] = []
+        # columns forced onto the scan path even when indexed — models a
+        # Groonga table whose column has NO index column (the engine here
+        # may index a column merely to have a dictionary; conformance
+        # scripts distinguish scan vs index semantics per column)
+        self.scan_columns: set[str] = set()
 
     def _clear_cache(self) -> None:
         """Release the previous query's persisted frames (called once at
@@ -168,9 +173,36 @@ class SearchEngine:
         n = self._gram_n()
         if n is None or not terms or len(terms[-1]) >= n:
             return terms, offs, False
+        if not self._is_split_gram(terms[-1]):
+            # a short COMPLETE run token (uni_alpha/digit/symbol class the
+            # tokenizer keeps whole, e.g. 'm' under plain TokenBigram) is
+            # an exact dictionary term, not a truncated gram — leave it
+            return terms, offs, False
         if len(terms) > 1:
             return terms[:-1], offs[:-1], False
         return terms, offs, True
+
+    def _is_split_gram(self, tok: str) -> bool:
+        """True when the tokenizer n-gram-splits this token's char class —
+        only then is a short trailing token an unmatured gram (the GET
+        cursor's force-prefix flag, tokenizers.c ngram state).  CJK
+        (non-ASCII) always splits; ASCII classes split per the variant's
+        uni_* flags."""
+        from ..normalize import ALPHA, CLS_LUT, DIGIT, NONASCII, SYMBOL
+        from ..tokenize import _NGRAM_VARIANTS
+
+        variant = _NGRAM_VARIANTS.get(
+            "bigram_split_symbol_alpha_digit"
+            if self.index.tokenizer == "regexp"
+            else self.index.tokenizer
+        )
+        if variant is None:
+            return True  # unknown n-gram mode: keep the conservative r1 path
+        split_names = variant[1]
+        ch = tok[0]
+        cls = NONASCII if ord(ch) > 0x7F else int(CLS_LUT[ord(ch)])
+        name = {ALPHA: "alpha", DIGIT: "digit", SYMBOL: "symbol"}.get(cls)
+        return cls == NONASCII or name in split_names
 
     # -- atom construction --------------------------------------------------
     def _compile_atoms(self, node, atoms: list[_Atom]):
@@ -346,7 +378,11 @@ class SearchEngine:
         # term-extract-match (expr.c:5592-5639 → ii.c:5836-6048)
         if prag.mode is not None:
             if prag.mode == "similar":
-                frame = self._similar_frame(prag.text)
+                frame = self._similar_frame(
+                    prag.text,
+                    scorer=scorer,
+                    threshold=prag.similarity_threshold,
+                )
             else:
                 frame = self._term_extract_frame(prag.text)
             frame = self._persist(frame)
@@ -782,6 +818,11 @@ class SearchEngine:
             # scorer_tf_at_most(max) (scorers.c:54-88): min(tf, cap)
             cap = float(scorer.split(":", 1)[1])
             return w_col * F.least(F.col("tf").cast("double"), F.lit(cap))
+        if scorer == "tf":
+            # Groonga's DEFAULT scorer (grn_ii_similar_search/grn_ii_select
+            # accumulate 1 per occurrence × weight, ii.c): score = tf·w —
+            # the integer _score the reference's .test fixtures expect
+            return w_col * F.col("tf").cast("double")
         if scorer != "bm25":
             raise ValueError(f"unknown scorer {scorer!r}")
         avg_col = None
@@ -921,7 +962,7 @@ class SearchEngine:
         atoms score 1.0 per matching record (the scan path's behavior,
         operator.c:904-930); indexed match/prefix/suffix keep BM25."""
         col_to_sid = {col: sid for sid, col in self.index.stats.sections.items()}
-        sid = col_to_sid.get(c.column)
+        sid = None if c.column in self.scan_columns else col_to_sid.get(c.column)
 
         if c.op in ("match", "prefix", "suffix") and sid is not None:
             weights = {sid: 1.0}
@@ -954,9 +995,22 @@ class SearchEngine:
         Catalyst translates it into parquet ``PushedFilters`` (a NULL
         predicate drops the row in a filter exactly like coalesce-false)."""
         if c.op in ("match", "prefix", "suffix"):
-            if c.column in {col for col in self.index.stats.sections.values()}:
+            if (
+                c.column in set(self.index.stats.sections.values())
+                and c.column not in self.scan_columns
+            ):
                 return None
         col = F.col(c.column)
+        # a reference column compares/matches via the referenced record's
+        # _key (the reference casts reference values to their key —
+        # suite/select/query/less/reference.test: Users.age is a
+        # reference to Ages yet `age:<22` compares the UInt8 key)
+        if self.docs is not None and c.column in self.docs.columns:
+            from pyspark.sql.types import StructType
+
+            dt = self.docs.schema[c.column].dataType
+            if isinstance(dt, StructType) and "_key" in dt.fieldNames():
+                col = col.getField("_key")
         if c.op in ("equal", "not_equal", "less", "greater", "less_equal", "greater_equal"):
             val = c.value if c.quoted else _coerce(c.value)
             return {
@@ -967,17 +1021,28 @@ class SearchEngine:
                 "less_equal": col <= val,
                 "greater_equal": col >= val,
             }[c.op]
+        # string-match scan ops compare NormalizerAuto-normalized text
+        # (the reference's scan path normalizes the haystack — the
+        # `name:@aRl` → "Carlos" fixture, suite/select/query/match/
+        # no_index.test; the ASCII normalizer is a case fold, F.lower
+        # stays JVM-side).  This costs parquet pushdown for these four
+        # ops — scalar comparisons above keep PushedFilters, and large-
+        # scale string match should go through the index anyway.
         if c.op == "match":  # unindexed substring scan (operator.c:904)
-            return col.contains(c.value)
+            return F.lower(col).contains(c.value.lower())
         if c.op == "prefix":
-            return col.startswith(c.value)
+            return F.lower(col).startswith(c.value.lower())
         if c.op == "suffix":
-            return col.endswith(c.value)
+            return F.lower(col).endswith(c.value.lower())
         if c.op == "regexp":
             # regexp stays a scan even on indexed columns: only a
             # TokenRegexp lexicon can index-accelerate it soundly
-            # (regexp_index_search is that path)
-            return col.rlike(c.value)
+            # (regexp_index_search is that path).  Case-insensitivity via
+            # the (?i) flag, NOT by lowercasing the pattern — folding the
+            # pattern corrupts escapes (\A → \a) and class ranges
+            # (suite/select/filter/no_index/regexp/text_text: '\\AGr'
+            # must match 'Groonga')
+            return col.rlike("(?i)" + c.value)
         raise ValueError(c.op)
 
     def _docs_filter_frame(self, cond, score: float) -> DataFrame:
@@ -1016,15 +1081,69 @@ class SearchEngine:
         term_doc, _ = self._scored_term_doc(terms, {}, weights, False, "bm25")
         return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
-    def _similar_frame(self, text: str, max_terms: int | None = None) -> DataFrame:
+    def _similar_frame(
+        self,
+        text: str,
+        max_terms: int | None = None,
+        scorer: str = "bm25",
+        threshold: int | None = None,
+    ) -> DataFrame:
         """Full scored frame of SIMILAR search (grn_ii_similar_search,
-        ii.c:5836-5960) — the *S pragma body and similar_search share it."""
+        ii.c:5836-5960) — the *S pragma body and similar_search share it.
+
+        Under ``scorer="tf"`` (the reference's default scorer) this is the
+        exact reference algorithm: per distinct lexicon term,
+        ``w1 = query_tf + max_size // estimate_size`` (max_size 2**20,
+        ii.c:5858); keep the top ``limit`` terms by w1 where ``limit =
+        similarity_threshold or (n_terms >> 3) + 1`` (ii.c:5892-5897); a
+        doc scores ``Σ w1·w2·(tf+weight)`` = Σ w1·tf with unit section
+        weights (ii.c:5948).  ``grn_ii_estimate_size`` (ii.c:4470) is the
+        term's posting size: 1 for an embedded single posting, else the
+        buffer byte estimate — we model it as cf (total occurrences),
+        exact for the embedded case and proportional otherwise.
+
+        Other scorers keep the r1 behavior: the ``(n >> 3) + 1`` rarest
+        terms by df, summed per-posting scores."""
         idx = self.index
         terms, _ = self._get_tokens(text)
-        uniq = sorted(set(terms))
-        if not uniq:
+        if not terms:
             return self._empty_frame()
-        m = max_terms if max_terms is not None else (len(uniq) >> 3) + 1
+        weights = {sid: 1.0 for sid in idx.stats.sections}
+        if scorer == "tf":
+            qtf: dict[str, int] = {}
+            for t in terms:
+                qtf[t] = qtf.get(t, 0) + 1
+            rows = (
+                idx.dictionary.filter(F.col("term").isin(sorted(qtf)))
+                .select("term", "cf")
+                .collect()
+            )
+            w1 = {
+                r["term"]: qtf[r["term"]] + 1048576 // int(r["cf"])
+                for r in rows
+                if int(r["cf"]) > 0
+            }
+            if not w1:
+                return self._empty_frame()
+            limit = (
+                min(threshold, len(w1)) if threshold else (len(w1) >> 3) + 1
+            )
+            sel = sorted(w1, key=lambda t: (-w1[t], t))[:limit]
+            term_doc, _ = self._scored_term_doc(sel, {}, weights, False, "tf")
+            w1_map = F.create_map(
+                *[x for t in sel for x in (F.lit(t), F.lit(float(w1[t])))]
+            )
+            return (
+                term_doc.withColumn("score", F.col("score") * w1_map[F.col("term")])
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        uniq = sorted(set(terms))
+        m = (
+            max_terms
+            if max_terms is not None
+            else (threshold or (len(uniq) >> 3) + 1)
+        )
         rows = (
             idx.dictionary.filter(F.col("term").isin(uniq))
             .select("term", "df")
@@ -1035,8 +1154,7 @@ class SearchEngine:
         sel = [r["term"] for r in rows]
         if not sel:
             return self._empty_frame()
-        weights = {sid: 1.0 for sid in idx.stats.sections}
-        term_doc, _ = self._scored_term_doc(sel, {}, weights, False, "bm25")
+        term_doc, _ = self._scored_term_doc(sel, {}, weights, False, scorer)
         return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def _term_extract_frame(self, text: str) -> DataFrame:

@@ -85,6 +85,7 @@ class Pragmas:
     default_op: str = "and"  # *D+ / *DOR / *D-  → and | or | and_not
     weights: dict[int, float] | None = None  # *W<sid>[:w],...
     mode: str | None = None  # *S → "similar", *T → "term_extract"
+    similarity_threshold: int | None = None  # *S<n> (grn_select_optarg)
     text: str | None = None  # the rest of the query for *S / *T
     force_exact: bool = False  # *X → EXACT mode, no escalation (expr.c:5526)
 
@@ -142,11 +143,25 @@ def _lex(q: str) -> list[tuple[str, str]]:
             toks.append(("RP", c))
             i += 1
         elif c == '"':
-            j = q.find('"', i + 1)
-            if j < 0:
+            # phrase; \x inside is a literal x (GRN_QUERY_ESCAPE,
+            # lib/expr.c get_phrase)
+            j, buf = i + 1, []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    buf.append(q[j + 1])
+                    j += 2
+                else:
+                    buf.append(q[j])
+                    j += 1
+            if j >= n:
                 raise QueryParseError(f"unterminated phrase in {q!r}")
-            toks.append(("PHRASE", q[i + 1 : j]))
+            toks.append(("PHRASE", "".join(buf)))
             i = j + 1
+        elif c == "\\" and i + 1 < n:
+            # escaped leading char starts a WORD (expr.c get_word: the
+            # char after GRN_QUERY_ESCAPE is literal — '\(foo\)' is the
+            # term "(foo)", not a group)
+            i = _lex_word(q, i, toks)
         elif c == "-":
             toks.append(("MINUS", c))
             i += 1
@@ -154,27 +169,50 @@ def _lex(q: str) -> list[tuple[str, str]]:
             toks.append(("PLUS", c))
             i += 1
         else:
-            # a word may embed a quoted span (column:@"multi word") — the
-            # quotes travel with the word and parse_primary strips them
-            j = i
-            parts: list[str] = []
-            while j < n and not q[j].isspace() and q[j] not in "()":
-                if q[j] == '"':
-                    k = q.find('"', j + 1)
-                    if k < 0:
-                        raise QueryParseError(f"unterminated quote in {q!r}")
-                    parts.append(q[j : k + 1])
-                    j = k + 1
-                else:
-                    parts.append(q[j])
-                    j += 1
-            w = "".join(parts)
-            if w == "OR":
-                toks.append(("OR", w))
-            else:
-                toks.append(("WORD", w))
-            i = j
+            i = _lex_word(q, i, toks)
     return toks
+
+
+def _lex_word(q: str, i: int, toks: list[tuple[str, str]]) -> int:
+    """Scan one WORD starting at ``i``; returns the index past it.
+
+    A word may embed a quoted span (column:@"multi word") — the quotes
+    travel with the word and parse_primary strips them.  ``\\x`` is the
+    literal char x (GRN_QUERY_ESCAPE, expr.c get_word): it joins the word
+    even if it is a space/paren/operator char.  A word whose special chars
+    (':' anywhere, '*' first or last) were ALL escaped is emitted as
+    WORDLIT — a plain term never reinterpreted as column-op, pragma, or
+    prefix query."""
+    n = len(q)
+    j = i
+    parts: list[str] = []
+    literal = False  # saw an escape that disarms colop/pragma/prefix
+    while j < n:
+        c = q[j]
+        if c == "\\" and j + 1 < n:
+            nc = q[j + 1]
+            parts.append(nc)
+            if nc == ":" or nc == "*":
+                literal = True
+            j += 2
+            continue
+        if c.isspace() or c in "()":
+            break
+        if c == '"':
+            k = q.find('"', j + 1)
+            if k < 0:
+                raise QueryParseError(f"unterminated quote in {q!r}")
+            parts.append(q[j : k + 1])
+            j = k + 1
+        else:
+            parts.append(c)
+            j += 1
+    w = "".join(parts)
+    if w == "OR":
+        toks.append(("OR", w))
+    else:
+        toks.append(("WORDLIT" if literal else "WORD", w))
+    return j
 
 
 _COLOP_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*):(.+)$", re.DOTALL)
@@ -244,7 +282,7 @@ class _Parser:
     def parse_and(self):
         pos: list = []
         neg: list = []
-        while self.peek()[0] in ("WORD", "PHRASE", "LP", "MINUS", "PLUS"):
+        while self.peek()[0] in ("WORD", "WORDLIT", "PHRASE", "LP", "MINUS", "PLUS"):
             kind, _ = self.peek()
             negate = False
             if kind == "MINUS":
@@ -286,17 +324,29 @@ class _Parser:
             return Phrase(val)
         if kind == "WORD":
             if val.startswith("*N") or val.startswith("*n"):
-                # NEAR/NEAR2 pragma applies to the rest of the query string
-                rest = " ".join(v for _, v in self.toks[self.i :])
+                # NEAR/NEAR2 pragma applies to the rest of the query
+                # string; the operand may ride in the same token as a
+                # quoted phrase — *N"a b", *N5"a b" (expr.c:5592-5639)
+                m = re.match(r"\*([Nn])(\d*)", val)
+                tail = val[m.end() :]
+                if len(tail) >= 2 and tail[0] == '"' and tail[-1] == '"':
+                    tail = tail[1:-1]
+                parts = ([tail] if tail else []) + [
+                    v for _, v in self.toks[self.i :]
+                ]
                 self.i = len(self.toks)
-                k = val[2:]
-                return Near(rest, int(k) if k else 10, no_offset=val[1] == "n")
+                k = int(m.group(2)) if m.group(2) else 10
+                return Near(" ".join(parts), k, no_offset=m.group(1) == "n")
             if self.allow_column:
                 colop = _parse_colop(val)
                 if colop is not None:
                     return colop
             if val.endswith("*") and len(val) > 1:
                 return Term(val[:-1], prefix=True)
+            return Term(val)
+        if kind == "WORDLIT":
+            # word whose special chars were backslash-escaped: always a
+            # plain term (never colop / pragma / prefix)
             return Term(val)
         raise QueryParseError(f"unexpected token {kind}")
 
@@ -364,6 +414,12 @@ def parse_query_ex(q: str, flags=None) -> tuple[object, Pragmas]:
         if c in ("S", "T"):
             prag.mode = "similar" if c == "S" else "term_extract"
             rest = w[2:]
+            # *S<n>: n is the similarity_threshold — the number of rarest
+            # query terms used for matching (ii.c:5892-5897)
+            mt = re.match(r"\d+", rest)
+            if mt:
+                prag.similarity_threshold = int(mt.group(0))
+                rest = rest[mt.end() :]
             tail = " ".join(v for _, v in toks[i + 1 :])
             prag.text = f"{rest} {tail}".strip().strip('"').strip()
             if not prag.text:

@@ -375,14 +375,28 @@ class _P:
                 raise ScriptSyntaxError(f"shift amount must be an int literal")
             f = {"<<": F.shiftleft, ">>": F.shiftright, ">>>": F.shiftrightunsigned}[op]
             return f(_c(a), b)
+        # scan-path string matches run over NormalizerAuto-normalized text
+        # (case fold, matching the query-syntax colop scan and the
+        # reference's normalizer-aware scan; pattern/needle folded too,
+        # except regexp where only the haystack is normalized)
+        if op in ("@", "@^", "@$", "@~"):
+            if not isinstance(b, str):
+                # the reference rejects a column as the match value
+                # ("can't use column as a value", grn_expr_parse —
+                # suite/select/filter/invalid/match/argument/column)
+                raise ScriptSyntaxError(
+                    f"{op} takes a literal pattern, not a column"
+                )
         if op == "@":  # substring match scan fallback (operator.c:904)
-            return _c(a).contains(b)
+            return F.lower(_c(a)).contains(b.lower())
         if op == "@^":  # prefix (operator.c:913)
-            return _c(a).startswith(b)
+            return F.lower(_c(a)).startswith(b.lower())
         if op == "@$":  # suffix (operator.c:922)
-            return _c(a).endswith(b)
+            return F.lower(_c(a)).endswith(b.lower())
         if op == "@~":  # regexp scan fallback (operator.c:922 / Onigmo)
-            return _c(a).rlike(b)
+            # (?i) rather than lowering the pattern: escapes like \A must
+            # survive (suite/select/filter/no_index/regexp/text_text)
+            return _c(a).rlike("(?i)" + b)
         raise ScriptSyntaxError(f"unhandled operator {op}")
 
 

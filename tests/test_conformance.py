@@ -1,0 +1,67 @@
+"""Replay the reference's own golden command scripts
+(test/command/suite/**.test / .expected) through the conformance runner
+and require every supported select to match the reference's recorded
+response — the direct "matches the reference's results on its own test
+queries" gate.
+
+The fixtures are read from the reference checkout; when it is absent
+(standalone deployments of this repo) the tests skip.  Scripts using
+commands/types outside the supported subset raise
+:class:`~groonga_spark.conformance.Unsupported` and are reported as
+skipped, never silently counted as passing.
+"""
+
+import glob
+import os
+
+import pytest
+
+SUITE = "/root/reference/test/command/suite"
+
+# directories swept; each entry is (glob under SUITE,)
+DIRS = [
+    "select/query",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SUITE), reason="reference fixture suite not available"
+)
+
+
+def _fixtures():
+    out = []
+    for d in DIRS:
+        for tpath in sorted(glob.glob(f"{SUITE}/{d}/**/*.test", recursive=True)):
+            if os.path.exists(tpath[:-5] + ".expected"):
+                out.append(tpath)
+    return out
+
+
+def test_reference_suite(spark, tmp_path):
+    from groonga_spark.conformance import Unsupported, run_fixture
+
+    failures, skipped, n_pass = [], [], 0
+    for i, tpath in enumerate(_fixtures()):
+        rel = tpath[len(SUITE) + 1 : -5]
+        with open(tpath) as f:
+            test_text = f.read()
+        with open(tpath[:-5] + ".expected") as f:
+            expected_text = f.read()
+        try:
+            results = run_fixture(
+                spark, str(tmp_path / f"db{i}"), test_text, expected_text
+            )
+        except Unsupported as e:
+            skipped.append(f"{rel}: {e}")
+            continue
+        for cmd, ours, theirs, ok in results:
+            if ok:
+                n_pass += 1
+            else:
+                failures.append(f"{rel} | {cmd[:90]}\n  ours:   {ours}\n  theirs: {theirs}")
+    assert n_pass > 0
+    assert not failures, (
+        f"{len(failures)} select(s) diverge from the reference "
+        f"({n_pass} pass, {len(skipped)} scripts unsupported):\n"
+        + "\n".join(failures)
+    )
