@@ -22,7 +22,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .query.script import parse_filter, parse_filter_plan
+from .query.script import parse_filter, parse_filter_plan, parse_filter_scored
 
 _SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(")
 
@@ -321,6 +321,7 @@ class CommandContext:
         query_flags: str | None = None,
         cache: bool = True,
         scan_columns: "list[str] | None" = None,
+        array_match: "dict[str, bool] | None" = None,
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -344,7 +345,8 @@ class CommandContext:
                   sortby, offset, limit, drilldown, repr(drilldowns),
                   repr(columns), repr(text_cols), tokenizer, id_col, scorer,
                   repr(adjuster), match_escalation_threshold,
-                  repr(query_expander), query_flags, repr(scan_columns))
+                  repr(query_expander), query_flags, repr(scan_columns),
+                  repr(array_match))
             hit = self._select_cache.get(ck)
             if hit is not None:
                 self._select_cache.move_to_end(ck)  # LRU touch
@@ -368,6 +370,24 @@ class CommandContext:
         # space_only fixture); str.split() covers unicode blanks
         if query is not None and not query.split():
             query = None
+        # ALLOW_UPDATE: `column:=value` in --query assigns to every matched
+        # record (here: the whole table — a bare assignment matches all;
+        # get_word expr.c:5722 with GRN_EXPR_ALLOW_UPDATE).  The write goes
+        # through load(), which snapshots and invalidates caches.
+        if (
+            query is not None
+            and query_flags
+            and "ALLOW_UPDATE" in query_flags
+        ):
+            m = re.fullmatch(r"\s*([A-Za-z_][\w.]*)\s*:=\s*(\S+)\s*", query)
+            if m:
+                tgt, rhs = m.groups()
+                if tgt not in df.columns:
+                    raise ValueError(f"unknown column {tgt!r}")
+                val = parse_filter(rhs).cast(df.schema[tgt].dataType)
+                self.load(table, df.withColumn(tgt, val), key_col=id_col)
+                df = self._read(table)
+                query = None
         # a negative offset/limit (or a post-match --filter) needs the FULL
         # match set — the engine's top-k page can't serve it
         need_full = filter is not None or offset < 0 or limit < 0
@@ -411,29 +431,36 @@ class CommandContext:
                     filter, df, id_col=id_col, engine=f_eng, refs=refs
                 )
             else:
-                cond = parse_filter(filter)
-                # Groonga truthiness (grn_obj_is_true): a non-boolean
-                # filter value matches unless it is false/0/null; the
-                # scan-match _score is the value coerced to a number,
-                # defaulting to 1 (suite/select/filter/no_index/score/*:
-                # --filter '"29"' → _score 29, '"string"' → 1, a vector
-                # → 1).  The score column is only attached when the
-                # request references _score, keeping plain filter plans
-                # unchanged.
-                dt = df.select(cond.alias("__c")).schema[0].dataType.simpleString()
-                score_expr = F.lit(1).cast("double")
-                if dt == "boolean":
-                    match = cond
-                elif dt in ("string",):
-                    match = cond.isNotNull() & (F.length(cond) > 0)
-                    score_expr = F.coalesce(
-                        cond.try_cast("double"), F.lit(1.0)
-                    )
-                elif dt.startswith(("array", "map", "struct")):
-                    match = cond.isNotNull()
-                else:  # numeric
-                    match = cond.isNotNull() & (cond != 0)
-                    score_expr = cond.cast("double")
+                cond, fscore = parse_filter_scored(filter, array_cols=array_match)
+                if fscore is not None:
+                    # boolean expression of match/comparison atoms: the
+                    # score is the result-set accumulation (each satisfied
+                    # atom adds 1 — OR sums matched branches, AND both
+                    # sides; suite/select/score/need_temporary_table/*)
+                    match, score_expr = cond, fscore
+                else:
+                    # Groonga truthiness (grn_obj_is_true): a non-boolean
+                    # filter value matches unless it is false/0/null; the
+                    # scan-match _score is the value coerced to a number,
+                    # defaulting to 1 (suite/select/filter/no_index/score/*:
+                    # --filter '"29"' → _score 29, '"string"' → 1, a vector
+                    # → 1).  The score column is only attached when the
+                    # request references _score, keeping plain filter plans
+                    # unchanged.
+                    dt = df.select(cond.alias("__c")).schema[0].dataType.simpleString()
+                    score_expr = F.lit(1).cast("double")
+                    if dt == "boolean":
+                        match = cond
+                    elif dt in ("string",):
+                        match = cond.isNotNull() & (F.length(cond) > 0)
+                        score_expr = F.coalesce(
+                            cond.try_cast("double"), F.lit(1.0)
+                        )
+                    elif dt.startswith(("array", "map", "struct")):
+                        match = cond.isNotNull()
+                    else:  # numeric
+                        match = cond.isNotNull() & (cond != 0)
+                        score_expr = cond.cast("double")
                 df = df.filter(match)
                 wants_score = "_score" in (output_columns or "") or "_score" in (
                     sortby or ""

@@ -168,6 +168,7 @@ class _Table:
     rows: list = field(default_factory=list)  # [{col: value}] incl. _id/_key
     types: dict = field(default_factory=dict)  # column → groonga type name
     ref_cols: dict = field(default_factory=dict)  # column → referenced table
+    vector_ref_cols: dict = field(default_factory=dict)  # vector ref → table
     key_normalize: bool = False  # KEY_NORMALIZE flag / --normalizer
     loaded: bool = False  # a parquet snapshot exists (possibly empty)
 
@@ -561,7 +562,14 @@ class ConformanceRunner:
             # record's _key + scalar columns so that script dotted access
             # (bookmark.title) compiles to Spark struct field access
             if "COLUMN_VECTOR" in flags:
-                raise Unsupported("vector of references")
+                # vector of references (tag column): an array of the
+                # referenced keys; match ops evaluate per element
+                ref = self.tables[gtype]
+                t.columns.append((name, f"array<{ref.key_type}>"))
+                t.types[name] = gtype
+                t.vector_cols.add(name)
+                t.vector_ref_cols[name] = gtype
+                return
             ref = self.tables[gtype]
             parts = [f"_key:{ref.key_type}"] + [
                 f"`{n}`:{ty}" for n, ty in ref.columns if n not in ref.ref_cols
@@ -621,6 +629,9 @@ class ConformanceRunner:
                     r["_key"] = _norm_key(str(r["_key"]))
         time_cols = [n for n, ty in t.columns if t.types.get(n) == "Time"]
         for r in rows:
+            for n in t.vector_cols:
+                if isinstance(r.get(n), dict):
+                    raise Unsupported("weighted vector value")
             for n in time_cols:
                 if isinstance(r.get(n), str):
                     r[n] = _parse_time(r[n])
@@ -642,6 +653,21 @@ class ConformanceRunner:
                     expanded.append(r if k == str(r["_key"]) else {"_key": k})
             rows = expanded
         for r in rows:
+            # vector-of-reference elements auto-register too, normalized
+            # per the referenced table's key rules
+            for col, ref_name in t.vector_ref_cols.items():
+                vals = r.get(col) or []
+                ref = self.tables[ref_name]
+                if ref.key_normalize:
+                    vals = [
+                        _norm_key(v) if isinstance(v, str) else v for v in vals
+                    ]
+                    r[col] = vals
+                known = {str(x.get("_key", "")) for x in ref.rows}
+                for key in vals:
+                    if key not in (None, "") and str(key) not in known:
+                        self._ingest(ref_name, [{"_key": key}])
+                        known.add(str(key))
             # loading an unknown key into a reference column auto-adds it
             # to the referenced table (grn table key auto-registration)
             for col, ref_name in t.ref_cols.items():
@@ -700,6 +726,10 @@ class ConformanceRunner:
         if table not in self.tables:
             raise Unsupported(f"select on unknown table {table}")
         t = self.tables[table]
+        if t.lex_tokenizer is not None:
+            # selecting a lexicon table exposes index internals (term ids,
+            # index-column byte estimates) we don't materialize
+            raise Unsupported("select on a lexicon table")
         if not t.loaded:
             self._ingest(table, [])  # selects on never-loaded tables
         out_default = ["_id"] + (["_key"] if t.keyed else []) + [
@@ -774,8 +804,17 @@ class ConformanceRunner:
         # the key trie (key prefix/suffix search), never the fulltext
         # lexicon — our endswith/startswith scan reproduces those results
         key_scan = ["_key"] if t.keyed and t.key_type == "string" else []
-        if t.indexed_cols:
-            args["text_cols"] = t.indexed_cols
+        if t.vector_cols:
+            # vector (tag) columns: match ops evaluate per element; an
+            # index over the vector makes `@` an exact element lookup
+            args["array_match"] = {
+                n: n in t.indexed_cols for n in t.vector_cols
+            }
+        scalar_indexed = [c for c in t.indexed_cols if c not in t.vector_cols]
+        if query is not None and t.indexed_cols and not scalar_indexed:
+            raise Unsupported("--query over a vector index")
+        if scalar_indexed:
+            args["text_cols"] = scalar_indexed
             args["tokenizer"] = t.tokenizer
             args["scan_columns"] = key_scan
         else:
@@ -931,7 +970,46 @@ class ConformanceRunner:
                     r["_id"]: pos.get(str(r.get(col, "")), 1 << 60)
                     for r in t.rows
                 }
+        # generic scan rule: a select whose evaluation never touches a
+        # posting list is a sequential scan over the table cursor, and the
+        # pat/dat cursor walks in ascending key order (the
+        # query_flags/allow_leading_not fixture: the complement is a scan
+        # and the TABLE_PAT_KEY output comes back key-ordered)
+        if t.pat or t.dat:
+            scan_cols = set(args.get("scan_columns") or ())
+            if ast is not None:
+                if self._ast_all_scan(ast, t, scan_cols):
+                    return rank_keys(sorted(t.keys, key=norm))
+            elif args.get("filter") is not None:
+                f = args["filter"]
+                if "query(" not in f and ("@" not in f or not t.indexed_cols):
+                    return rank_keys(sorted(t.keys, key=norm))
         return None
+
+    def _ast_all_scan(self, node, t: _Table, scan_cols: set) -> bool:
+        """True when every atom of the query AST evaluates by sequential
+        scan (no posting-list-driven atom) — then the result order is the
+        table cursor order, not posting/insertion order."""
+        from .query.parser import (
+            AllRecords, And, ColumnOp, Near, Not, Or, Phrase, Term,
+        )
+
+        scalar_indexed = [c for c in t.indexed_cols if c not in t.vector_cols]
+        if isinstance(node, (Term, Phrase, Near)):
+            return not scalar_indexed
+        if isinstance(node, ColumnOp):
+            if node.op in ("match", "prefix", "suffix"):
+                return node.column not in scalar_indexed or node.column in scan_cols
+            return True  # comparisons / regexp scan
+        if isinstance(node, AllRecords):
+            return True
+        if isinstance(node, (And, Or)):
+            return all(self._ast_all_scan(c, t, scan_cols) for c in node.children)
+        if isinstance(node, Not):
+            # the result set is built from the POSITIVE side; the negative
+            # side only deletes from it, which never reorders the cursor
+            return self._ast_all_scan(node.positive, t, scan_cols)
+        return False
 
     def _col_name(self, c: str) -> str:
         return {"_score": "score"}.get(c, c)

@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         @\^ | @\$ | @~ | @ |
-        && | \|\| | == | != | <= | >= | << | >>> | >> |
+        && | &! | \|\| | == | != | <= | >= | << | >>> | >> |
         [()!<>,+\-*/%&|^~] |
         "(?:[^"\\]|\\.)*" | '(?:[^'\\]|\\.)*' |
         \d+\.\d+ | \d+ |
@@ -60,9 +60,48 @@ class ScriptSyntaxError(ValueError):
     pass
 
 
+class _Scored:
+    """A boolean subexpression paired with its score contribution —
+    the scored compile mode's value type (see :func:`parse_filter_scored`).
+    In any non-logical context it degrades to its condition."""
+
+    __slots__ = ("cond", "score")
+
+    def __init__(self, cond: Column, score: Column):
+        self.cond = cond
+        self.score = score
+
+
+class _Arr:
+    """A reference to an array (COLUMN_VECTOR) column; match operators
+    evaluate per element.  ``exact`` marks a tag-index-backed column whose
+    ``@`` is an exact element lookup."""
+
+    __slots__ = ("col", "exact")
+
+    def __init__(self, col: Column, exact: bool):
+        self.col = col
+        self.exact = exact
+
+
 def _c(x) -> Column:
     """Lift a raw python literal to a Column; pass Columns through."""
+    if isinstance(x, _Scored):
+        return x.cond
+    if isinstance(x, _Arr):
+        return x.col
     return x if isinstance(x, Column) else F.lit(x)
+
+
+def _cond(x) -> Column:
+    return _c(x)
+
+
+def _score_of(x, cond: Column) -> Column:
+    """Score contribution of a logical operand: an atom tree carries its
+    own score; a bare boolean (e.g. a literal or function call) scores 1
+    when satisfied."""
+    return x.score if isinstance(x, _Scored) else F.lit(1.0)
 
 
 def _tokenize(src: str) -> list[str]:
@@ -155,6 +194,7 @@ class _P:
     _BIN = {
         "||": 1,
         "&&": 2,
+        "&!": 2,
         "|": 3,
         "^": 4,
         "&": 5,
@@ -178,11 +218,20 @@ class _P:
         "%": 10,
     }
 
-    def __init__(self, toks: list[str], plan_ctx: "_PlanCtx | None" = None):
+    def __init__(
+        self,
+        toks: list[str],
+        plan_ctx: "_PlanCtx | None" = None,
+        scored: bool = False,
+        array_cols: "dict[str, bool] | None" = None,
+    ):
         self.t = toks
         self.i = 0
         self.fns = _fn_registry()
         self.plan_ctx = plan_ctx
+        self.scored = scored
+        # array column name → True when an index backs exact element match
+        self.array_cols = array_cols or {}
 
     def peek(self):
         return self.t[self.i] if self.i < len(self.t) else None
@@ -200,6 +249,17 @@ class _P:
             raise ScriptSyntaxError(f"trailing tokens at {self.t[self.i:]}")
         return _c(c)
 
+    def parse_scored(self) -> "tuple[Column, Column | None]":
+        """(condition, score) of the whole expression; score is None when
+        the expression has no match/comparison atoms (a bare value —
+        Groonga truthiness applies, the caller derives the score)."""
+        c = self.expr(0)
+        if self.peek() is not None:
+            raise ScriptSyntaxError(f"trailing tokens at {self.t[self.i:]}")
+        if isinstance(c, _Scored):
+            return c.cond, c.score
+        return _c(c), None
+
     def expr(self, min_prec: int) -> Column:
         left = self.unary()
         while True:
@@ -215,7 +275,8 @@ class _P:
         tok = self.peek()
         if tok == "!":
             self.next()
-            return ~_c(self.unary())
+            cond = ~_c(self.unary())
+            return _Scored(cond, F.lit(1.0)) if self.scored else cond
         if tok == "-":
             self.next()
             return -_c(self.unary())
@@ -243,6 +304,8 @@ class _P:
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", tok):
             if self.peek() == "(":
                 return self.call(tok)
+            if tok in self.array_cols:
+                return _Arr(F.col(tok), self.array_cols[tok])
             return F.col(tok)
         raise ScriptSyntaxError(f"unexpected token {tok!r}")
 
@@ -328,7 +391,8 @@ class _P:
                 ).distinct()
             )
             ctx.atoms.append((flag, ids, ctx.id_col))
-        return F.coalesce(F.col(flag), F.lit(False))
+        cond = F.coalesce(F.col(flag), F.lit(False))
+        return _Scored(cond, F.lit(1.0)) if self.scored else cond
 
     @staticmethod
     def _unlit(args, name):
@@ -336,24 +400,52 @@ class _P:
         # strings and in_values' value list need real python values
         return args
 
-    @staticmethod
-    def _apply(op: str, a: Column, b: Column) -> Column:
-        if op == "||":
-            return _c(a) | _c(b)
-        if op == "&&":
-            return _c(a) & _c(b)
-        if op == "==":
-            return _c(a) == b if isinstance(b, (int, float, str, bool)) else _c(a) == _c(b)
-        if op == "!=":
-            return _c(a) != b if isinstance(b, (int, float, str, bool)) else _c(a) != _c(b)
-        if op == "<":
-            return _c(a) < _c(b)
-        if op == ">":
-            return _c(a) > _c(b)
-        if op == "<=":
-            return _c(a) <= _c(b)
-        if op == ">=":
-            return _c(a) >= _c(b)
+    def _apply(self, op: str, a, b):
+        if op in ("||", "&&", "&!"):
+            ca, cb = _cond(a), _cond(b)
+            if op == "||":
+                cond = ca | cb
+            elif op == "&&":
+                cond = ca & cb
+            else:  # a &! b (GRN_OP_AND_NOT)
+                cond = ca & ~F.coalesce(cb, F.lit(False))
+            if not self.scored:
+                return cond
+            # result-set score accumulation (grn res_add, lib/ii.c /
+            # operator.c): every satisfied match/comparison atom along the
+            # accepted path adds its contribution — OR sums the matched
+            # branches, AND sums both sides, AND_NOT keeps the left score
+            # (suite/select/score/need_temporary_table/*: a record matched
+            # by both OR branches scores 2)
+            sa, sb = _score_of(a, ca), _score_of(b, cb)
+            if op == "||":
+                score = (
+                    F.when(F.coalesce(ca, F.lit(False)), sa).otherwise(F.lit(0.0))
+                    + F.when(F.coalesce(cb, F.lit(False)), sb).otherwise(F.lit(0.0))
+                )
+            elif op == "&&":
+                score = sa + sb
+            else:
+                score = sa
+            return _Scored(cond, score)
+        return self._apply_plain(op, a, b)
+
+    def _apply_plain(self, op: str, a, b):
+        scored = self.scored
+        if op in ("==", "!=", "<", ">", "<=", ">="):
+            if isinstance(a, _Arr) and op in ("==", "!="):
+                # vector equality compares element sets (rare; scan path)
+                cond = _c(a) == _c(b) if op == "==" else _c(a) != _c(b)
+            else:
+                cond = {
+                    "==": lambda: _c(a) == _c(b),
+                    "!=": lambda: _c(a) != _c(b),
+                    "<": lambda: _c(a) < _c(b),
+                    ">": lambda: _c(a) > _c(b),
+                    "<=": lambda: _c(a) <= _c(b),
+                    ">=": lambda: _c(a) >= _c(b),
+                }[op]()
+            return _Scored(cond, F.lit(1.0)) if scored else cond
         if op == "+":
             return _c(a) + _c(b)
         if op == "-":
@@ -387,22 +479,51 @@ class _P:
                 raise ScriptSyntaxError(
                     f"{op} takes a literal pattern, not a column"
                 )
-        if op == "@":  # substring match scan fallback (operator.c:904)
-            return F.lower(_c(a)).contains(b.lower())
-        if op == "@^":  # prefix (operator.c:913)
-            return F.lower(_c(a)).startswith(b.lower())
-        if op == "@$":  # suffix (operator.c:922)
-            return F.lower(_c(a)).endswith(b.lower())
-        if op == "@~":  # regexp scan fallback (operator.c:922 / Onigmo)
-            # (?i) rather than lowering the pattern: escapes like \A must
-            # survive (suite/select/filter/no_index/regexp/text_text)
-            return _c(a).rlike("(?i)" + b)
+        if op in ("@", "@^", "@$", "@~"):
+            if isinstance(a, _Arr):
+                # vector column: a tag-index-backed match is an exact
+                # element lookup (the index lexicon maps whole values —
+                # suite/select/score/need_temporary_table/*); without an
+                # index each element gets the scalar scan semantics
+                if a.exact and op == "@":
+                    cond = F.array_contains(a.col, b)
+                else:
+                    per = {
+                        "@": lambda x: F.lower(x).contains(b.lower()),
+                        "@^": lambda x: F.lower(x).startswith(b.lower()),
+                        "@$": lambda x: F.lower(x).endswith(b.lower()),
+                        "@~": lambda x: x.rlike("(?i)" + b),
+                    }[op]
+                    cond = F.exists(a.col, per)
+            elif op == "@":  # substring scan fallback (operator.c:904)
+                cond = F.lower(_c(a)).contains(b.lower())
+            elif op == "@^":  # prefix (operator.c:913)
+                cond = F.lower(_c(a)).startswith(b.lower())
+            elif op == "@$":  # suffix (operator.c:922)
+                cond = F.lower(_c(a)).endswith(b.lower())
+            else:  # @~ regexp scan fallback (operator.c:922 / Onigmo)
+                # (?i) rather than lowering the pattern: escapes like \A
+                # must survive (suite/select/filter/no_index/regexp/
+                # text_text)
+                cond = _c(a).rlike("(?i)" + b)
+            return _Scored(cond, F.lit(1.0)) if scored else cond
         raise ScriptSyntaxError(f"unhandled operator {op}")
 
 
-def parse_filter(src: str) -> Column:
+def parse_filter(src: str, array_cols: "dict[str, bool] | None" = None) -> Column:
     """Compile a ``--filter`` script expression to a Spark Column."""
-    return _P(_tokenize(src)).parse()
+    return _P(_tokenize(src), array_cols=array_cols).parse()
+
+
+def parse_filter_scored(
+    src: str, array_cols: "dict[str, bool] | None" = None
+) -> "tuple[Column, Column | None]":
+    """Compile a ``--filter`` expression to ``(condition, score)`` —
+    the score is the reference's result-set accumulation (each satisfied
+    match/comparison atom contributes 1; OR sums matched branches, AND
+    sums both sides, AND_NOT keeps the left side).  ``None`` score means
+    the expression is a bare value with no atoms (truthiness semantics)."""
+    return _P(_tokenize(src), scored=True, array_cols=array_cols).parse_scored()
 
 
 def parse_filter_plan(
