@@ -22,7 +22,12 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .query.script import parse_filter, parse_filter_plan, parse_filter_scored
+from .query.script import (
+    parse_filter,
+    parse_filter_plan,
+    parse_filter_plan_scored,
+    parse_filter_scored,
+)
 
 _SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(")
 
@@ -70,13 +75,25 @@ class CommandContext:
         self._refs: dict[str, dict[str, tuple[str, str]]] = {}
 
     def set_reference(
-        self, table: str, local_col: str, foreign_table: str, foreign_key: str
+        self,
+        table: str,
+        local_col: str,
+        foreign_table: str,
+        foreign_key: str,
+        local: str | None = None,
+        array: bool = False,
     ) -> None:
         """Declare ``table.local_col`` as a reference into
         ``foreign_table.foreign_key`` — the schema information Groonga's
         reference columns carry implicitly (db.c column types).  Enables
-        ``sub_filter(local_col, "expr")`` in ``--filter``."""
-        self._refs.setdefault(table, {})[local_col] = (foreign_table, foreign_key)
+        ``sub_filter(local_col, "expr")`` in ``--filter``.  ``local``
+        overrides the LOCAL join expression (default: the column itself) —
+        e.g. ``_key`` for an index-column reverse reference, or
+        ``col._key`` when the reference is stored as a struct.  ``array``
+        marks a COLUMN_VECTOR reference (any-element membership)."""
+        self._refs.setdefault(table, {})[local_col] = (
+            foreign_table, foreign_key, local or local_col, array,
+        )
 
     # -- table io ----------------------------------------------------------
     def _path(self, table: str) -> str:
@@ -419,17 +436,24 @@ class CommandContext:
                 # through the registered references; query() runs the
                 # fulltext engine for this table
                 refs = {
-                    lc: (self._read(ft), fk)
-                    for lc, (ft, fk) in self._refs.get(table, {}).items()
+                    lc: (self._read(ft), fk, loc, arr)
+                    for lc, (ft, fk, loc, arr) in self._refs.get(table, {}).items()
                 }
                 f_eng = (
                     self._get_engine(table, df, text_cols, tokenizer, id_col)
                     if re.search(r"\bquery\s*\(", filter)
                     else self._engines.get(table)
                 )
-                df = parse_filter_plan(
-                    filter, df, id_col=id_col, engine=f_eng, refs=refs
+                df = parse_filter_plan_scored(
+                    filter, df, id_col=id_col, engine=f_eng, refs=refs,
+                    scorer=scorer,
                 )
+                wants_score = "_score" in (output_columns or "") or (
+                    "_score" in (sortby or "")
+                )
+                if query is None and wants_score and "score" not in df.columns:
+                    df = df.withColumnRenamed("__fscore", "score")
+                df = df.drop("__fscore")
             else:
                 cond, fscore = parse_filter_scored(filter, array_cols=array_match)
                 if fscore is not None:

@@ -84,6 +84,8 @@ TOKENIZER_MAP = {
 
 _CMD_RE = re.compile(r"^[a-z][a-z0-9_]*(\s|$)")
 
+_SELECTOR_CALL = re.compile(r"\b(sub_filter|query)\s*\(")
+
 _UNESC = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
 
 
@@ -151,6 +153,7 @@ class Unsupported(Exception):
 class _Table:
     keyed: bool = False
     key_type: str = "string"
+    key_gtype: str = "ShortText"  # groonga key type name (output headers)
     flags: str = ""  # raw TABLE_* flag string from table_create
     columns: list = field(default_factory=list)  # [(name, spark_type)]
     vector_cols: set = field(default_factory=set)
@@ -169,6 +172,7 @@ class _Table:
     types: dict = field(default_factory=dict)  # column → groonga type name
     ref_cols: dict = field(default_factory=dict)  # column → referenced table
     vector_ref_cols: dict = field(default_factory=dict)  # vector ref → table
+    index_cols: dict = field(default_factory=dict)  # index col → (src table, src col)
     key_normalize: bool = False  # KEY_NORMALIZE flag / --normalizer
     loaded: bool = False  # a parquet snapshot exists (possibly empty)
 
@@ -280,9 +284,28 @@ def parse_expected(text: str) -> dict[str, object]:
         else:
             # raw_decode: take the first JSON document; multi-line #|e|
             # error annotations continue past their '#' line and would
-            # otherwise corrupt the parse
-            res[cmd] = json.JSONDecoder().raw_decode("\n".join(chunk))[0]
+            # otherwise corrupt the parse.  A non-JSON response body
+            # (``dump`` emits a command script) is kept as raw text.
+            try:
+                res[cmd] = json.JSONDecoder().raw_decode("\n".join(chunk))[0]
+            except ValueError:
+                res[cmd] = ("#text", "\n".join(chunk))
     return res
+
+
+class _Resp:
+    """A non-select command's response body, compared verbatim against the
+    reference's recorded JSON body (``table_create`` → ``true``, ``load`` →
+    record count, ``tokenize`` → token list, …).  The sentinel body
+    ``"ERROR"`` matches any reference response with rc != 0."""
+
+    __slots__ = ("body",)
+
+    def __init__(self, body):
+        self.body = body
+
+    def __repr__(self):
+        return f"_Resp({self.body!r})"
 
 
 def select_result(response):
@@ -328,6 +351,41 @@ _INT_WIDTH = {"Int8": 8, "UInt8": 8, "Int16": 16, "UInt16": 16,
               "Int32": 32, "UInt32": 32, "Int64": 64, "UInt64": 64}
 
 
+def _split_output_columns(s: str) -> list[str]:
+    """Split an ``--output_columns`` spec on TOP-LEVEL commas only —
+    function calls carry commas inside parens and string literals."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    q: str | None = None
+    esc = False
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == q:
+                q = None
+            continue
+        if ch in "\"'":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 class _OutExpr:
     """Evaluator for script expressions in ``--output_columns`` — a
     presentation-layer feature (grn_select output formatting, proc.c):
@@ -340,23 +398,33 @@ class _OutExpr:
     always engine-side; this only renders extra output columns."""
 
     _TOK = re.compile(
-        r'\s*("(?:\\.|[^"])*"|\d+\.\d+|\d+|[A-Za-z_][\w.]*|'
-        r"\|\||&&|>>>|<<|>>|[!=<>]=|[-+*/%&|^<>()!])"
+        r'\s*("(?:\\.|[^"])*"|\'(?:\\.|[^\'])*\'|\d+\.\d+|\d+|[A-Za-z_][\w.]*|'
+        r"\|\||&&|>>>|<<|>>|[!=<>]=|[-+*/%&|^<>()!,])"
     )
 
     def __init__(self, expr: str, types: dict):
         self.toks = self._TOK.findall(expr)
         self.types = types  # column → groonga type name
-        # output column name: a leading column ref names the column,
-        # anything else is anonymous ("" in the reference output)
-        self.name = (
-            self.toks[0]
-            if self.toks and self.toks[0] in types or
-               (self.toks and self.toks[0].split(".")[0] in types)
-            else ""
-        )
+        self.fctx: dict = {}  # function context (query keywords)
+        # output column name: a leading column ref names the column, a
+        # function call names it after the function; anything else is
+        # anonymous ("" in the reference output)
+        if len(self.toks) > 1 and self.toks[1] == "(" and re.fullmatch(
+            r"[A-Za-z_]\w*", self.toks[0]
+        ):
+            self.name = self.toks[0]
+        else:
+            self.name = (
+                self.toks[0]
+                if self.toks and self.toks[0] in types or
+                   (self.toks and self.toks[0].split(".")[0] in types)
+                else ""
+            )
         self.cols = [
-            tk.split(".")[0] for tk in self.toks if tk.split(".")[0] in types
+            tk.split(".")[0]
+            for tk in self.toks
+            if tk.split(".")[0] in types
+            or tk.split(".")[0] in ("_id", "_key", "_score")
         ]
 
     @staticmethod
@@ -472,8 +540,23 @@ class _OutExpr:
         self.i += 1
         if tk is None:
             raise Unsupported("empty output expression")
+        if re.fullmatch(r"[A-Za-z_]\w*", tk) and self._peek() == "(":
+            self.i += 1  # past '('
+            args = []
+            if self._peek() != ")":
+                args.append(self._or(row))
+                while self._peek() == ",":
+                    self.i += 1
+                    args.append(self._or(row))
+            if self._peek() != ")":
+                raise Unsupported("unbalanced output function call")
+            self.i += 1
+            return self._call(tk, args)
         if tk.startswith('"'):
             return json.loads(tk)
+        if tk.startswith("'"):
+            body = tk[1:-1].replace("\\'", "'").replace('\\"', '"')
+            return json.loads('"' + body.replace('"', '\\"') + '"')
         if tk in ("true", "false"):
             return tk == "true"
         if tk == "null":
@@ -489,6 +572,76 @@ class _OutExpr:
                 v = None if v is None else v[part]
             return v
         raise Unsupported(f"output expression token {tk!r}")
+
+    def _call(self, name: str, args: list):
+        """Output-column function calls (proc.c GRN_PROC_FUNCTION procs).
+        snippet/highlight keywords come from the select condition
+        (grn_expr_get_keywords) via ``fctx``."""
+        from . import snip
+
+        kws = self.fctx.get("keywords", [])
+        if name == "snippet_html":
+            if len(args) != 1:
+                return None
+            return snip.snippet_html(args[0] or "", kws) if kws else None
+        if name == "highlight_html":
+            if len(args) != 1 or args[0] is None:
+                return None
+            # no keywords → still HTML-escapes the whole text
+            # (highlight_html/empty_query, no_query)
+            return snip.highlight_html(args[0], kws)
+        if name == "highlight_full":
+            if len(args) < 3:
+                return None
+            if isinstance(args[1], str) and args[1] not in (
+                "", "NormalizerAuto"
+            ):
+                # a non-normalizer name is a hard error (rc -22,
+                # highlight_full/invalid/not_normalizer)
+                raise ScriptSyntaxError(f"not normalizer: {args[1]}")
+            return snip.highlight_full(args[0] or "", *args[1:])
+        if name == "html_untag":
+            v = args[0]
+            if v is not None and not isinstance(v, (str, int, float)):
+                # a record reference doesn't cast to text (rc -22,
+                # html_untag/cast_failure)
+                raise ScriptSyntaxError("failed to cast to text")
+            return re.sub(r"<[^>]*>", "", str(v) if v is not None else "")
+        if name == "vector_size":
+            return len(args[0] or [])
+        if name == "edit_distance":
+            a, b = str(args[0] or ""), str(args[1] or "")
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i] + [0] * len(b)
+                for j, cb in enumerate(b, 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (ca != cb))
+                prev = cur
+            return prev[-1]
+        raise Unsupported(f"output function {name}")
+
+
+def _grn_char_type(ch: str) -> str:
+    """Groonga char-type name for the ``normalize … WITH_TYPES`` output
+    (lib/proc.c grn_char_type names: null/alpha/digit/symbol/hiragana/
+    katakana/kanji/others)."""
+    o = ord(ch)
+    if o < 0x80:
+        if ch.isalpha():
+            return "alpha"
+        if ch.isdigit():
+            return "digit"
+        if ch.isspace():
+            return "others"
+        return "symbol"
+    if 0x3041 <= o <= 0x309F:
+        return "hiragana"
+    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
+        return "katakana"
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+        return "kanji"
+    return "others"
 
 
 def _norm_key(s: str) -> str:
@@ -533,6 +686,7 @@ class ConformanceRunner:
             if kt is None:
                 raise Unsupported(f"key type {pos[2]}")
             t.key_type = kt
+            t.key_gtype = pos[2]
         self.tables[name] = t
 
     def column_create(self, argv):
@@ -542,6 +696,9 @@ class ConformanceRunner:
             # column_create Lexicon idx COLUMN_INDEX|… SourceTable col[,col]
             lex = self.tables[table]
             src_table, sources = pos[3], (kw.get("source") or pos[4]).split(",")
+            # remember the reverse reference: sub_filter(idx, "expr") walks
+            # the index back to the source records (func_sub_filter)
+            lex.index_cols[name] = (src_table, sources[0])
             t = self.tables[src_table]
             t.indexed_cols.extend(s for s in sources if s not in t.indexed_cols)
             # a lexicon with no --default_tokenizer indexes WHOLE values
@@ -602,7 +759,9 @@ class ConformanceRunner:
                 rows = [{} for _ in rows]
             else:
                 raise Unsupported("positional load rows without a header")
-        return self._ingest(table, rows)
+        n = len(rows)  # the response counts PAYLOAD records, not the
+        self._ingest(table, rows)  # SIS/auto-registered extras
+        return n
 
     def _ref_struct(self, ref: "_Table", key) -> dict:
         """Struct value of a reference column pointing at ``key``: the
@@ -720,8 +879,22 @@ class ConformanceRunner:
         t.loaded = True
         return len(rows)
 
+    # select's positional parameter order (DEF_VAR list, proc.c:6759-6781)
+    _SELECT_VARS = (
+        "table", "match_columns", "query", "filter", "scorer", "sortby",
+        "output_columns", "offset", "limit", "drilldown",
+        "drilldown_sortby", "drilldown_output_columns", "drilldown_offset",
+        "drilldown_limit", "cache", "match_escalation_threshold",
+        "query_expansion", "query_flags", "query_expander", "adjuster",
+        "drilldown_calc_types", "drilldown_calc_target",
+    )
+
     def select(self, argv):
         pos, kw = self._kw(argv)
+        for i, v in enumerate(pos):
+            # bare tokens fill the declared parameter slots in order
+            if i < len(self._SELECT_VARS) and self._SELECT_VARS[i] not in kw:
+                kw[self._SELECT_VARS[i]] = v
         table = kw.pop("table", None) or pos[0]
         if table not in self.tables:
             raise Unsupported(f"select on unknown table {table}")
@@ -737,6 +910,12 @@ class ConformanceRunner:
         ] + [n for n in t.vector_cols]
         query = kw.pop("query", None)
         match_cols = kw.pop("match_columns", None)
+        expander = kw.pop("query_expander", None) or kw.pop(
+            "query_expansion", None  # pre-3.x alias (proc.c)
+        )
+        kw.pop("query_expansion", None)
+        if expander is not None and query is not None:
+            query = self._expand_query(expander, query, kw.get("query_flags"))
         explicit_sort = kw.pop("sortby", kw.pop("sort_keys", None))
         offset = int(kw.pop("offset", 0))
         limit = int(kw.pop("limit", 10))
@@ -835,6 +1014,26 @@ class ConformanceRunner:
             raise Unsupported("command_version 3 (object output)")
         if kw:
             raise Unsupported(f"select args {sorted(kw)}")
+        if args["filter"] and _SELECTOR_CALL.search(args["filter"]):
+            # register reference metadata for sub_filter()/query():
+            # forward refs join on the stored struct's _key; index columns
+            # reverse-join the source records onto our _key
+            for c, rt in t.ref_cols.items():
+                if not self.tables[rt].loaded:
+                    self._ingest(rt, [])
+                self.ctx.set_reference(table, c, rt, "_key", local=f"{c}._key")
+                self.ctx.set_reference(
+                    table, f"{c}._key", rt, "_key", local=f"{c}._key"
+                )
+            for iname, (st, sc) in t.index_cols.items():
+                if not self.tables[st].loaded:
+                    self._ingest(st, [])
+                fk = f"{sc}._key" if sc in self.tables[st].ref_cols else sc
+                self.ctx.set_reference(table, iname, st, fk, local="_key")
+            for c, rt in t.vector_ref_cols.items():
+                if not self.tables[rt].loaded:
+                    self._ingest(rt, [])
+                self.ctx.set_reference(table, c, rt, "_key", array=True)
         if args["filter"]:
             f = args["filter"]
             if any(t.types.get(n) == "Time" for n, _ in t.columns):
@@ -849,14 +1048,66 @@ class ConformanceRunner:
             args["filter"] = f
 
         rank = None if explicit_sort else self._natural_rank(t, args)
-        entries = [c.strip() for c in args["output_columns"].split(",")]
+        if rank is None and not explicit_sort and query is not None:
+            rank = self._or_branch_rank(table, t, args)
+        entries = _split_output_columns(args["output_columns"])
+        if "*" in entries:
+            # '*' expands to the DATA columns in definition order (no
+            # pseudo columns — output_columns/star/*)
+            star = [n for n, _ in t.columns]
+            i = entries.index("*")
+            entries = entries[:i] + star + entries[i + 1 :]
         ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        known = set(t.types) | {"_id", "_key", "_score", "_nsubrecs"}
+        # nonexistent output columns are silently DROPPED by the reference
+        # (output_columns/nonexistent/*, key/chained_not_exist)
+        dotted = re.compile(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
+        kept = []
+        vec_ref: dict[str, tuple[str, str, dict]] = {}
+        for e in entries:
+            if ident.fullmatch(e):
+                if e in known:
+                    kept.append(e)
+                continue
+            m = dotted.fullmatch(e)
+            if m:
+                base, attr = m.groups()
+                if base not in known:
+                    continue
+                if base in t.vector_ref_cols:
+                    # vector-of-references path: per-element lookup into
+                    # the referenced table's mirror
+                    ref = self.tables[t.vector_ref_cols[base]]
+                    if attr != "_key" and attr not in ref.types:
+                        continue
+                    dflt = {"string": "", "long": 0, "double": 0.0,
+                            "boolean": False}
+                    d = dflt.get(dict(ref.columns).get(attr, "string"), "")
+                    lut = {
+                        str(r.get("_key", "")): r.get(attr, d) if attr != "_key"
+                        else r.get("_key")
+                        for r in ref.rows
+                    }
+                    vec_ref[e] = (base, attr, lut)
+                    kept.append(e)
+                    continue
+                if base in t.ref_cols:
+                    ref = self.tables[t.ref_cols[base]]
+                    if attr != "_key" and attr not in ref.types:
+                        continue
+                elif base in t.types or base in ("_id", "_key", "_score"):
+                    continue  # scalar has no sub-path (_key.garbage)
+            kept.append(e)
+        entries = kept
         exprs: dict[str, _OutExpr] = {}
         fetch: list[str] = []
         for e in entries:
             if ident.fullmatch(e):
                 if e not in fetch:
                     fetch.append(e)
+            elif e in vec_ref:
+                if vec_ref[e][0] not in fetch:
+                    fetch.append(vec_ref[e][0])
             else:
                 x = _OutExpr(e, t.types)
                 exprs[e] = x
@@ -865,6 +1116,10 @@ class ConformanceRunner:
                         fetch.append(c)
         if "_id" not in fetch and (rank is not None or not fetch):
             fetch.append("_id")
+        if exprs:
+            kws = self._query_keywords(args)
+            for x in exprs.values():
+                x.fctx = {"keywords": kws}
         args["output_columns"] = ",".join(fetch)
         if rank is not None:
             # storage-order output (pat/dat cursor order, SIS walk order):
@@ -890,11 +1145,196 @@ class ConformanceRunner:
                     if "score" in d:
                         d["_score"] = d["score"]
                     vals.append(self._out_val(exprs[e].eval(d)))
+                elif e in vec_ref:
+                    base, _attr, lut = vec_ref[e]
+                    vals.append([lut.get(str(k)) for k in (row[base] or [])])
                 else:
                     vals.append(self._out_val(row[self._col_name(e)]))
             page.append(vals)
         cols_out = [exprs[e].name if e in exprs else e for e in entries]
         return [(n_hits, cols_out, page)]
+
+    def _expand_query(self, spec: str, query: str, qflags) -> str:
+        """``--query_expander Table.column`` (proc.c expand_query →
+        grn_expr_syntax_expand_query): each term/phrase word of the query
+        that is a key of Table is replaced by the column's value — a query-
+        syntax snippet — parsed and spliced into the AST (one pass, not
+        recursive).  Vector columns OR their elements."""
+        from .query.parser import (
+            And, ColumnOp, Near, Not, Or, Phrase, Term,
+            ast_to_query, parse_query, parse_query_ex,
+        )
+
+        if spec.startswith("QueryExpander"):
+            raise Unsupported(f"query expander plugin {spec}")
+        tname, _, col = spec.partition(".")
+        src = self.tables.get(tname)
+        if src is None or all(n != col for n, _ in src.columns):
+            raise QueryParseError(
+                f"nonexistent query expansion column: <{spec}>"
+            )
+        mapping: dict[str, object] = {}
+        for r in src.rows:
+            k = str(r.get("_key", ""))
+            if src.key_normalize:
+                k = _norm_key(k)
+            v = r.get(col)
+            if v not in (None, "", []):
+                mapping[k] = v
+
+        def lookup(text: str):
+            if src.key_normalize:
+                return mapping.get(_norm_key(text))
+            return mapping.get(text)
+
+        def sub_ast(v, quoted_word=False):
+            # a vector value ORs its element snippets (vector/* fixtures);
+            # expanding a QUOTED word splices vector elements in REVERSE
+            # (vector/phrase expects the 2nd element's docs first while
+            # scalar/phrase — same snippet as one string — is in order)
+            snippets = v if isinstance(v, list) else [v]
+            if quoted_word and isinstance(v, list):
+                snippets = list(reversed(snippets))
+            parsed = [parse_query(str(s)) for s in snippets]
+            return parsed[0] if len(parsed) == 1 else Or(parsed)
+
+        def walk(node):
+            if isinstance(node, Term):
+                v = lookup(node.text)
+                if v is None:
+                    return node
+                rep = sub_ast(v)
+                if node.prefix and isinstance(rep, Term) and not rep.prefix:
+                    # 'mroon*' with mroon→groon stays a PREFIX search
+                    return Term(rep.text, prefix=True)
+                return rep
+            if isinstance(node, Phrase):
+                v = lookup(node.text)
+                return node if v is None else sub_ast(v, quoted_word=True)
+            if isinstance(node, ColumnOp):
+                if node.op not in ("match", "equal", "prefix", "suffix"):
+                    return node
+                v = lookup(node.value)
+                if v is None:
+                    return node
+                rep = sub_ast(v)
+
+                def retarget(n):
+                    # re-aim the snippet at the original column/op
+                    if isinstance(n, Term):
+                        return ColumnOp(node.column, node.op, n.text)
+                    if isinstance(n, Phrase):
+                        return ColumnOp(node.column, node.op, n.text, quoted=True)
+                    if isinstance(n, (And, Or)):
+                        return type(n)([retarget(c) for c in n.children])
+                    raise QueryParseError("unexpandable column snippet")
+
+                return retarget(rep)
+            if isinstance(node, (And, Or)):
+                return type(node)([walk(c) for c in node.children])
+            if isinstance(node, Not):
+                return Not(walk(node.positive), walk(node.negative))
+            return node
+
+        try:
+            ast, _prag = parse_query_ex(query, flags=qflags)
+        except QueryParseError:
+            return query  # malformed query: let the normal path report it
+        if ast is None:
+            return query  # *S/*T mode pragmas: no word expansion
+        return ast_to_query(walk(ast))
+
+    def _query_keywords(self, args: dict) -> list[str]:
+        """Condition keywords for snippet/highlight functions
+        (grn_expr_get_keywords: the constants of match-family nodes,
+        positive branches only)."""
+        from .query.parser import (
+            And, ColumnOp, Near, Not, Or, Phrase, Term, parse_query_ex,
+        )
+
+        kws: list[str] = []
+
+        def add(k: str):
+            if k and k not in kws:
+                kws.append(k)
+
+        q = args.get("query")
+        if q:
+            try:
+                ast, prag = parse_query_ex(q, flags=args.get("query_flags"))
+            except QueryParseError:
+                ast, prag = None, None
+
+            def walk(n):
+                if isinstance(n, Term):
+                    add(n.text)
+                elif isinstance(n, (Phrase, Near)):
+                    add(n.text)
+                elif isinstance(n, ColumnOp):
+                    if n.op in ("match", "prefix", "suffix"):
+                        add(n.value)
+                elif isinstance(n, (And, Or)):
+                    for c in n.children:
+                        walk(c)
+                elif isinstance(n, Not):
+                    walk(n.positive)  # negated keywords aren't highlighted
+
+            if ast is not None:
+                walk(ast)
+        f = args.get("filter")
+        if f:
+            for m in re.finditer(r'@~?\^?\$?\s*"((?:[^"\\]|\\.)*)"', f):
+                add(m.group(1).replace('\\"', '"').replace("\\\\", "\\"))
+        return kws
+
+    def _or_branch_rank(
+        self, table: str, t: _Table, args: dict
+    ) -> "dict[int, int] | None":
+        """_id → rank for a posting-driven top-level OR without --sortby:
+        the reference's result set accumulates branch by branch (second
+        operand ADDs to the set — grn_table_select), so output order is
+        branch order, ids ascending within a branch, first occurrence wins
+        (query_expander/*/not_recursive: rroonga-branch doc precedes the
+        groonga-branch docs)."""
+        from .query.parser import Or, ast_to_query, parse_query_ex
+
+        scalar_indexed = [c for c in t.indexed_cols if c not in t.vector_cols]
+        if not scalar_indexed:
+            return None
+        try:
+            ast, _prag = parse_query_ex(
+                args.get("query"), flags=args.get("query_flags")
+            )
+        except QueryParseError:
+            return None
+        if not isinstance(ast, Or):
+            return None
+        if self._ast_all_scan(ast, t, set(args.get("scan_columns") or ())):
+            return None
+        rank: dict[int, int] = {}
+        for child in ast.children:
+            try:
+                q = ast_to_query(child)
+            except QueryParseError:
+                return None
+            sub = dict(
+                args,
+                query=q,
+                filter=None,
+                output_columns="_id",
+                sortby="_id",
+                offset=0,
+                limit=-1,
+                columns=None,
+            )
+            try:
+                rows = self.ctx.select(table, **sub)["records"].collect()
+            except _SELECT_ERRORS:
+                return None
+            for r in rows:
+                if r["_id"] not in rank:
+                    rank[r["_id"]] = len(rank)
+        return rank
 
     def _natural_rank(self, t: _Table, args: dict) -> "dict[int, int] | None":
         """_id → output rank for selects WITHOUT --sortby whose natural
@@ -934,6 +1374,75 @@ class ConformanceRunner:
                 if str(r.get("_key", "")) in pos
             }
 
+        if query is None and args.get("filter"):
+            # a pure index-column sub_filter emits locals in the FOREIGN
+            # match order (the index walk inserts the source records'
+            # owners as they come — sub_filter/column/index)
+            m = re.fullmatch(
+                r'\s*sub_filter\(\s*([A-Za-z_]\w*)\s*,'
+                r'\s*"((?:[^"\\]|\\.)*)"\s*\)\s*',
+                args["filter"],
+            )
+            mode = None
+            if m and t.keyed:
+                if m.group(1) in t.index_cols:
+                    st, sc = t.index_cols[m.group(1)]
+                    mode = "index"
+                elif m.group(1) in t.vector_ref_cols:
+                    st, sc = t.vector_ref_cols[m.group(1)], "_key"
+                    mode = "vector"
+            if mode is not None:
+                ft = self.tables[st]
+                expr = m.group(2).replace('\\"', '"')
+                for col in ft.ref_cols:
+                    expr = re.sub(
+                        rf"\b{re.escape(col)}\b(?!\s*\.)", f"{col}._key", expr
+                    )
+                from .query.script import parse_filter
+
+                try:
+                    sel = f"{sc}._key" if sc in ft.ref_cols else sc
+                    cols = ["_id", f"{sel} as __fk"]
+                    if ft.keyed:
+                        cols.append("_key as __sortk")
+                    frows = (
+                        self.ctx.dump(st)
+                        .filter(parse_filter(expr))
+                        .selectExpr(*cols)
+                        .collect()
+                    )
+                except _SELECT_ERRORS:
+                    frows = None
+                if frows is not None:
+                    # the sub-expression scans the foreign table's cursor:
+                    # pat/dat → ascending KEY order, hash/array → id order
+                    # (sub_filter/column/{index,vector})
+                    fnorm = (
+                        _norm_key if "KEY_NORMALIZE" in ft.flags
+                        else (lambda s: s)
+                    )
+                    if (ft.pat or ft.dat) and ft.keyed:
+                        frows = sorted(
+                            frows, key=lambda r: fnorm(str(r["__sortk"]))
+                        )
+                    else:
+                        frows = sorted(frows, key=lambda r: r["_id"])
+                    order: list[str] = []
+                    if mode == "index":
+                        for r in frows:
+                            if str(r["__fk"]) not in order:
+                                order.append(str(r["__fk"]))
+                    else:
+                        # vector mode: owners of each matched foreign key,
+                        # walking the local rows per foreign hit
+                        for r in frows:
+                            fk = str(r["__fk"])
+                            for lr in t.rows:
+                                vals = lr.get(m.group(1)) or []
+                                k = str(lr.get("_key", ""))
+                                if fk in [str(v) for v in vals] and k not in order:
+                                    order.append(k)
+                    return rank_keys(order)
         if query is None and args.get("filter") is None:
             if t.pat or t.dat:
                 return rank_keys(sorted(t.keys, key=norm))
@@ -1023,17 +1532,22 @@ class ConformanceRunner:
             return v["_key"]
         return v
 
-    def run(self, script_text: str) -> dict[str, tuple]:
-        """Execute a script; → {select_command_line: (n_hits, cols, rows)}."""
+    def run(self, script_text: str) -> dict[str, object]:
+        """Execute a script; → {command_line: comparable result}.  A
+        ``select`` yields its result-table tuples; every other supported
+        command yields a :class:`_Resp` whose body is compared verbatim
+        against the reference's recorded response."""
         out = {}
         for raw, argv, payload in parse_script(script_text):
             name = argv[0]
             if name == "table_create":
                 self.table_create(argv)
+                out[raw] = _Resp(True)
             elif name == "column_create":
                 self.column_create(argv)
+                out[raw] = _Resp(True)
             elif name == "load":
-                self.load(argv, payload)
+                out[raw] = _Resp(self.load(argv, payload))
             elif name == "select":
                 try:
                     out[raw] = self.select(argv)
@@ -1043,9 +1557,296 @@ class ConformanceRunner:
                     # kind-for-kind (an unexpected error still FAILS the
                     # compare unless the reference errored too)
                     out[raw] = ("ERROR",)
+            elif name == "tokenize":
+                out[raw] = self.tokenize_cmd(argv)
+            elif name == "normalize":
+                out[raw] = self.normalize_cmd(argv)
+            elif name == "truncate":
+                out[raw] = self.truncate_cmd(argv)
+            elif name == "delete":
+                out[raw] = self.delete_cmd(argv)
+            elif name == "cache_limit":
+                out[raw] = self.cache_limit_cmd(argv)
+            elif name == "range_filter":
+                try:
+                    out[raw] = self.range_filter_cmd(argv)
+                except _SELECT_ERRORS:
+                    out[raw] = _Resp("ERROR")
+            elif name == "register":
+                out[raw] = self.register_cmd(argv)
             else:
                 raise Unsupported(f"command {name}")
         return out
+
+    # -- non-select commands (responses compared verbatim) ------------------
+
+    def register_cmd(self, argv) -> _Resp:
+        """``register`` (plugin load): the capabilities these fixtures pull
+        in (sharding's logical_*, TokenFilterStem/StopWord) are built into
+        this engine, so registration is a successful no-op."""
+        mod = argv[1] if len(argv) > 1 else ""
+        if mod in ("sharding", "token_filters/stem", "token_filters/stop_word"):
+            return _Resp(True)
+        raise Unsupported(f"register {mod}")
+
+    @staticmethod
+    def _poskw(pos, kw, i, name, default=None):
+        v = kw.get(name)
+        if v is not None:
+            return v
+        return pos[i] if len(pos) > i else default
+
+    def tokenize_cmd(self, argv) -> _Resp:
+        """``tokenize`` (proc.c:6372): tokenizer, string, [normalizer,
+        flags, mode, token_filters] → [{value, position, force_prefix}]."""
+        pos, kw = self._kw(argv)
+        tokenizer = self._poskw(pos, kw, 0, "tokenizer")
+        if not tokenizer:
+            return _Resp("ERROR")  # rc -22 "tokenizer name is missing"
+        string = self._poskw(pos, kw, 1, "string")
+        if string is None:
+            return _Resp("ERROR")
+        normalizer = self._poskw(pos, kw, 2, "normalizer")
+        flags = self._poskw(pos, kw, 3, "flags", "NONE") or "NONE"
+        mode = (self._poskw(pos, kw, 4, "mode", "ADD") or "ADD").upper()
+        tfs = kw.get("token_filters", "")
+        if tokenizer in ("TokenMecab", "TokenKytea"):
+            raise Unsupported(f"tokenizer {tokenizer}")
+        key = TOKENIZER_MAP.get(tokenizer)
+        if key is None:
+            return _Resp("ERROR")  # nonexistent tokenizer name
+        n = {"unigram": 1, "trigram": 3}.get(key, 2)
+        is_ngram = key not in ("delimit", "delimit_null", "code")
+        toks: list[tuple[str, int]]
+        if "ENABLE_TOKENIZED_DELIMITER" in flags:
+            # U+FFFE is an explicit token delimiter; the tokenizer is
+            # bypassed (tokenizer.c tokenized-delimiter mode), empty
+            # tokens between adjacent delimiters are dropped with a
+            # warning
+            parts = string.split("￾")
+            if normalizer and normalizer != "NONE":
+                from .normalize import normalize
+
+                parts = [normalize(p) for p in parts]
+            toks = [(p, i) for i, p in enumerate(p for p in parts if p)]
+        elif not normalizer or normalizer == "NONE":
+            # no normalizer → no character classes: one undifferentiated
+            # run, raw sliding n-grams (case/blanks preserved)
+            if key in ("delimit", "delimit_null"):
+                toks = [(p, i) for i, p in enumerate(string.split())]
+            else:
+                toks = [(string[i : i + n], i) for i in range(len(string))]
+                if mode == "GET" and len(toks) > 1:
+                    toks = [t for t in toks if len(t[0]) == n] or toks[:1]
+        else:
+            from .tokenize import tokenize_batch
+
+            terms, poss = tokenize_batch([string], key)[0]
+            toks = list(zip(terms, poss))
+            if mode == "GET" and is_ngram:
+                # GET cursor skips a short gram that only re-covers the
+                # tail of the previous full gram (token_cursor.c overlap
+                # skip — mode_get fixture)
+                kept: list[tuple[str, int]] = []
+                for term, p in toks:
+                    if (
+                        len(term) < n
+                        and kept
+                        and len(kept[-1][0]) == n
+                        and kept[-1][1] == p - 1
+                        and kept[-1][0][1:] == term[: n - 1]
+                    ):
+                        continue
+                    kept.append((term, p))
+                toks = kept
+        terms = [t for t, _ in toks]
+        if "TokenFilterStem" in tfs:
+            from .stem import stem_terms
+
+            terms = stem_terms(terms)
+        out = []
+        for i, (term, p) in enumerate(toks):
+            force = (
+                mode == "GET"
+                and is_ngram
+                and i == len(toks) - 1
+                and len(term) < n
+                and not term.isascii()
+            )
+            out.append(
+                {"value": terms[i], "position": p, "force_prefix": force}
+            )
+        return _Resp(out)
+
+    def normalize_cmd(self, argv) -> _Resp:
+        """``normalize`` (proc.c:6254): NormalizerAuto with the WITH_TYPES /
+        WITH_CHECKS / REMOVE_BLANK / REMOVE_TOKENIZED_DELIMITER flags.
+        ``checks`` is per OUTPUT BYTE: the input-byte count consumed at an
+        output char's first byte (plus bytes of removed chars pending), 0
+        on continuation bytes, -1 on the 2nd+ chars of an expansion."""
+        import unicodedata
+
+        pos, kw = self._kw(argv)
+        name = self._poskw(pos, kw, 0, "normalizer")
+        if not name:
+            return _Resp("ERROR")
+        string = self._poskw(pos, kw, 1, "string")
+        if string is None:
+            return _Resp("ERROR")
+        flags = self._poskw(pos, kw, 2, "flags", "NONE") or "NONE"
+        if name != "NormalizerAuto":
+            if name.startswith("Normalizer"):
+                raise Unsupported(f"normalizer {name}")
+            return _Resp("ERROR")
+        remove_blank = "REMOVE_BLANK" in flags
+        remove_delim = "REMOVE_TOKENIZED_DELIMITER" in flags
+        with_types = "WITH_TYPES" in flags
+        with_checks = "WITH_CHECKS" in flags
+        out_chars: list[str] = []
+        types: list[str] = []
+        checks: list[int] = []
+        pending = 0  # input bytes of removed chars awaiting attribution
+        for ch in string:
+            b_in = len(ch.encode("utf-8"))
+            if (remove_delim and ch == "￾") or (
+                remove_blank and ch.isspace()
+            ):
+                pending += b_in
+                continue
+            norm = unicodedata.normalize("NFKC", ch).lower()
+            if not norm:
+                pending += b_in
+                continue
+            for j, oc in enumerate(norm):
+                out_chars.append(oc)
+                if with_types:
+                    types.append(_grn_char_type(oc))
+                if with_checks:
+                    checks.append((b_in + pending) if j == 0 else -1)
+                    checks.extend([0] * (len(oc.encode("utf-8")) - 1))
+            pending = 0
+        return _Resp(
+            {"normalized": "".join(out_chars), "types": types, "checks": checks}
+        )
+
+    def truncate_cmd(self, argv) -> _Resp:
+        """``truncate`` (proc.c:6882): drop all records, keep the schema;
+        record ids restart at 1 (the table is emptied)."""
+        pos, kw = self._kw(argv)
+        table = kw.get("table") or (pos[0] if pos else None)
+        t = self.tables.get(table)
+        if t is None:
+            return _Resp("ERROR")
+        t.rows, t.keys, t.next_id = [], [], 1
+        if t.loaded:
+            self.ctx.truncate(table)
+        return _Resp(True)
+
+    def delete_cmd(self, argv) -> _Resp:
+        """``delete`` (proc.c:1273) by --key / --id / --filter; the storage
+        row mirror is resynced from the table after the anti-join."""
+        pos, kw = self._kw(argv)
+        table = kw.get("table") or (pos[0] if pos else None)
+        t = self.tables.get(table)
+        if t is None:
+            return _Resp("ERROR")
+        if not t.loaded:
+            return _Resp("ERROR")
+        if "key" in kw:
+            key: object = kw["key"]
+            if t.key_normalize and isinstance(key, str):
+                key = _norm_key(key)
+            if t.key_type != "string":
+                key = float(key) if t.key_type == "double" else int(key)
+            if not any(str(r.get("_key")) == str(key) for r in t.rows):
+                return _Resp("ERROR")
+            self.ctx.delete(table, key=key, key_col="_key")
+        elif "id" in kw:
+            if not any(r["_id"] == int(kw["id"]) for r in t.rows):
+                return _Resp("ERROR")
+            self.ctx.delete(table, key=int(kw["id"]), key_col="_id")
+        elif "filter" in kw:
+            try:
+                self.ctx.delete(table, filter=kw["filter"])
+            except _SELECT_ERRORS:
+                return _Resp("ERROR")
+        else:
+            return _Resp("ERROR")
+        remaining = {
+            r["_id"] for r in self.ctx.dump(table).select("_id").collect()
+        }
+        t.rows = [r for r in t.rows if r["_id"] in remaining]
+        if t.keyed:
+            t.keys = [str(r.get("_key", "")) for r in t.rows]
+        return _Resp(True)
+
+    def cache_limit_cmd(self, argv) -> _Resp:
+        pos, kw = self._kw(argv)
+        v = kw.get("max") or (pos[0] if pos else None)
+        try:
+            return _Resp(self.ctx.cache_limit(int(v) if v is not None else None))
+        except ValueError:
+            return _Resp("ERROR")
+
+    def range_filter_cmd(self, argv) -> _Resp:
+        """``range_filter`` (proc.c range_filter): ordered slice over a
+        column's value range — borders default to include; output rows ride
+        value-then-id order with per-column type names in the header."""
+        pos, kw = self._kw(argv)
+        table = kw.get("table") or pos[0]
+        column = kw.get("column") or pos[1]
+        if table not in self.tables:
+            return _Resp("ERROR")
+        t = self.tables[table]
+        if not t.loaded:
+            self._ingest(table, [])
+        gtype = t.types.get(column, "UInt32" if column == "_id" else "ShortText")
+
+        def lit(v: str) -> str:
+            if gtype == "Time":
+                return repr(_parse_time(v))
+            if gtype in _INT_WIDTH or gtype == "Float":
+                return v
+            return json.dumps(v)
+
+        conds = []
+        if "min" in kw:
+            op = ">=" if kw.get("min_border", "include") == "include" else ">"
+            conds.append(f"{column} {op} {lit(kw['min'])}")
+        if "max" in kw:
+            op = "<=" if kw.get("max_border", "include") == "include" else "<"
+            conds.append(f"{column} {op} {lit(kw['max'])}")
+        if kw.get("filter"):
+            conds.append(f"({kw['filter']})")
+        out_default = ["_id"] + (["_key"] if t.keyed else []) + [
+            n for n, _ in t.columns if n not in t.vector_cols
+        ]
+        out_cols = [
+            c.strip()
+            for c in kw.get("output_columns", ",".join(out_default)).split(",")
+        ]
+        offset = int(kw.get("offset", 0))
+        limit = int(kw.get("limit", -1))
+        res = self.ctx.select(
+            table,
+            filter=" && ".join(conds) or None,
+            sortby=f"{column},_id" if column in [n for n, _ in t.columns] else "_id",
+            offset=offset,
+            limit=limit,
+            output_columns=",".join(out_cols),
+            id_col="_id",
+        )
+        header = [
+            [c, {"_id": "UInt32", "_key": t.key_gtype, "_score": "Int32"}.get(
+                c, t.types.get(c, "ShortText")
+            )]
+            for c in out_cols
+        ]
+        rows = [
+            [self._out_val(r[self._col_name(c)]) for c in out_cols]
+            for r in res["records"].collect()
+        ]
+        return _Resp([header] + rows)
 
 
 def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
@@ -1058,6 +1859,22 @@ def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
     norm = {re.sub(r"\s+", " ", k): v for k, v in exp.items()}
     results = []
     for cmd, ours in got.items():
-        theirs = select_result(norm[re.sub(r"\s+", " ", cmd)])
+        resp = norm[re.sub(r"\s+", " ", cmd)]
+        if isinstance(ours, _Resp):
+            if isinstance(resp, tuple) and resp and resp[0] == "#text":
+                # raw-text response (dump): compare normalized text
+                theirs = resp[1]
+                ok = isinstance(ours.body, str) and ours.body.strip() == theirs.strip()
+            else:
+                rc_ok = resp[0][0] == 0  # error rc rides as [-n,…] or nested
+                theirs = resp[1] if len(resp) > 1 else True
+                if ours.body == "ERROR":
+                    ok = not rc_ok
+                    theirs = resp if not rc_ok else theirs
+                else:
+                    ok = rc_ok and ours.body == theirs
+            results.append((cmd, ours.body, theirs, ok))
+            continue
+        theirs = select_result(resp)
         results.append((cmd, ours, theirs, ours == theirs))
     return results

@@ -273,8 +273,8 @@ class SearchEngine:
             # (indexed section match/prefix/suffix) or scans the source
             # frame (scalar comparisons, unindexed columns)
             return node
-        if isinstance(node, qp.AllRecords):
-            return node  # ALLOW_LEADING_NOT positive: the source frame
+        if isinstance(node, (qp.AllRecords, qp.Nothing)):
+            return node  # evaluated over the source frame in _eval
         raise TypeError(node)
 
     # -- main entry ----------------------------------------------------------
@@ -410,6 +410,9 @@ class SearchEngine:
             weights = dict(prag.weights)
         else:
             weights = self._resolve_weights(match_columns)
+        # phrase/NEAR scoring under the reference's tf scorer needs the
+        # occurrence counts + section weights (see _eval_phrase)
+        self._cur_weights, self._cur_scorer = weights, scorer
 
         # resolve prefix expansions + per-term df on the driver (tiny)
         exact_terms = sorted({t for a in atoms for t in a.tokens if a.kind != "prefix"})
@@ -850,6 +853,9 @@ class SearchEngine:
         if isinstance(node, qp.AllRecords):
             # all_records() injected by ALLOW_LEADING_NOT (expr.c:5917-5924)
             return self._docs_filter_frame(F.lit(True), 1.0)
+        if isinstance(node, qp.Nothing):
+            # dangling OR: zero hits, rc 0 (parser Nothing node)
+            return self._docs_filter_frame(F.lit(False), 0.0)
         if isinstance(node, qp.And):
             # fuse scan-path column-operator children into ONE filtered
             # scan: each contributes a constant 1.0 per match, so the fused
@@ -1177,10 +1183,11 @@ class SearchEngine:
         term_doc, _ = self._scored_term_doc(found, {}, weights, False, "bm25")
         return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
-    def _phrase_candidates(self, a: _Atom, pos_rows) -> DataFrame:
+    def _phrase_candidates(self, a: _Atom, pos_rows, counts: bool = False) -> DataFrame:
         """(doc_id) where the token sequence occurs at consecutive offsets in
         at least one section — array_intersect over offset-shifted position
-        arrays, all JVM-side."""
+        arrays, all JVM-side.  ``counts=True`` keeps the per-(doc, sid)
+        occurrence count for tf-scorer phrase scoring."""
         uniq = list(dict.fromkeys(a.tokens))
         base = None
         for i, (t, off) in enumerate(zip(a.tokens, a.offsets)):
@@ -1196,12 +1203,10 @@ class SearchEngine:
         inter = F.col("_p0")
         for i in range(1, len(a.tokens)):
             inter = F.array_intersect(inter, F.col(f"_p{i}"))
-        return (
-            base.withColumn("_noccur", F.size(inter))
-            .filter(F.col("_noccur") > 0)
-            .select("doc_id")
-            .distinct()
-        )
+        out = base.withColumn("_noccur", F.size(inter)).filter(F.col("_noccur") > 0)
+        if counts:
+            return out.select("doc_id", "sid", "_noccur")
+        return out.select("doc_id").distinct()
 
     def _phrase_score(self, a: _Atom, term_doc, cands: DataFrame) -> DataFrame:
         uniq = list(dict.fromkeys(a.tokens))
@@ -1214,6 +1219,25 @@ class SearchEngine:
         return sc
 
     def _eval_phrase(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
+        if getattr(self, "_cur_scorer", None) == "tf":
+            # the reference's EXACT mode adds weight once per matched
+            # PHRASE OCCURRENCE, not per constituent gram (grn_ii_select
+            # phrase loop ii.c:6499-6527 → res_add with the section
+            # weight; select/function/query/selector: "ali" under a ×10
+            # section weights 10, not 20)
+            cc = self._phrase_candidates(a, pos_rows, counts=True)
+            w_col = None
+            for sid, w in (self._cur_weights or {1: 1.0}).items():
+                cond = F.col("sid") == sid
+                w_col = (
+                    F.when(cond, F.lit(w)) if w_col is None
+                    else w_col.when(cond, F.lit(w))
+                )
+            return (
+                cc.withColumn("score", F.col("_noccur") * w_col)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
         return self._phrase_score(a, term_doc, self._phrase_candidates(a, pos_rows))
 
     def _eval_near(self, a: _Atom, term_doc, pos_rows) -> DataFrame:

@@ -91,6 +91,14 @@ class Pragmas:
 
 
 @dataclass
+class Nothing:
+    """A syntactically tolerated but unsatisfiable expression — a dangling
+    trailing ``OR`` makes the whole query match NOTHING in the reference
+    (rc 0, zero hits; suite/select/query_expander/column/*/or_at_the_end),
+    not an error and not the left operand alone."""
+
+
+@dataclass
 class AllRecords:
     """Implicit positive clause under ALLOW_LEADING_NOT: ``-term`` alone
     means every record minus the matches (grn_expr flags,
@@ -276,6 +284,10 @@ class _Parser:
         alts = [left]
         while self.peek()[0] == "OR":
             self.take()
+            if self.peek()[0] in ("EOF", "RP"):
+                # dangling OR: the whole expression matches nothing
+                # (query_expander/*/or_at_the_end — rc 0, zero hits)
+                return Nothing()
             alts.append(self.parse_and())
         return alts[0] if len(alts) == 1 else Or(alts)
 
@@ -449,6 +461,53 @@ def parse_query(q: str):
             "use parse_query_ex"
         )
     return node
+
+
+_COLOP_SIGIL = {
+    "equal": "", "not_equal": "!", "less": "<", "greater": ">",
+    "less_equal": "<=", "greater_equal": ">=", "match": "@",
+    "prefix": "^", "suffix": "$", "regexp": "~",
+}
+
+_TERM_SPECIALS = re.compile(r'([\\"():*+~<>^$!@-])')  # and ':' below
+
+
+def ast_to_query(node) -> str:
+    """Serialize a parsed AST back to ``--query`` syntax — the inverse of
+    :func:`parse_query` for the node forms the parser emits (query
+    expansion splices substitution snippets into the AST and re-emits the
+    query; get_word-level expansion, reference lib/expr.c:5686-5720)."""
+
+    def wrap(c) -> str:
+        s = ast_to_query(c)
+        return f"({s})" if isinstance(c, (And, Or, Not)) else s
+
+    if isinstance(node, Term):
+        t = _TERM_SPECIALS.sub(r"\\\1", node.text)
+        return t + "*" if node.prefix else t
+    if isinstance(node, Phrase):
+        return '"' + node.text.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(node, Near):
+        q = node.text.replace("\\", "\\\\").replace('"', '\\"')
+        return f'*{"n" if node.no_offset else "N"}{node.max_interval}"{q}"'
+    if isinstance(node, ColumnOp):
+        v = node.value
+        if node.quoted:
+            v = '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return f"{node.column}:{_COLOP_SIGIL[node.op]}{v}"
+    if isinstance(node, And):
+        return " ".join(wrap(c) for c in node.children)
+    if isinstance(node, Or):
+        return " OR ".join(wrap(c) for c in node.children)
+    if isinstance(node, Not):
+        if isinstance(node.positive, AllRecords):
+            return "- " + wrap(node.negative)
+        return wrap(node.positive) + " - " + wrap(node.negative)
+    if isinstance(node, AllRecords):
+        return "_id:>0"  # matches every record (ids are 1-based)
+    if isinstance(node, Nothing):
+        return "(x OR)"  # re-parses to Nothing (dangling OR)
+    raise QueryParseError(f"unserializable node {node!r}")
 
 
 def parse_match_columns(spec: str) -> list[tuple[str, float]]:

@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
     \s*(
         @\^ | @\$ | @~ | @ |
         && | &! | \|\| | == | != | <= | >= | << | >>> | >> |
-        [()!<>,+\-*/%&|^~] |
+        [()!<>,+\-*/%&|^~\[\]] |
         "(?:[^"\\]|\\.)*" | '(?:[^'\\]|\\.)*' |
         \d+\.\d+ | \d+ |
         [A-Za-z_][A-Za-z0-9_.]*
@@ -94,6 +94,11 @@ def _c(x) -> Column:
 
 
 def _cond(x) -> Column:
+    # a bare vector in a logical position is ALWAYS truthy, empty or not
+    # (suite/select/filter/vector/{and,or}: 'tags && true' matches the
+    # no-tag record too)
+    if isinstance(x, _Arr):
+        return F.lit(True)
     return _c(x)
 
 
@@ -164,8 +169,16 @@ def _fn_registry():
         "html_untag": lambda c: gf.html_untag(_c(c)),
         "now": lambda: F.current_timestamp(),
         "rand": lambda *a: (F.rand() * a[0]) if a else F.rand(),
-        "max": lambda *a: F.greatest(*[_c(x) for x in a]),
-        "min": lambda *a: F.least(*[_c(x) for x in a]),
+        # grn max()/min() accept any arity: 0 args → 0, 1 arg → itself
+        # (suite/select/function/max/no_argument, one_argument_*)
+        "max": lambda *a: (
+            F.greatest(*[_c(x) for x in a]) if len(a) > 1
+            else _c(a[0]) if a else F.lit(0)
+        ),
+        "min": lambda *a: (
+            F.least(*[_c(x) for x in a]) if len(a) > 1
+            else _c(a[0]) if a else F.lit(0)
+        ),
     }
 
 
@@ -179,12 +192,13 @@ class _PlanCtx:
     join_column); the wrapper left-joins the deduplicated id frames and the
     boolean flags substitute into the compiled expression."""
 
-    def __init__(self, df, id_col, engine, refs):
+    def __init__(self, df, id_col, engine, refs, scorer=None):
         self.df = df
         self.id_col = id_col
         self.engine = engine
         self.refs = refs or {}
-        self.atoms: list[tuple[str, "DataFrame", str]] = []
+        self.scorer = scorer  # scorer for query() selector atoms
+        self.atoms: list[tuple[str, "DataFrame", object]] = []
 
 
 class _P:
@@ -283,7 +297,21 @@ class _P:
         if tok == "~":
             self.next()
             return F.bitwise_not(_c(self.unary()))
-        return self.primary()
+        return self.postfix(self.primary())
+
+    def postfix(self, base):
+        """``col[i]`` vector element access (grn GET_MEMBER —
+        suite/select/filter/vector/index_access/*): 0-based index, out of
+        range → null (never matches)."""
+        while self.peek() == "[":
+            self.next()
+            idx = self.expr(0)
+            if self.next() != "]":
+                raise ScriptSyntaxError("expected ]")
+            # F.get: 0-based, null on out-of-range (element_at throws
+            # under ANSI mode for OOB — reference yields no match instead)
+            base = F.get(_c(base), idx if isinstance(idx, int) else _c(idx))
+        return base
 
     def primary(self) -> Column:
         tok = self.next()
@@ -292,6 +320,21 @@ class _P:
             if self.next() != ")":
                 raise ScriptSyntaxError("expected )")
             return c
+        if tok == "[":
+            # vector literal (suite/select/filter/vector/equal): elements
+            # are script literals
+            vals = []
+            if self.peek() != "]":
+                while True:
+                    vals.append(self.expr(0))
+                    nxt = self.next()
+                    if nxt == "]":
+                        break
+                    if nxt != ",":
+                        raise ScriptSyntaxError("expected , or ] in vector")
+            else:
+                self.next()
+            return vals
         lit = _lit(tok)
         if lit is not None:
             return lit  # raw python value; _c() lifts to Column lazily
@@ -363,13 +406,17 @@ class _P:
                     f"unknown reference column {ref!r} — register it via "
                     "refs={'local_col': (foreign_df, 'foreign_key')}"
                 )
-            foreign_df, foreign_key = spec
+            foreign_df, foreign_key = spec[0], spec[1]
+            local = spec[2] if len(spec) > 2 else ref
+            is_array = len(spec) > 3 and spec[3]
+            key_alias = f"__k{len(ctx.atoms)}"
             ids = (
                 foreign_df.filter(parse_filter(expr))
-                .select(F.col(foreign_key).alias(ref))
+                .select(F.col(foreign_key).alias(key_alias))
                 .distinct()
             )
-            ctx.atoms.append((flag, ids, ref))
+            kind = "array" if is_array else "expr"
+            ctx.atoms.append((flag, ids, (kind, local, key_alias)))
         else:  # query
             lits = [_lit(t) for t in raw]
             if len(lits) == 1 and isinstance(lits[0], str):
@@ -383,14 +430,24 @@ class _P:
                     "query() needs an engine — pass engine= to parse_filter_plan"
                 )
             ctx.engine.select_with_count(
-                q, mc, k=1, need_full=True, count_hits=False
+                q, mc, k=1, need_full=True, count_hits=False,
+                scorer=ctx.scorer or "bm25",
             )
+            score_alias = f"__s{len(ctx.atoms)}"
             ids = (
                 ctx.engine.last_scored.select(
-                    F.col("doc_id").alias(ctx.id_col)
+                    F.col("doc_id").alias(ctx.id_col),
+                    F.col("score").alias(score_alias),
                 ).distinct()
             )
             ctx.atoms.append((flag, ids, ctx.id_col))
+            cond = F.coalesce(F.col(flag), F.lit(False))
+            if self.scored:
+                # a query() selector propagates the ENGINE score
+                # (func_query proc.c:5138 — select/function/query/selector:
+                # weighted match_columns "name * 10" → _score 10)
+                return _Scored(cond, F.coalesce(F.col(score_alias), F.lit(0.0)))
+            return cond
         cond = F.coalesce(F.col(flag), F.lit(False))
         return _Scored(cond, F.lit(1.0)) if self.scored else cond
 
@@ -434,8 +491,18 @@ class _P:
         scored = self.scored
         if op in ("==", "!=", "<", ">", "<=", ">="):
             if isinstance(a, _Arr) and op in ("==", "!="):
-                # vector equality compares element sets (rare; scan path)
-                cond = _c(a) == _c(b) if op == "==" else _c(a) != _c(b)
+                # vector comparison (suite/select/filter/vector/{equal,
+                # not_equal,not_initialized}): the literal never casts to
+                # the vector type, so ``==`` only matches via the empty
+                # cases — ``vec == ""`` matches EMPTY vectors; ``vec ==
+                # [..]`` matches nothing; ``!=`` matches non-empty vectors
+                if b == "" or b == []:
+                    cond = (
+                        F.size(a.col) == 0 if op == "=="
+                        else F.size(a.col) > 0
+                    )
+                else:
+                    cond = F.lit(False) if op == "==" else F.size(a.col) > 0
             else:
                 cond = {
                     "==": lambda: _c(a) == _c(b),
@@ -544,12 +611,68 @@ def parse_filter_plan(
     disjunction over selectors stay correct, and nothing is collected to
     the driver.  Plain filters (no selectors) compile to a single Catalyst
     predicate exactly like :func:`parse_filter`."""
-    ctx = _PlanCtx(df, id_col, engine, refs)
-    cond = _P(_tokenize(src), plan_ctx=ctx).parse()
+    out, _score = _plan_apply(src, df, id_col, engine, refs, scored=False)
+    return out
+
+
+def parse_filter_plan_scored(
+    src: str,
+    df,
+    id_col: str = "doc_id",
+    engine=None,
+    refs: "dict | None" = None,
+    scorer=None,
+):
+    """Like :func:`parse_filter_plan` but in scored mode: the returned
+    frame carries a ``__fscore`` column with the result-set score
+    accumulation (query() selectors contribute their engine score,
+    every other satisfied atom contributes 1)."""
+    out, score = _plan_apply(
+        src, df, id_col, engine, refs, scored=True, scorer=scorer
+    )
+    return out
+
+
+def _plan_apply(src, df, id_col, engine, refs, scored, scorer=None):
+    ctx = _PlanCtx(df, id_col, engine, refs, scorer=scorer)
+    p = _P(_tokenize(src), plan_ctx=ctx, scored=scored)
+    if scored:
+        cond, score = p.parse_scored()
+    else:
+        cond, score = p.parse(), None
     out = df
-    for flag, ids, join_col in ctx.atoms:
-        out = out.join(
-            ids.withColumn(flag, F.lit(True)), join_col, "left"
-        )
+    drop: list[str] = []
+    for i, (flag, ids, join) in enumerate(ctx.atoms):
+        if isinstance(join, tuple) and join[0] == "array":
+            # vector reference: match if ANY element's referenced record
+            # passes — the matched key set is tiny (already filtered +
+            # distinct), broadcast it whole and test arrays_overlap
+            # (func_sub_filter over a COLUMN_VECTOR reference)
+            _, local, key_alias = join
+            sets = ids.agg(F.collect_set(F.col(key_alias)).alias(key_alias))
+            out = out.crossJoin(F.broadcast(sets)).withColumn(
+                flag, F.coalesce(
+                    F.arrays_overlap(F.col(local), F.col(key_alias)),
+                    F.lit(False),
+                )
+            )
+            drop.append(key_alias)
+        elif isinstance(join, tuple):
+            # (local_expr, foreign_key_alias): the local side may be a
+            # struct field (ref stored denormalized) or _key (an index
+            # column's reverse reference) — join on the expression
+            _, local, key_alias = join
+            tagged = ids.withColumn(flag, F.lit(True))
+            out = out.join(tagged, F.col(local) == F.col(key_alias), "left")
+            drop.append(key_alias)
+        else:
+            out = out.join(ids.withColumn(flag, F.lit(True)), join, "left")
+        drop.append(flag)
+        if f"__s{i}" in ids.columns:
+            drop.append(f"__s{i}")
     out = out.filter(cond)
-    return out.drop(*[flag for flag, _, _ in ctx.atoms])
+    if scored:
+        out = out.withColumn(
+            "__fscore", score if score is not None else F.lit(1.0)
+        )
+    return out.drop(*drop), score
