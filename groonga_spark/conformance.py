@@ -173,6 +173,10 @@ class _Table:
     ref_cols: dict = field(default_factory=dict)  # column → referenced table
     vector_ref_cols: dict = field(default_factory=dict)  # vector ref → table
     index_cols: dict = field(default_factory=dict)  # index col → (src table, src col)
+    # dump reconstruction info (grn dump, proc.c:6868)
+    tokenizer_raw: str | None = None  # --default_tokenizer as given
+    normalizer_raw: str | None = None  # --normalizer as given
+    col_defs: list = field(default_factory=list)  # (name, flags_raw, gtype)
     key_normalize: bool = False  # KEY_NORMALIZE flag / --normalizer
     loaded: bool = False  # a parquet snapshot exists (possibly empty)
 
@@ -283,16 +287,36 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
     return out
 
 
-def parse_expected(text: str) -> dict[str, object]:
+def parse_expected(
+    text: str, commands: "list[str] | None" = None
+) -> dict[str, object]:
     """``.expected`` text → {command_line: parsed JSON response}.
 
     Responses follow their echoed command; a load's input JSON is echoed
     too, so the response of ``load`` is the LAST json line before the
     next command.  Multi-line (pretty-printed) responses are joined.
+
+    ``commands`` (the script's real command sequence) anchors the parse:
+    a ``dump`` response CONTAINS command-looking lines, so echo detection
+    by shape alone mis-chunks — with the sequence known, only lines
+    matching the next expected commands are boundaries.
     """
     lines = _join_continuations(text).splitlines()
-    # indices of echoed command lines
-    cmd_idx = [k for k, l in enumerate(lines) if _CMD_RE.match(l)]
+    if commands is not None:
+        want = [re.sub(r"\s+", " ", c.strip()) for c in commands]
+        cmd_idx = []
+        wi = 0
+        for k, l in enumerate(lines):
+            n = re.sub(r"\s+", " ", l.strip())
+            # the echo must match one of the UPCOMING commands (in order)
+            for j in range(wi, len(want)):
+                if n == want[j]:
+                    cmd_idx.append(k)
+                    wi = j + 1
+                    break
+    else:
+        # indices of echoed command lines (shape-based)
+        cmd_idx = [k for k, l in enumerate(lines) if _CMD_RE.match(l)]
     res: dict[str, object] = {}
     for j, k in enumerate(cmd_idx):
         end = cmd_idx[j + 1] if j + 1 < len(cmd_idx) else len(lines)
@@ -680,6 +704,9 @@ class ConformanceRunner:
         self.ctx = CommandContext(spark, db_path)
         self.spark = spark
         self.tables: dict[str, _Table] = {}
+        # (lexicon, name, flags, src_table, sources) in creation order
+        self.index_defs: list[tuple] = []
+        self.plugins: list[str] = []  # plugin_register order (dump echoes)
 
     # -- command handlers --------------------------------------------------
     def _kw(self, argv: list[str]) -> tuple[list[str], dict[str, str]]:
@@ -711,10 +738,18 @@ class ConformanceRunner:
             t.lex_tokenizer = tok
         if t.keyed and len(pos) > 2:
             kt = TYPE_MAP.get(pos[2])
+            if kt is None and pos[2] in self.tables and self.tables[pos[2]].keyed:
+                # a table as key type: keys are that table's keys
+                # (dump/schema/table/*/reference_key)
+                kt = self.tables[pos[2]].key_type
             if kt is None:
                 raise Unsupported(f"key type {pos[2]}")
             t.key_type = kt
             t.key_gtype = pos[2]
+        t.tokenizer_raw = kw.get("default_tokenizer")
+        t.normalizer_raw = kw.get("normalizer") or (
+            "NormalizerAuto" if "KEY_NORMALIZE" in flags else None
+        )
         self.tables[name] = t
         return True
 
@@ -732,8 +767,19 @@ class ConformanceRunner:
             lex.index_cols[name] = (src_table, sources[0])
             if src_table not in self.tables:
                 return False
+            self.index_defs.append(
+                (table, name, flags, src_table, ",".join(sources))
+            )
             t = self.tables[src_table]
             t.indexed_cols.extend(s for s in sources if s not in t.indexed_cols)
+            if all(
+                s in t.ref_cols or s in t.vector_ref_cols for s in sources
+            ):
+                # a reverse-reference index (Comments.article over
+                # Articles.comment) carries no tokenizer for TEXT match —
+                # it must not clobber the table's fulltext tokenizer
+                # (index/nested/by_column/with_top_level_index)
+                return
             # a lexicon with no --default_tokenizer indexes WHOLE values
             # (one key per value; suffix_search/…_index_with_sis.test,
             # escape/prefix_search.test) — TokenDelimitNull on \0-free text
@@ -746,6 +792,7 @@ class ConformanceRunner:
             return  # lexicon data columns are index internals
         t = self.tables[table]
         gtype = pos[3] if len(pos) > 3 else "ShortText"
+        t.col_defs.append((name, flags, gtype))
         typ = TYPE_MAP.get(gtype)
         if typ is None and gtype in self.tables and self.tables[gtype].keyed:
             # reference column: stored as a struct of the referenced
@@ -787,7 +834,14 @@ class ConformanceRunner:
         if rows and isinstance(rows[0], list):
             if rows[0] and all(isinstance(x, str) for x in rows[0]):
                 header = rows[0]
-                rows = [dict(zip(header, r)) for r in rows[1:]]
+                # a positional row with the wrong arity is REJECTED (the
+                # reference counts 3 of 4 when one row is short —
+                # select/index/nested/by_column/hash)
+                rows = [
+                    dict(zip(header, r))
+                    for r in rows[1:]
+                    if len(r) == len(header)
+                ]
             elif all(r == [] for r in rows):
                 rows = [{} for _ in rows]
             else:
@@ -802,6 +856,9 @@ class ConformanceRunner:
         ``refcol.attr`` then works as Spark struct field access)."""
         if ref.key_normalize and isinstance(key, str):
             key = _norm_key(key)
+        if key == "" and ref.key_type != "string":
+            # unset reference into a numeric-keyed table: typed default
+            key = 0 if ref.key_type == "long" else 0.0
         rec = next(
             (r for r in ref.rows if str(r.get("_key", "")) == str(key)), {}
         )
@@ -877,6 +934,14 @@ class ConformanceRunner:
             if t.keyed:
                 t.keys.append(str(r.get("_key", "")))
         t.rows.extend(rows)
+        df = self._frame(t, rows)
+        self.ctx.load(table, df, key_col="_id")
+        t.loaded = True
+        return len(rows)
+
+    def _frame(self, t: _Table, rows: list) -> DataFrame:
+        """Build the parquet-shaped frame for ``rows`` of table ``t``
+        (reference columns as structs, Groonga defaults for unset cells)."""
         schema_parts = ["_id long"]
         if t.keyed:
             schema_parts.append(f"_key {t.key_type}")
@@ -907,10 +972,40 @@ class ConformanceRunner:
             )
             for r in rows
         ]
-        df = self.spark.createDataFrame(data, ", ".join(schema_parts))
-        self.ctx.load(table, df, key_col="_id")
-        t.loaded = True
-        return len(rows)
+        return self.spark.createDataFrame(data, ", ".join(schema_parts))
+
+    def _resync(self, table: str) -> None:
+        """Rewrite a table's parquet frame from the row mirror (after a
+        mutation that edits rows in place, e.g. reference clearing)."""
+        t = self.tables[table]
+        self.ctx.truncate(table)
+        if t.rows:
+            self.ctx.load(table, self._frame(t, t.rows), key_col="_id")
+
+    def _clear_refs(self, rt: str, deleted_keys: set) -> None:
+        """Deleting records clears every reference to them: scalar refs
+        become the empty key, vector refs drop the element
+        (delete/reference/* — grn_obj_delete removes back-references)."""
+        for name, t in self.tables.items():
+            dirty = False
+            for c, ref in t.ref_cols.items():
+                if ref != rt:
+                    continue
+                for r in t.rows:
+                    if r.get(c) not in (None, "") and str(r[c]) in deleted_keys:
+                        r[c] = ""
+                        dirty = True
+            for c, ref in t.vector_ref_cols.items():
+                if ref != rt:
+                    continue
+                for r in t.rows:
+                    vals = r.get(c) or []
+                    nv = [v for v in vals if str(v) not in deleted_keys]
+                    if len(nv) != len(vals):
+                        r[c] = nv
+                        dirty = True
+            if dirty:
+                self._resync(name)
 
     # select's positional parameter order (DEF_VAR list, proc.c:6759-6781)
     _SELECT_VARS = (
@@ -938,11 +1033,25 @@ class ConformanceRunner:
             raise Unsupported("select on a lexicon table")
         if not t.loaded:
             self._ingest(table, [])  # selects on never-loaded tables
-        out_default = ["_id"] + (["_key"] if t.keyed else []) + [
-            n for n, _ in t.columns if n not in t.vector_cols
-        ] + [n for n in t.vector_cols]
+        # data columns list ALPHABETICALLY in default output (grn keeps
+        # columns in a name-keyed hash — match_columns/no_index/
+        # two_columns outputs content before title)
+        out_default = ["_id"] + (["_key"] if t.keyed else []) + sorted(
+            n for n, _ in t.columns
+        )
         query = kw.pop("query", None)
         match_cols = kw.pop("match_columns", None)
+        mc_scorer = None
+        if match_cols:
+            match_cols, mc_scorer = self._resolve_match_columns(match_cols, t)
+        numeric_match = None
+        if match_cols:
+            plain = [c.split("*")[0].strip() for c in match_cols.split("||")]
+            num_types = set(_INT_WIDTH) | {"Float", "Time"}
+            if plain and all(t.types.get(c) in num_types for c in plain):
+                # match over a numeric index is an exact-value lookup
+                # (select/index/match/int*)
+                numeric_match = plain
         expander = kw.pop("query_expander", None) or kw.pop(
             "query_expansion", None  # pre-3.x alias (proc.c)
         )
@@ -1000,16 +1109,80 @@ class ConformanceRunner:
                     "Int64": "long", "UInt64": "long"}
             cast = ints.get(t.types.get(tgt, ""))
             columns[tgt] = {"value": expr, "cast": cast} if cast else expr
+        filt = kw.pop("filter", None)
+        # nested index match: ref_col.sub_col runs the match on the
+        # REFERENCED table, then maps hits back through the reference —
+        # score rides along × the match weight (select/index/nested/*)
+        nested_scores = None
+        if query is not None and match_cols and "." in match_cols:
+            p = match_cols.split("||")[0].strip()
+            w = 1.0
+            wm = re.fullmatch(r"(.+?)\s*\*\s*(\d+(?:\.\d+)?)", p)
+            if wm:
+                p, w = wm.group(1).strip(), float(wm.group(2))
+            segs = p.split(".")
+            base = segs[0]
+            if (
+                "||" not in match_cols
+                and len(segs) == 2
+                and (base in t.ref_cols or base in t.vector_ref_cols)
+            ):
+                rt = t.ref_cols.get(base) or t.vector_ref_cols[base]
+                ft = self.tables[rt]
+                if not ft.loaded:
+                    self._ingest(rt, [])
+                fres = self.ctx.select(
+                    rt,
+                    query=query,
+                    match_columns=segs[1],
+                    output_columns="_key,_score",
+                    sortby="_id",
+                    offset=0,
+                    limit=-1,
+                    id_col="_id",
+                    scorer=mc_scorer or "tf",
+                    text_cols=[segs[1]],
+                    tokenizer=ft.tokenizer or "bigram",
+                )
+                matched = {
+                    r["_key"]: r["score"] * w
+                    for r in fres["records"].collect()
+                }
+                if not matched:
+                    cond = "1 == 2"
+                elif base in t.ref_cols:
+                    vals = ", ".join(json.dumps(k) for k in matched)
+                    cond = f"in_values({base}._key, {vals})"
+                else:
+                    cond = f'sub_filter({base}, "in_values(_key, ' + ", ".join(
+                        json.dumps(k).replace('"', '\\"') for k in matched
+                    ) + ')")'
+                filt = f"({filt}) && ({cond})" if filt else cond
+                nested_scores = (base, {str(k): v for k, v in matched.items()})
+                query, match_cols = None, None
+        if numeric_match is not None and query is not None:
+            # exact-value lookup instead of fulltext matching
+            if not re.fullmatch(r"-?\d+(\.\d+)?", query.strip()):
+                raise QueryParseError(f"non-numeric match query {query!r}")
+            cond = " || ".join(f"{c} == {query.strip()}" for c in numeric_match)
+            filt = f"({filt}) && ({cond})" if filt else cond
+            query, match_cols = None, None
         args: dict = dict(
             query=query,
-            filter=kw.pop("filter", None),
+            filter=filt,
             match_columns=match_cols,
             output_columns=kw.pop("output_columns", ",".join(out_default)),
-            sortby=explicit_sort or "_id",
+            # ties under an explicit -_score sort come out id-DESCENDING
+            # (grn partial sort reverses scan order on equal keys —
+            # match_columns/scorer/tf_at_most/max/*)
+            sortby=(
+                "-_score,-_id" if explicit_sort in ("-_score", "- _score")
+                else explicit_sort or "_id"
+            ),
             offset=offset,
             limit=limit,
             id_col="_id",
-            scorer="tf",
+            scorer=mc_scorer or "tf",
             columns=columns or None,
         )
         # _key ops always scan: the reference resolves _key:^ / _key:$ via
@@ -1022,12 +1195,48 @@ class ConformanceRunner:
             args["array_match"] = {
                 n: n in t.indexed_cols for n in t.vector_cols
             }
-        scalar_indexed = [c for c in t.indexed_cols if c not in t.vector_cols]
+        scalar_indexed = [
+            c for c in t.indexed_cols
+            if c not in t.vector_cols and c not in t.ref_cols
+        ]
         if query is not None and t.indexed_cols and not scalar_indexed:
             raise Unsupported("--query over a vector index")
+        if (
+            query is not None
+            and not scalar_indexed
+            and match_cols
+            and "||" in match_cols
+        ):
+            # an unindexed MULTI-column match matches nothing (sequential
+            # scan handles one column only — match_columns/no_index/
+            # two_columns expects zero hits)
+            args["query"], args["match_columns"] = None, None
+            args["filter"] = "1 == 2"
+        nested_mc: dict[str, str] = {}
+        if query is not None and match_cols:
+            # scalar references are stored as structs, so a nested match
+            # column (owner.name) is a readable string field: flatten it
+            # into a dynamic column and build the throwaway match index
+            # over it alongside the plain columns
+            # (nested/match_columns/*, by_column/with_top_level_index)
+            for p in (x.split("*")[0].strip() for x in match_cols.split("||")):
+                if "." in p and p.split(".")[0] in t.ref_cols:
+                    nested_mc[p] = f"__nm{len(nested_mc)}"
+            if nested_mc:
+                for p, safe in nested_mc.items():
+                    match_cols = match_cols.replace(p, safe)
+                args["match_columns"] = match_cols
+                cols = dict(args.get("columns") or {})
+                cols.update({safe: p for p, safe in nested_mc.items()})
+                args["columns"] = cols
         if scalar_indexed:
-            args["text_cols"] = scalar_indexed
+            args["text_cols"] = scalar_indexed + list(nested_mc.values())
             args["tokenizer"] = t.tokenizer
+            args["scan_columns"] = key_scan
+        elif nested_mc:
+            strings = [n for n, ty in t.columns if ty == "string"]
+            args["text_cols"] = strings + list(nested_mc.values())
+            args["tokenizer"] = "bigram"
             args["scan_columns"] = key_scan
         else:
             # no COLUMN_INDEX anywhere → every query-syntax column op
@@ -1069,7 +1278,11 @@ class ConformanceRunner:
                 self.ctx.set_reference(table, c, rt, "_key", array=True)
         if args["filter"]:
             f = args["filter"]
-            if any(t.types.get(n) == "Time" for n, _ in t.columns):
+            if any(t.types.get(n) == "Time" for n, _ in t.columns) or any(
+                "Time" in self.tables[rt].types.values()
+                for rt in t.ref_cols.values()
+                if rt in self.tables
+            ):
                 # Time comparisons coerce datetime string literals
                 # (suite/select/filter/no_index/time/*) — grntest runs in
                 # JST, see _parse_time
@@ -1085,13 +1298,16 @@ class ConformanceRunner:
             rank = self._or_branch_rank(table, t, args)
         entries = _split_output_columns(args["output_columns"])
         if "*" in entries:
-            # '*' expands to the DATA columns in definition order (no
-            # pseudo columns — output_columns/star/*)
-            star = [n for n, _ in t.columns]
+            # '*' expands to the DATA columns sorted by name (no pseudo
+            # columns — output_columns/star/*)
+            star = sorted(n for n, _ in t.columns)
             i = entries.index("*")
             entries = entries[:i] + star + entries[i + 1 :]
         ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-        known = set(t.types) | {"_id", "_key", "_score", "_nsubrecs"}
+        known = set(t.types) | {"_id", "_score", "_nsubrecs"}
+        if t.keyed:
+            known.add("_key")  # _key on a NO_KEY table silently drops
+            # (index/nested/by_key/match outputs only 'path')
         # nonexistent output columns are silently DROPPED by the reference
         # (output_columns/nonexistent/*, key/chained_not_exist)
         dotted = re.compile(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
@@ -1149,6 +1365,8 @@ class ConformanceRunner:
                         fetch.append(c)
         if "_id" not in fetch and (rank is not None or not fetch):
             fetch.append("_id")
+        if nested_scores is not None and nested_scores[0] not in fetch:
+            fetch.append(nested_scores[0])
         if exprs:
             kws = self._query_keywords(args)
             for x in exprs.values():
@@ -1164,6 +1382,20 @@ class ConformanceRunner:
         res = self.ctx.select(table, **args)
         rows = res["records"].collect()
         n_hits = res["n_hits"]
+        if nested_scores is not None:
+            # _score = sum of the matched referenced records' scores
+            base, matched = nested_scores
+            patched = []
+            for r in rows:
+                d = r.asDict()
+                v = d.get(base)
+                if isinstance(v, list):
+                    d["score"] = sum(matched.get(str(k), 0.0) for k in v)
+                else:
+                    k = v["_key"] if v is not None else ""
+                    d["score"] = matched.get(str(k), 0.0)
+                patched.append(d)
+            rows = patched
         if rank is not None:
             rows = sorted(rows, key=lambda r: rank.get(r["_id"], 1 << 60))
             off = offset if offset >= 0 else max(n_hits + offset, 0)
@@ -1174,7 +1406,7 @@ class ConformanceRunner:
             vals = []
             for e in entries:
                 if e in exprs:
-                    d = row.asDict()
+                    d = row.asDict() if hasattr(row, "asDict") else dict(row)
                     if "score" in d:
                         d["_score"] = d["score"]
                     vals.append(self._out_val(exprs[e].eval(d)))
@@ -1182,10 +1414,75 @@ class ConformanceRunner:
                     base, _attr, lut = vec_ref[e]
                     vals.append([lut.get(str(k)) for k in (row[base] or [])])
                 else:
-                    vals.append(self._out_val(row[self._col_name(e)]))
+                    v = row[self._col_name(e)]
+                    if e == "_score" and isinstance(v, float):
+                        v = int(v)  # _score is Int32 in the reference
+                    vals.append(self._out_val(v))
             page.append(vals)
         cols_out = [exprs[e].name if e in exprs else e for e in entries]
         return [(n_hits, cols_out, page)]
+
+    def _resolve_match_columns(
+        self, spec: str, t: _Table
+    ) -> "tuple[str, str | None]":
+        """Resolve a ``--match_columns`` spec to plain source columns and
+        an optional scorer override.  Handles scorer wrappers
+        (``scorer_tf_at_most(col, 3)`` — match_columns/scorer/*), index
+        column names (``Lexicon.idx``), per-section selections
+        (``Lexicon.idx.title`` / ``Lexicon.idx[0]``), and ``* weight``."""
+        out: list[str] = []
+        scorers: set[str] = set()
+        for e in (x.strip() for x in spec.split("||")):
+            w = None
+            m = re.fullmatch(r"(.+?)\s*\*\s*(\d+(?:\.\d+)?)", e)
+            if m:
+                e, w = m.group(1).strip(), m.group(2)
+            sm = re.fullmatch(
+                r"scorer_(\w+)\(\s*([^,()]+?)\s*(?:,\s*([\d.]+)\s*)?\)", e
+            )
+            if sm:
+                fn, inner, arg = sm.groups()
+                if fn == "tf_at_most" and arg is not None:
+                    scorers.add(f"tf_at_most:{float(arg)}")
+                elif fn == "tf_idf":
+                    scorers.add("tf_idf")
+                else:
+                    raise Unsupported(f"match scorer {fn}")
+                e = inner.strip()
+            for c in self._expand_mc_spec(e, t):
+                out.append(f"{c} * {w}" if w else c)
+        if len(scorers) > 1:
+            raise Unsupported("mixed match_columns scorers")
+        return " || ".join(out), (scorers.pop() if scorers else None)
+
+    def _expand_mc_spec(self, e: str, t: _Table) -> list[str]:
+        if e in t.types or e == "_key":
+            return [e]
+        base = e.split(".")[0]
+        if base in t.ref_cols or base in t.vector_ref_cols:
+            return [e]  # nested reference path — resolved by the caller
+        m = re.fullmatch(r"(\w+)\.(\w+)(?:\.(\w+))?(?:\[(\d+)\])?", e)
+        if m:
+            lex, idx, secname, secnum = m.groups()
+            for lx, nm, _fl, _st, srcs in self.index_defs:
+                if lx == lex and nm == idx:
+                    sources = srcs.split(",")
+                    if secname is not None:
+                        if secname not in sources:
+                            raise QueryParseError(
+                                f"unknown index section {e!r}"
+                            )
+                        return [secname]
+                    if secnum is not None:
+                        if int(secnum) >= len(sources):
+                            raise QueryParseError(
+                                f"section number out of range {e!r}"
+                            )
+                        return [sources[int(secnum)]]
+                    return sources
+        # the reference answers an unresolvable match column with an
+        # error response (match_columns/invalid/*)
+        raise QueryParseError(f"invalid match column {e!r}")
 
     def _expand_query(self, spec: str, query: str, qflags) -> str:
         """``--query_expander Table.column`` (proc.c expand_query →
@@ -1331,7 +1628,10 @@ class ConformanceRunner:
         groonga-branch docs)."""
         from .query.parser import Or, ast_to_query, parse_query_ex
 
-        scalar_indexed = [c for c in t.indexed_cols if c not in t.vector_cols]
+        scalar_indexed = [
+            c for c in t.indexed_cols
+            if c not in t.vector_cols and c not in t.ref_cols
+        ]
         if not scalar_indexed:
             return None
         try:
@@ -1476,6 +1776,33 @@ class ConformanceRunner:
                                 if fk in [str(v) for v in vals] and k not in order:
                                     order.append(k)
                     return rank_keys(order)
+        if query is None and args.get("filter"):
+            # a filter whose every atom ranges over ONE reference path
+            # walks the foreign index in VALUE order (nested/by_column/
+            # range/*: rows come back ordered by owner.birthday /
+            # score._key ascending)
+            f = args["filter"]
+            paths = set(re.findall(r"\b([A-Za-z_]\w*\.[A-Za-z_]\w*)\b", f))
+            plain_cols = {
+                w for w in re.findall(r"\b([A-Za-z_]\w*)\b(?![\w.(])", f)
+            } & set(t.types)
+            if len(paths) == 1 and not plain_cols and "sub_filter" not in f:
+                base, attr = next(iter(paths)).split(".", 1)
+                if base in t.ref_cols:
+                    ft = self.tables[t.ref_cols[base]]
+                    lut = {
+                        str(r.get("_key", "")): (
+                            r.get("_key") if attr == "_key" else r.get(attr)
+                        )
+                        for r in ft.rows
+                    }
+
+                    def val(r):
+                        v = lut.get(str(r.get(base, "")))
+                        return (v is None, v, r["_id"])
+
+                    ordered = sorted(t.rows, key=val)
+                    return {r["_id"]: i for i, r in enumerate(ordered)}
         if query is None and args.get("filter") is None:
             if t.pat or t.dat:
                 return rank_keys(sorted(t.keys, key=norm))
@@ -1536,7 +1863,10 @@ class ConformanceRunner:
             AllRecords, And, ColumnOp, Near, Not, Or, Phrase, Term,
         )
 
-        scalar_indexed = [c for c in t.indexed_cols if c not in t.vector_cols]
+        scalar_indexed = [
+            c for c in t.indexed_cols
+            if c not in t.vector_cols and c not in t.ref_cols
+        ]
         if isinstance(node, (Term, Phrase, Near)):
             return not scalar_indexed
         if isinstance(node, ColumnOp):
@@ -1558,9 +1888,8 @@ class ConformanceRunner:
 
     @staticmethod
     def _out_val(v):
-        # Groonga serializes integral floats as ints for _score
-        if isinstance(v, float) and v.is_integer():
-            return int(v)
+        # _score's int cast happens at its output site; every other float
+        # column stays a float (Time values print as 1423025400.0)
         if hasattr(v, "__fields__"):  # Row = reference column → its key
             return v["_key"]
         return v
@@ -1608,8 +1937,10 @@ class ConformanceRunner:
                     out[raw] = self.range_filter_cmd(argv)
                 except _SELECT_ERRORS:
                     out[raw] = _Resp("ERROR")
-            elif name == "register":
+            elif name in ("register", "plugin_register"):
                 out[raw] = self.register_cmd(argv)
+            elif name == "dump":
+                out[raw] = self.dump_cmd(argv)
             elif name == "logical_count":
                 try:
                     out[raw] = self.logical_count_cmd(argv)
@@ -1731,12 +2062,20 @@ class ConformanceRunner:
 
     # -- non-select commands (responses compared verbatim) ------------------
 
+    _KNOWN_PLUGINS = (
+        "sharding", "token_filters/stem", "token_filters/stop_word",
+        "query_expanders/tsv",
+    )
+
     def register_cmd(self, argv) -> _Resp:
-        """``register`` (plugin load): the capabilities these fixtures pull
-        in (sharding's logical_*, TokenFilterStem/StopWord) are built into
-        this engine, so registration is a successful no-op."""
+        """``register`` / ``plugin_register``: the capabilities these
+        fixtures pull in (sharding's logical_*, TokenFilterStem/StopWord)
+        are built into this engine, so registration is a successful no-op
+        recorded for ``dump``."""
         mod = argv[1] if len(argv) > 1 else ""
-        if mod in ("sharding", "token_filters/stem", "token_filters/stop_word"):
+        if mod in self._KNOWN_PLUGINS:
+            if mod not in self.plugins:
+                self.plugins.append(mod)
             return _Resp(True)
         raise Unsupported(f"register {mod}")
 
@@ -1926,10 +2265,108 @@ class ConformanceRunner:
         remaining = {
             r["_id"] for r in self.ctx.dump(table).select("_id").collect()
         }
+        gone = [r for r in t.rows if r["_id"] not in remaining]
         t.rows = [r for r in t.rows if r["_id"] in remaining]
         if t.keyed:
             t.keys = [str(r.get("_key", "")) for r in t.rows]
+            self._clear_refs(
+                table, {str(r.get("_key", "")) for r in gone}
+            )
         return _Resp(True)
+
+    def dump_cmd(self, argv) -> _Resp:
+        """``dump`` (proc.c:6868 grn_dump): the database re-emitted as a
+        loadable command stream — schema (tables in creation order with
+        their non-reference data columns, KEY_NORMALIZE canonicalized to
+        ``--normalizer NormalizerAuto``), then reference columns, then
+        per-table ``load`` blocks (lexicons excluded; pat/dat in key
+        order), then index columns."""
+        pos, kw = self._kw(argv)
+        want = {
+            part: (kw.get(f"dump_{part}", "yes") != "no")
+            for part in ("plugins", "schema", "records", "indexes")
+        }
+        chunks: list[str] = []
+        if want["plugins"] and self.plugins:
+            chunks.append(
+                "\n".join(f"plugin_register {p}" for p in self.plugins)
+            )
+        if want["schema"]:
+            for name, t in self.tables.items():
+                parts = ["table_create", name, t.flags.replace(
+                    "|KEY_NORMALIZE", "").replace("KEY_NORMALIZE|", "")]
+                if t.keyed:
+                    parts.append(t.key_gtype)
+                if t.tokenizer_raw:
+                    parts += ["--default_tokenizer", t.tokenizer_raw]
+                if t.normalizer_raw:
+                    parts += ["--normalizer", t.normalizer_raw]
+                lines = [" ".join(parts)]
+                for cn, cf, cg in sorted(t.col_defs):
+                    if cn in t.ref_cols or cn in t.vector_ref_cols:
+                        continue  # reference columns dump after all tables
+                    lines.append(f"column_create {name} {cn} {cf} {cg}")
+                chunks.append("\n".join(lines))
+            ref_lines = []
+            for name, t in self.tables.items():
+                for cn, cf, cg in sorted(t.col_defs):
+                    if cn in t.ref_cols or cn in t.vector_ref_cols:
+                        ref_lines.append(
+                            f"column_create {name} {cn} {cf} {cg}"
+                        )
+            if ref_lines:
+                chunks.append("\n".join(ref_lines))
+        if want["records"]:
+            for name, t in self.tables.items():
+                if t.lex_tokenizer is not None or not t.rows:
+                    continue
+                cols = (["_key"] if t.keyed else ["_id"]) + sorted(
+                    cn for cn, _, _ in t.col_defs
+                )
+                rows = t.rows
+                if t.keyed and (t.pat or t.dat):
+                    rows = sorted(rows, key=lambda r: str(r.get("_key", "")))
+                else:
+                    rows = sorted(rows, key=lambda r: r["_id"])
+                dflt = {"string": "", "long": 0, "double": 0.0,
+                        "boolean": False}
+
+                def cell(r, cn):
+                    if cn == "_id":
+                        return r["_id"]
+                    if cn == "_key":
+                        v = r.get("_key", "")
+                        if t.key_type != "string" and not isinstance(
+                            v, (int, float)
+                        ):
+                            return int(v) if t.key_type == "long" else float(v)
+                        return v
+                    v = r.get(cn)
+                    if v is None:
+                        ty = dict(t.columns).get(cn, "string")
+                        if ty.startswith("array"):
+                            return []
+                        return dflt.get(ty, "")
+                    return v
+
+                body = [json.dumps(cols, ensure_ascii=False,
+                                   separators=(",", ":"))]
+                for r in rows:
+                    body.append(json.dumps(
+                        [cell(r, cn) for cn in cols],
+                        ensure_ascii=False, separators=(",", ":"),
+                    ))
+                chunks.append(
+                    f"load --table {name}\n[\n" + ",\n".join(body) + "\n]"
+                )
+        if want["indexes"]:
+            idx_lines = [
+                f"column_create {lx} {nm} {fl} {st} {src}"
+                for lx, nm, fl, st, src in self.index_defs
+            ]
+            if idx_lines:
+                chunks.append("\n".join(idx_lines))
+        return _Resp("\n\n".join(chunks))
 
     def cache_limit_cmd(self, argv) -> _Resp:
         pos, kw = self._kw(argv)
@@ -2004,7 +2441,9 @@ def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
     """Replay one ``.test``; → list of (command, ours, theirs, match)."""
     runner = ConformanceRunner(spark, db_path)
     got = runner.run(test_text)
-    exp = parse_expected(expected_text)
+    exp = parse_expected(
+        expected_text, [raw for raw, _, _ in parse_script(test_text)]
+    )
     # the .expected echo preserves the original continuation spacing,
     # parse_script collapses it — compare on normalized whitespace
     norm = {re.sub(r"\s+", " ", k): v for k, v in exp.items()}

@@ -431,7 +431,12 @@ def tf_stage(
                 if len(out):
                     yield out
 
-    tf = df.select(id_col, *text_cols).mapInPandas(fn, _TF_SCHEMA)
+    # a dotted text col (struct field, e.g. a denormalized reference's
+    # owner.name) keeps its dotted name via an alias so the Arrow batch
+    # column lookup matches the section name
+    tf = df.select(
+        id_col, *[F.col(c).alias(c) for c in text_cols]
+    ).mapInPandas(fn, _TF_SCHEMA)
     doclens = tf.groupBy("doc_id", "sid").agg(F.sum("tf").cast("long").alias("dl"))
     return tf, doclens
 

@@ -252,8 +252,9 @@ def _parse_colop(word: str) -> ColumnOp | None:
     quoted = len(value) >= 2 and value[0] == '"' and value[-1] == '"'
     if quoted:
         value = value[1:-1]
-    if not value:
-        return None  # 'col:' with no value is a plain term
+    if not value and not quoted:
+        return None  # 'col:' with no value is a plain term; 'col:""' is
+        # an empty-string EQUAL (select/index/equal/empty_string)
     return ColumnOp(col, op, value, quoted=quoted)
 
 

@@ -539,7 +539,10 @@ class _P:
         # reference's normalizer-aware scan; pattern/needle folded too,
         # except regexp where only the haystack is normalized)
         if op in ("@", "@^", "@$", "@~"):
-            if not isinstance(b, str):
+            if not isinstance(b, str) and not (
+                op == "@" and isinstance(b, (int, float))
+                and not isinstance(b, bool)
+            ):
                 # the reference rejects a column as the match value
                 # ("can't use column as a value", grn_expr_parse —
                 # suite/select/filter/invalid/match/argument/column)
@@ -547,6 +550,12 @@ class _P:
                     f"{op} takes a literal pattern, not a column"
                 )
         if op in ("@", "@^", "@$", "@~"):
+            if op == "@" and isinstance(b, (int, float)) and not isinstance(b, bool):
+                # match on a numeric value is an exact lookup (the index
+                # maps whole values — select/index/match/int*, and the
+                # scan path agrees: filter/complex 'id @ 1' hits id == 1)
+                cond = _c(a) == b
+                return _Scored(cond, F.lit(1.0)) if scored else cond
             if isinstance(a, _Arr):
                 # vector column: a tag-index-backed match is an exact
                 # element lookup (the index lexicon maps whole values —
