@@ -357,16 +357,22 @@ class _Resp:
 
 def select_result(response):
     """Parsed select response → [(n_hits, column names, rows), …] — one
-    tuple per result table (main result, then one per drilldown) — or the
-    sentinel ``("ERROR",)`` when the reference reported a non-zero rc
+    tuple per result table (main result, then one per drilldown; LABELED
+    drilldowns ride as a dict {label: tuple}) — or the sentinel
+    ``("ERROR",)`` when the reference reported a non-zero rc
     (e.g. -63 syntax error — suite/select/query/invalid/*)."""
     if response[0][0] != 0:
         return ("ERROR",)
+
+    def table(body):
+        return (body[0][0], [c[0] for c in body[1]], body[2:])
+
     tables = []
     for body in response[1]:
-        n_hits = body[0][0]
-        cols = [c[0] for c in body[1]]
-        tables.append((n_hits, cols, body[2:]))
+        if isinstance(body, dict):
+            tables.append({label: table(b) for label, b in body.items()})
+        else:
+            tables.append(table(body))
     return tables
 
 
@@ -1245,6 +1251,20 @@ class ConformanceRunner:
             args["text_cols"] = strings or key_scan
             args["tokenizer"] = "bigram"
             args["scan_columns"] = strings + key_scan
+        # drilldown parameters: plain (--drilldown keys + shared
+        # drilldown_* params) and labeled (--drilldown[label].param)
+        dd_plain = kw.pop("drilldown", None)
+        dd_shared = {
+            p: kw.pop(f"drilldown_{p}")
+            for p in ("output_columns", "sortby", "offset", "limit",
+                      "calc_types", "calc_target")
+            if f"drilldown_{p}" in kw
+        }
+        dd_labeled: dict[str, dict] = {}
+        for k in list(kw):
+            m = re.fullmatch(r"drilldowns?\[(\w+)\]\.(\w+)", k)
+            if m:
+                dd_labeled.setdefault(m.group(1), {})[m.group(2)] = kw.pop(k)
         if "query_flags" in kw:
             args["query_flags"] = kw.pop("query_flags")
         if "match_escalation_threshold" in kw:
@@ -1367,17 +1387,31 @@ class ConformanceRunner:
             fetch.append("_id")
         if nested_scores is not None and nested_scores[0] not in fetch:
             fetch.append(nested_scores[0])
+        dd_specs: list[tuple[str | None, list[str], dict]] = []
+        if dd_plain:
+            for key in (k.strip() for k in dd_plain.split(",")):
+                if key:
+                    dd_specs.append((None, [key], dd_shared))
+        for label, spec in dd_labeled.items():
+            keys = [k.strip() for k in spec.get("keys", "").split(",") if k.strip()]
+            dd_specs.append((label, keys, spec))
+        for _lbl, keys, spec in dd_specs:
+            for k in keys + (
+                [spec["calc_target"]] if spec.get("calc_target") else []
+            ):
+                if k not in fetch and k in t.types:
+                    fetch.append(k)
         if exprs:
             kws = self._query_keywords(args)
             for x in exprs.values():
                 x.fctx = {"keywords": kws}
         args["output_columns"] = ",".join(fetch)
-        if rank is not None:
-            # storage-order output (pat/dat cursor order, SIS walk order):
-            # fetch the FULL match set id-ordered, present it in the
-            # table's natural order, page here.  Matching stays entirely
-            # engine-side; only the row ORDER is a storage-layout artifact
-            # the runner reproduces from its key mirror.
+        full_fetch = rank is not None or bool(dd_specs)
+        if full_fetch:
+            # storage-order output (pat/dat cursor order, SIS walk order)
+            # and drilldowns need the FULL match set — fetch all, page
+            # here.  Matching stays entirely engine-side; only ordering /
+            # grouping presentation happens in the runner.
             args["offset"], args["limit"] = 0, -1
         res = self.ctx.select(table, **args)
         rows = res["records"].collect()
@@ -1398,6 +1432,8 @@ class ConformanceRunner:
             rows = patched
         if rank is not None:
             rows = sorted(rows, key=lambda r: rank.get(r["_id"], 1 << 60))
+        full_rows = rows  # pre-paging: drilldowns group the whole set
+        if full_fetch:
             off = offset if offset >= 0 else max(n_hits + offset, 0)
             lim = limit if limit >= 0 else max(n_hits + limit + 1 - off, 0)
             rows = rows[off : off + lim]
@@ -1420,7 +1456,126 @@ class ConformanceRunner:
                     vals.append(self._out_val(v))
             page.append(vals)
         cols_out = [exprs[e].name if e in exprs else e for e in entries]
-        return [(n_hits, cols_out, page)]
+        out_tables: list = [(n_hits, cols_out, page)]
+        labeled_out: dict = {}
+        for label, keys, spec in dd_specs:
+            if not keys:
+                continue  # empty .keys → label dropped, {} marker stays
+            tbl = self._run_drilldown(t, full_rows, keys, spec)
+            if label is None:
+                out_tables.append(tbl)
+            else:
+                labeled_out[label] = tbl
+        if dd_labeled:
+            out_tables.append(labeled_out)
+        return out_tables
+
+    def _run_drilldown(self, t: _Table, rows, keys: list, spec: dict):
+        """One drilldown result table from the FULL matched rows: groups
+        in FIRST-OCCURRENCE order (grn's result hash insertion —
+        drilldown/plain/single), python-side aggregation over the
+        engine-matched set.  Output forms: _key, _key[i], _value.col
+        (._key), _nsubrecs, _sum/_max/_min/_avg."""
+        for k in keys:
+            if t.types.get(k) in ("Text", "LongText"):
+                # the reference refuses drilldown on a Text-typed key
+                # (plain/invalid/too_large_type → rc<0)
+                raise ScriptSyntaxError(f"drilldown key too large: {k}")
+
+        def kv(r, k):
+            v = r[k]
+            return v["_key"] if hasattr(v, "__fields__") else v
+
+        order: list[tuple] = []
+        groups: dict[tuple, dict] = {}
+
+        def add(g, r):
+            st = groups.get(g)
+            if st is None:
+                st = groups[g] = {"n": 0, "vals": []}
+                order.append(g)
+            st["n"] += 1
+            tgt = spec.get("calc_target")
+            if tgt:
+                st["vals"].append(r[tgt])
+
+        import itertools
+
+        for r in rows:
+            # vector keys fan out per element (labeled/keys/vector:
+            # user,tags,date groups one combo per tag element)
+            axes = []
+            for k in keys:
+                if k in t.vector_cols:
+                    axes.append(list(r[k] or []))
+                else:
+                    axes.append([kv(r, k)])
+            for g in itertools.product(*axes):
+                add(g, r)
+        calcs = [
+            c.strip().lower()
+            for c in (spec.get("calc_types") or "").split(",")
+            if c.strip() and c.strip().upper() != "NONE"
+        ]
+
+        def agg(st, fn):
+            vals = [v for v in st["vals"] if v is not None]
+            if not vals:
+                return 0
+            if fn == "sum":
+                return sum(vals)
+            if fn == "max":
+                return max(vals)
+            if fn == "min":
+                return min(vals)
+            return sum(vals) / len(vals)  # avg → Float
+
+        def cell(g, e):
+            st = groups[g]
+            if e == "_key":
+                return g[0]
+            if e == "_id":  # group id = 1-based insertion order
+                return order.index(g) + 1
+            if e == "_nsubrecs":
+                return st["n"]
+            m = re.fullmatch(r"_key\[(\d+)\]", e)
+            if m:
+                return g[int(m.group(1))]
+            m = re.fullmatch(r"_value\.(\w+)(?:\._key)?", e)
+            if m and m.group(1) in keys:
+                return g[keys.index(m.group(1))]
+            m = re.fullmatch(r"_(sum|max|min|avg)", e)
+            if m:
+                return agg(st, m.group(1))
+            raise Unsupported(f"drilldown output column {e!r}")
+
+        ordered = list(order)
+        sortby = spec.get("sortby")
+        if sortby:
+            for part in reversed([p.strip() for p in sortby.split(",")]):
+                desc = part.startswith("-")
+                name = part.lstrip("+-")
+                ordered.sort(key=lambda g: cell(g, name), reverse=desc)
+        n_groups = len(ordered)
+        off = int(spec.get("offset", 0))
+        lim = int(spec.get("limit", 10))
+        if off < 0:
+            off = max(n_groups + off, 0)
+        if lim < 0:
+            lim = max(n_groups + lim + 1 - off, 0)
+        ordered = ordered[off : off + lim]
+        out_cols = [
+            c.strip()
+            for c in (spec.get("output_columns") or "_key, _nsubrecs").split(",")
+        ]
+        rows_out = [[cell(g, e) for e in out_cols] for g in ordered]
+        # header names strip the _value. accessor prefix
+        # (labeled/calc_types/multiple: _value.tag → "tag")
+        names = [
+            e[len("_value."):] if e.startswith("_value.") else e
+            for e in out_cols
+        ]
+        return (n_groups, names, rows_out)
 
     def _resolve_match_columns(
         self, spec: str, t: _Table
