@@ -29,7 +29,10 @@ from .query.script import (
     parse_filter_scored,
 )
 
-_SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(")
+# filters needing the plan-level compile: selector functions and the
+# index-backed match operators *N (near) / *S (similar); *T stays a plain
+# Column predicate but rides the same path for uniform scoring
+_SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(|\*[NS]\b")
 
 _ADJUSTER_RE = re.compile(
     r'\s*(\w+)\s*@\s*"((?:[^"\\]|\\.)*)"\s*(?:\*\s*(\d+(?:\.\d+)?))?\s*'
@@ -339,6 +342,8 @@ class CommandContext:
         cache: bool = True,
         scan_columns: "list[str] | None" = None,
         array_match: "dict[str, bool] | None" = None,
+        table_resolver=None,
+        noindex_cols: "list[str] | None" = None,
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -441,12 +446,21 @@ class CommandContext:
                 }
                 f_eng = (
                     self._get_engine(table, df, text_cols, tokenizer, id_col)
-                    if re.search(r"\bquery\s*\(", filter)
+                    if re.search(r"\bquery\s*\(|\*[NS]\b", filter)
                     else self._engines.get(table)
                 )
                 df = parse_filter_plan_scored(
                     filter, df, id_col=id_col, engine=f_eng, refs=refs,
                     scorer=scorer,
+                    # *N/*S error only on columns with NO index at all —
+                    # a column may sit in scan_columns for query-syntax
+                    # colop purposes (e.g. _key trie ops) while still
+                    # carrying a fulltext index
+                    scan_cols=set(
+                        noindex_cols if noindex_cols is not None
+                        else (scan_columns or ())
+                    ),
+                    tables=table_resolver,
                 )
                 wants_score = "_score" in (output_columns or "") or (
                     "_score" in (sortby or "")
@@ -455,7 +469,9 @@ class CommandContext:
                     df = df.withColumnRenamed("__fscore", "score")
                 df = df.drop("__fscore")
             else:
-                cond, fscore = parse_filter_scored(filter, array_cols=array_match)
+                cond, fscore = parse_filter_scored(
+                    filter, array_cols=array_match, tables=table_resolver
+                )
                 if fscore is not None:
                     # boolean expression of match/comparison atoms: the
                     # score is the result-set accumulation (each satisfied

@@ -271,7 +271,8 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
             raise Unsupported(f"unparseable line {line!r}")
         argv = unesc_tokens(line)
         payload = None
-        if argv[0] == "load":
+        if argv[0] == "load" and "--values" not in argv:
+            # inline --values carries the rows; no payload block follows
             block, depth, started = [], 0, False
             while i < len(lines):
                 l2 = lines[i]
@@ -697,6 +698,72 @@ def _grn_char_type(ch: str) -> str:
     return "others"
 
 
+def _try_cast(v, ty: str):
+    """(ok, value) — ok False when the reference's cast would fail
+    (unparsable string into a numeric type, an object value)."""
+    if isinstance(v, dict):
+        return False, None
+    if ty in ("long", "int", "double", "float") and isinstance(v, str):
+        try:
+            float(v)
+        except ValueError:
+            return False, None
+    return True, _cast_load_value(v, ty)
+
+
+def _cast_load_value(v, ty: str):
+    """grn_obj_cast semantics for load values (lib/db.c grn_obj_cast):
+    bool → 1/0 into numeric columns, numeric strings parse, a failed cast
+    stores the type default (0 / 0.0 / "") and only logs — the record
+    itself still loads (suite/load/bool/cast/*, load/invalid/int32)."""
+    if ty.startswith("array<"):
+        elem = ty[6:-1]
+        if isinstance(v, list):
+            # a vector element whose cast fails is DROPPED, not defaulted
+            # (load/invalid/in_mid_brace/vector: [1,"GARBAGE",3] → [1,3])
+            out = []
+            for x in v:
+                ok, cv = _try_cast(x, elem)
+                if ok:
+                    out.append(cv)
+            return out
+        # scalar into a vector column → one-element vector
+        return [_cast_load_value(v, elem)]
+    if ty in ("long", "int"):
+        if isinstance(v, bool):
+            return 1 if v else 0
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return int(v)
+        if isinstance(v, str):
+            try:
+                return int(v.strip() or 0)
+            except ValueError:
+                return 0
+        return 0
+    if ty in ("double", "float"):
+        if isinstance(v, bool):
+            return 1.0 if v else 0.0
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                return 0.0
+        return 0.0
+    if ty == "boolean":
+        return bool(v)
+    if ty == "string":
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return v
+    return v
+
+
 def _norm_key(s: str) -> str:
     """Key comparison form under KEY_NORMALIZE / NormalizerAuto for
     natural-order ranking."""
@@ -720,8 +787,18 @@ class ConformanceRunner:
         k = 1
         while k < len(argv):
             if argv[k].startswith("--"):
-                kw[argv[k][2:]] = argv[k + 1]
-                k += 2
+                # a --param immediately followed by another --param (or
+                # nothing) carries an EMPTY value — the reference's command
+                # parser does not swallow the next flag as the value
+                # (select/function/highlight_html/empty_column:
+                # `--output_columns --query '…'`)
+                nxt = argv[k + 1] if k + 1 < len(argv) else "--"
+                if nxt.startswith("--"):
+                    kw[argv[k][2:]] = ""
+                    k += 1
+                else:
+                    kw[argv[k][2:]] = nxt
+                    k += 2
             else:
                 pos.append(argv[k])
                 k += 1
@@ -833,7 +910,33 @@ class ConformanceRunner:
     def load(self, argv, payload):
         pos, kw = self._kw(argv)
         table = kw["table"]
-        rows = json.loads(payload)
+        if "values" in kw and not (payload or "").strip():
+            payload = kw["values"]
+        # raw_decode: the reference's JSON reader stops at the closing
+        # bracket and ignores trailing garbage (filter/invalid/match/
+        # argument/column ends its payload with a stray `"`)
+        def _pairs(pairs):
+            # a JSON object with a DUPLICATED key is rejected whole
+            # (load/array/duplicated_id_key — the reference counts 0)
+            d = dict(pairs)
+            if len(d) != len(pairs):
+                d["__reject__"] = True
+            return d
+
+        rows = json.JSONDecoder(object_pairs_hook=_pairs).raw_decode(
+            payload.strip()
+        )[0]
+        if kw.get("columns"):
+            # --columns names the positional slots; an unknown name is a
+            # hard error, nothing loads (load/columns/nonexistent)
+            names = [c.strip() for c in kw["columns"].split(",") if c.strip()]
+            t = self.tables[table]
+            known = set(t.types) | {"_key", "_id"}
+            if any(n not in known for n in names):
+                raise ScriptSyntaxError(
+                    f"nonexistent column in --columns: {names}"
+                )
+            rows = [names] + [r for r in rows if isinstance(r, list)]
         # columns-as-first-row form: [["a","b"],[1,2],...] — the header is
         # a non-empty list of names; a bare [] is ONE record with all
         # defaults (suite/select/filter/no_index/score/*)
@@ -852,9 +955,9 @@ class ConformanceRunner:
                 rows = [{} for _ in rows]
             else:
                 raise Unsupported("positional load rows without a header")
-        n = len(rows)  # the response counts PAYLOAD records, not the
-        self._ingest(table, rows)  # SIS/auto-registered extras
-        return n
+        # the response counts APPLIED payload records (updates included,
+        # rejected rows and SIS/auto-registered extras excluded)
+        return self._ingest(table, rows)
 
     def _ref_struct(self, ref: "_Table", key) -> dict:
         """Struct value of a reference column pointing at ``key``: the
@@ -890,6 +993,17 @@ class ConformanceRunner:
             for n in time_cols:
                 if isinstance(r.get(n), str):
                     r[n] = _parse_time(r[n])
+                elif isinstance(r.get(n), bool):
+                    # bool→Time casts through the raw MICROsecond value
+                    # (true = 1 µs — load/bool/cast/time expects 1e-06)
+                    r[n] = (1.0 if r[n] else 0.0) / 1e6
+            for n, ty in t.columns:
+                if (
+                    r.get(n) is not None
+                    and n not in t.ref_cols
+                    and n not in t.vector_ref_cols
+                ):
+                    r[n] = _cast_load_value(r[n], ty)
             for v in r.values():
                 if isinstance(v, int) and not -(1 << 63) <= v < (1 << 63):
                     raise Unsupported(f"integer beyond Int64 range: {v}")
@@ -905,7 +1019,10 @@ class ConformanceRunner:
                     if k in seen:
                         continue
                     seen.add(k)
-                    expanded.append(r if k == str(r["_key"]) else {"_key": k})
+                    expanded.append(
+                        r if k == str(r["_key"])
+                        else {"_key": k, "__sis__": True}
+                    )
             rows = expanded
         for r in rows:
             # vector-of-reference elements auto-register too, normalized
@@ -934,16 +1051,58 @@ class ConformanceRunner:
                     key = _norm_key(key)
                 if str(key) not in {str(x.get("_key", "")) for x in ref.rows}:
                     self._ingest(ref_name, [{"_key": key}])
+        fresh, accepted, dirty = [], 0, False
         for r in rows:
+            is_sis = r.pop("__sis__", False)
+            if r.pop("__reject__", False):
+                continue  # duplicate-key JSON object (load/array/duplicated_id_key)
+            if "_id" in r:
+                # explicit _id targets an EXISTING record (array-table
+                # update, load/array/id_update); a non-integer or unknown
+                # id rejects the row (load/array/invalid_id_value)
+                vid = r.pop("_id")
+                if isinstance(vid, bool) or not isinstance(vid, int):
+                    continue
+                tgt = next(
+                    (x for x in t.rows + fresh if x.get("_id") == vid), None
+                )
+                if tgt is None:
+                    continue
+                tgt.update({k: v for k, v in r.items() if k != "_key"})
+                accepted += 1
+                dirty = True
+                continue
+            if t.keyed:
+                k = str(r.get("_key", ""))
+                if k in t.keys:
+                    # keyed upsert: same key updates in place, id unchanged
+                    # (the match may sit in THIS batch, not yet committed)
+                    tgt = next(
+                        x for x in t.rows + fresh
+                        if str(x.get("_key", "")) == k
+                    )
+                    tgt.update({kk: vv for kk, vv in r.items() if kk != "_key"})
+                    if not is_sis:
+                        accepted += 1
+                    dirty = True
+                    continue
+                t.keys.append(k)
             r["_id"] = t.next_id
             t.next_id += 1
-            if t.keyed:
-                t.keys.append(str(r.get("_key", "")))
-        t.rows.extend(rows)
-        df = self._frame(t, rows)
-        self.ctx.load(table, df, key_col="_id")
+            fresh.append(r)
+            if not is_sis:
+                accepted += 1
+        t.rows.extend(fresh)
+        if dirty:
+            t.loaded = True
+            self._resync(table)
+        elif fresh or not t.loaded:
+            # an empty first load still materializes the (empty) frame so
+            # later selects can read the table
+            df = self._frame(t, fresh)
+            self.ctx.load(table, df, key_col="_id")
         t.loaded = True
-        return len(rows)
+        return accepted
 
     def _frame(self, t: _Table, rows: list) -> DataFrame:
         """Build the parquet-shaped frame for ``rows`` of table ``t``
@@ -983,9 +1142,12 @@ class ConformanceRunner:
     def _resync(self, table: str) -> None:
         """Rewrite a table's parquet frame from the row mirror (after a
         mutation that edits rows in place, e.g. reference clearing)."""
+        import os
+
         t = self.tables[table]
-        self.ctx.truncate(table)
-        if t.rows:
+        if os.path.isdir(self.ctx._path(table)):
+            self.ctx.truncate(table)
+        if t.rows or not os.path.isdir(self.ctx._path(table)):
             self.ctx.load(table, self._frame(t, t.rows), key_col="_id")
 
     def _clear_refs(self, rt: str, deleted_keys: set) -> None:
@@ -1251,6 +1413,14 @@ class ConformanceRunner:
             args["text_cols"] = strings or key_scan
             args["tokenizer"] = "bigram"
             args["scan_columns"] = strings + key_scan
+        # *N/*S in --filter must error on columns with no index (they are
+        # index-only searches); scan_columns can't serve as that guard —
+        # _key rides there for trie colop semantics even when indexed
+        args["noindex_cols"] = [
+            n for n, _ in t.columns if n not in t.indexed_cols
+        ] + (
+            ["_key"] if t.keyed and "_key" not in t.indexed_cols else []
+        )
         # drilldown parameters: plain (--drilldown keys + shared
         # drilldown_* params) and labeled (--drilldown[label].param)
         dd_plain = kw.pop("drilldown", None)
@@ -1312,6 +1482,22 @@ class ConformanceRunner:
                 # its key text (match/prefix ops on reference columns)
                 f = re.sub(rf"\b{re.escape(col)}\b(?!\s*\.)", f"{col}._key", f)
             args["filter"] = f
+            # table-record literals (Keywords["groonga"].label —
+            # filter/record/key/*): resolve sibling tables by name, never
+            # shadowing a column of the selected table
+            cur_cols = set(t.types) | {"_id", "_key"}
+
+            def _resolver(name, _cur=cur_cols):
+                if name in _cur:
+                    return None
+                rt = self.tables.get(name)
+                if rt is None or not rt.keyed or rt.lex_tokenizer is not None:
+                    return None
+                if not rt.loaded:
+                    self._ingest(name, [])
+                return (self.ctx._read(name), "_key", bool(rt.key_normalize))
+
+            args["table_resolver"] = _resolver
 
         rank = None if explicit_sort else self._natural_rank(t, args)
         if rank is None and not explicit_sort and query is not None:
@@ -2067,7 +2253,10 @@ class ConformanceRunner:
                 if self._kw(argv)[1].get("table") not in self.tables:
                     out[raw] = _Resp("ERROR")  # table_create failed → rc<0
                 else:
-                    out[raw] = _Resp(self.load(argv, payload))
+                    try:
+                        out[raw] = _Resp(self.load(argv, payload))
+                    except ScriptSyntaxError:
+                        out[raw] = _Resp("ERROR")
             elif name == "select":
                 try:
                     out[raw] = self.select(argv)

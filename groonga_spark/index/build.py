@@ -94,6 +94,11 @@ class IndexStats:
     sections: dict[int, str]  # sid -> column name
 
     def avgdl(self, sid: int) -> float:
+        # a section whose every value tokenized to nothing (all-empty
+        # column) has no token total; floor at 1 so BM25's dl/avgdl term
+        # stays finite (no posting exists to score anyway)
+        if self.n_docs <= 0 or self.section_tokens.get(sid, 0) <= 0:
+            return 1.0
         return float(self.section_tokens[sid]) / float(self.n_docs)
 
 

@@ -40,7 +40,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, IntegerType
 
 from .. import scoring
 from ..index.build import InvertedIndex
@@ -1257,6 +1257,38 @@ class SearchEngine:
 
         n_tok = len(a.tokens)
 
+        if getattr(self, "_cur_scorer", None) == "tf":
+            # reference default scorer: _score = number of greedy NEAR
+            # windows (noccur, ii.c:6531-6539) × section weight — not the
+            # constituent terms' tf sum
+            @F.pandas_udf(IntegerType())
+            def near_n(*cols: pd.Series) -> pd.Series:
+                out = []
+                for row in zip(*cols):
+                    lists = [
+                        sorted(x - offsets[i] for x in row[i])
+                        for i in range(n_tok)
+                    ]
+                    out.append(_near_count(lists, max_iv))
+                return pd.Series(out)
+
+            w_col = None
+            for sid, w in (self._cur_weights or {1: 1.0}).items():
+                cond = F.col("sid") == sid
+                w_col = (
+                    F.when(cond, F.lit(w)) if w_col is None
+                    else w_col.when(cond, F.lit(w))
+                )
+            return (
+                base.withColumn(
+                    "_n", near_n(*[F.col(f"_p{i}") for i in range(n_tok)])
+                )
+                .filter(F.col("_n") > 0)
+                .withColumn("score", F.col("_n") * w_col)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+
         @F.pandas_udf(BooleanType())
         def near_ok(*cols: pd.Series) -> pd.Series:
             out = []
@@ -1487,6 +1519,42 @@ def _required_literal(core: str) -> tuple[str, tuple[int, int]] | None:
     if best is None or len(best[2]) < 2:
         return None
     return best[2], (best[0], best[0] + len(best[2]))
+
+
+def _near_count(lists: "list[list[int]]", max_iv: int) -> int:
+    """Number of NEAR windows under the reference's greedy scan
+    (grn_ii_select NEAR branch, ii.c:6471-6497): while every term has a
+    position, if max-min <= max_interval count one occurrence and advance
+    the min-term cursor past max; otherwise advance it to max-interval.
+    The reference's default scorer adds (noccur + tscore) per record
+    (ii.c:6531-6539) — with zero term weights the NEAR _score IS this
+    count (suite/select/filter/near/*: one window → _score 1)."""
+    import heapq
+
+    lists = [sorted(l) for l in lists]
+    idx = [0] * len(lists)
+    if any(not l for l in lists):
+        return 0
+    heap = [(l[0], i) for i, l in enumerate(lists)]
+    cur_max = max(v for v, _ in heap)
+    heapq.heapify(heap)
+    noccur = 0
+    while True:
+        mn, i = heap[0]
+        if cur_max - mn <= max_iv:
+            noccur += 1
+            target = cur_max + 1
+        else:
+            target = cur_max - max_iv
+        l = lists[i]
+        j = idx[i] + 1
+        while j < len(l) and l[j] < target:
+            j += 1
+        if j >= len(l):
+            return noccur
+        idx[i] = j
+        heapq.heapreplace(heap, (l[j], i))
+        cur_max = max(cur_max, l[j])
 
 
 def _near_window(lists: list[list[int]], max_iv: int) -> bool:

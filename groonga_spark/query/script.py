@@ -46,8 +46,9 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         @\^ | @\$ | @~ | @ |
+        \*[NST]\b |
         && | &! | \|\| | == | != | <= | >= | << | >>> | >> |
-        [()!<>,+\-*/%&|^~\[\]] |
+        [()!<>,+\-*/%&|^~\[\].] |
         "(?:[^"\\]|\\.)*" | '(?:[^'\\]|\\.)*' |
         \d+\.\d+ | \d+ |
         [A-Za-z_][A-Za-z0-9_.]*
@@ -192,12 +193,16 @@ class _PlanCtx:
     join_column); the wrapper left-joins the deduplicated id frames and the
     boolean flags substitute into the compiled expression."""
 
-    def __init__(self, df, id_col, engine, refs, scorer=None):
+    def __init__(self, df, id_col, engine, refs, scorer=None, scan_cols=None):
         self.df = df
         self.id_col = id_col
         self.engine = engine
         self.refs = refs or {}
         self.scorer = scorer  # scorer for query() selector atoms
+        # columns with NO backing index: *N/*S on them must error, as the
+        # reference does (near/similar need an inverted index —
+        # suite/select/filter/near/no_index expects rc<0)
+        self.scan_cols = set(scan_cols or ())
         self.atoms: list[tuple[str, "DataFrame", object]] = []
 
 
@@ -222,6 +227,9 @@ class _P:
         "@^": 7,
         "@$": 7,
         "@~": 7,
+        "*N": 7,
+        "*S": 7,
+        "*T": 7,
         "<<": 8,
         ">>": 8,
         ">>>": 8,
@@ -238,6 +246,7 @@ class _P:
         plan_ctx: "_PlanCtx | None" = None,
         scored: bool = False,
         array_cols: "dict[str, bool] | None" = None,
+        tables=None,
     ):
         self.t = toks
         self.i = 0
@@ -246,6 +255,10 @@ class _P:
         self.scored = scored
         # array column name → True when an index backs exact element match
         self.array_cols = array_cols or {}
+        # table-record literal resolver (grn_expr GET_MEMBER on a table,
+        # suite/select/filter/record/key/*: Keywords["groonga"].label):
+        # callable name → (df, key_col, key_normalized) or None
+        self.tables = tables
 
     def peek(self):
         return self.t[self.i] if self.i < len(self.t) else None
@@ -275,7 +288,18 @@ class _P:
         return _c(c), None
 
     def expr(self, min_prec: int) -> Column:
+        start = self.i
         left = self.unary()
+        # the *N/*S/*T match operators need the left operand's COLUMN NAME
+        # (they select via the index, not a Column expression) — available
+        # only when the left side was exactly one identifier token
+        left_name = (
+            self.t[start]
+            if self.i == start + 1
+            and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", self.t[start])
+            and self.t[start] not in ("true", "false", "null")
+            else None
+        )
         while True:
             op = self.peek()
             prec = self._BIN.get(op or "")
@@ -283,7 +307,11 @@ class _P:
                 return left
             self.next()
             right = self.expr(prec + 1)
-            left = self._apply(op, left, right)
+            if op in ("*N", "*S", "*T"):
+                left = self._match_op(op, left, left_name, right)
+            else:
+                left = self._apply(op, left, right)
+            left_name = None
 
     def unary(self) -> Column:
         tok = self.peek()
@@ -347,10 +375,48 @@ class _P:
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", tok):
             if self.peek() == "(":
                 return self.call(tok)
+            if self.peek() == "[" and self.tables is not None:
+                spec = self.tables(tok)
+                if spec is not None:
+                    return self._record_literal(tok, spec)
             if tok in self.array_cols:
                 return _Arr(F.col(tok), self.array_cols[tok])
             return F.col(tok)
         raise ScriptSyntaxError(f"unexpected token {tok!r}")
+
+    def _record_literal(self, table: str, spec):
+        """``Table["key"].col`` — a record looked up by key, then a column
+        accessor (grn_expr GET_MEMBER on a table variable;
+        suite/select/filter/record/key/{literal,operator}).  The subscript
+        must fold to a literal; the single-record value is resolved
+        driver-side (one bounded lookup) and substitutes as a literal."""
+        self.next()  # [
+        key = self.expr(0)
+        if self.next() != "]":
+            raise ScriptSyntaxError("expected ] after record key")
+        if not isinstance(key, (str, int, float)) or isinstance(key, bool):
+            raise ScriptSyntaxError("record subscript must be a literal")
+        if self.next() != ".":
+            raise ScriptSyntaxError("record literal needs a .column accessor")
+        field = self.next()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", field):
+            raise ScriptSyntaxError(f"bad record accessor {field!r}")
+        df, key_col, key_norm = spec
+        if isinstance(key, str) and key_norm:
+            # normalized key table: compare normalized-to-normalized
+            # (lower() approximates NormalizerAuto on the stored side —
+            # exact for ASCII keys)
+            from ..normalize import normalize as _norm
+
+            row = df.filter(F.lower(F.col(key_col)) == _norm(key))
+        else:
+            row = df.filter(F.col(key_col) == key)
+        got = row.select(F.col(field)).limit(1).collect()
+        if not got:
+            # key absent: the accessor reads a nil record → null
+            return F.lit(None)
+        val = got[0][0]
+        return F.lit(None) if val is None else val
 
     def call(self, name: str) -> Column:
         if name in ("sub_filter", "query"):
@@ -378,6 +444,70 @@ class _P:
             return fn(*self._unlit(args, name))
         self.next()  # )
         return fn()
+
+    def _match_op(self, op: str, left, left_name, right):
+        """Script-syntax match operators (grn_ecmascript.lemon MATCH ops;
+        suite/select/filter/{near,similar,term_extract}):
+
+        * ``col *N "w1 w2"`` — NEAR via the inverted index (plan-level:
+          the engine's near search, same as query-syntax ``*N"..."``).
+        * ``col *S "text"``  — SIMILAR via the index with the reference's
+          own scorer (w1·(tf+weight), grn_ii_similar_search ii.c:5836).
+        * ``col *T "text"``  — TERM_EXTRACT: records whose value occurs in
+          the text (grn_pat_scan pat.c:1553) — a pure Column predicate,
+          no index needed.  Longest-match non-overlap is NOT enforced
+          (contains-semantics); identical for non-overlapping vocabularies.
+        """
+        if not isinstance(right, str):
+            raise ScriptSyntaxError(f"{op} needs a string literal")
+        if op == "*T":
+            from ..normalize import normalize as _norm
+
+            text = _norm(right)
+            # lower() approximates NormalizerAuto on the column side
+            # (exact for ASCII); empty values never match (''-contains
+            # is vacuously true)
+            cond = (F.length(_c(left)) > 0) & F.lit(text).contains(
+                F.lower(_c(left))
+            )
+            return _Scored(cond, F.lit(1.0)) if self.scored else cond
+        ctx = self.plan_ctx
+        if ctx is None:
+            raise ScriptSyntaxError(
+                f"{op} is a plan-level selector — compile with "
+                "parse_filter_plan(src, df, ...)"
+            )
+        if left_name is None:
+            raise ScriptSyntaxError(f"{op} left side must be a column")
+        if ctx.engine is None or left_name in ctx.scan_cols:
+            # no index over this column → the reference errors
+            # (suite/select/filter/near/no_index)
+            raise ScriptSyntaxError(f"{op} needs an index on {left_name!r}")
+        flag = f"__m{len(ctx.atoms)}"
+        score_alias = f"__s{len(ctx.atoms)}"
+        if not right.split():
+            # *S "" / *N "" → zero hits, not an error
+            # (suite/select/filter/similar/empty_string)
+            ids = ctx.df.sparkSession.createDataFrame(
+                [], f"`{ctx.id_col}` long, `{score_alias}` double"
+            )
+        else:
+            # route through the query-syntax pragma of the same operator —
+            # one engine path for both syntaxes (expr.c:5592-5639)
+            esc = right.replace("\\", "\\\\").replace('"', '\\"')
+            ctx.engine.select_with_count(
+                f'{op}"{esc}"', left_name, k=1, need_full=True,
+                count_hits=False, scorer=ctx.scorer or "bm25",
+            )
+            ids = ctx.engine.last_scored.select(
+                F.col("doc_id").alias(ctx.id_col),
+                F.col("score").alias(score_alias),
+            ).distinct()
+        ctx.atoms.append((flag, ids, ctx.id_col))
+        cond = F.coalesce(F.col(flag), F.lit(False))
+        if self.scored:
+            return _Scored(cond, F.coalesce(F.col(score_alias), F.lit(0.0)))
+        return cond
 
     def _selector_call(self, name: str) -> Column:
         """``sub_filter(ref_col, "expr")`` (func_sub_filter, proc.c:5269)
@@ -514,6 +644,17 @@ class _P:
                 }[op]()
             return _Scored(cond, F.lit(1.0)) if scored else cond
         if op == "+":
+            # constant folding: literal + literal stays a python value so
+            # table-record subscripts (Keywords["groo" + "nga"]) and other
+            # literal-consuming sites see one literal
+            # (suite/select/filter/record/key/operator)
+            if isinstance(a, str) and isinstance(b, str):
+                return a + b
+            if (
+                isinstance(a, (int, float)) and isinstance(b, (int, float))
+                and not isinstance(a, bool) and not isinstance(b, bool)
+            ):
+                return a + b
             return _c(a) + _c(b)
         if op == "-":
             return _c(a) - _c(b)
@@ -586,20 +727,28 @@ class _P:
         raise ScriptSyntaxError(f"unhandled operator {op}")
 
 
-def parse_filter(src: str, array_cols: "dict[str, bool] | None" = None) -> Column:
+def parse_filter(
+    src: str,
+    array_cols: "dict[str, bool] | None" = None,
+    tables=None,
+) -> Column:
     """Compile a ``--filter`` script expression to a Spark Column."""
-    return _P(_tokenize(src), array_cols=array_cols).parse()
+    return _P(_tokenize(src), array_cols=array_cols, tables=tables).parse()
 
 
 def parse_filter_scored(
-    src: str, array_cols: "dict[str, bool] | None" = None
+    src: str,
+    array_cols: "dict[str, bool] | None" = None,
+    tables=None,
 ) -> "tuple[Column, Column | None]":
     """Compile a ``--filter`` expression to ``(condition, score)`` —
     the score is the reference's result-set accumulation (each satisfied
     match/comparison atom contributes 1; OR sums matched branches, AND
     sums both sides, AND_NOT keeps the left side).  ``None`` score means
     the expression is a bare value with no atoms (truthiness semantics)."""
-    return _P(_tokenize(src), scored=True, array_cols=array_cols).parse_scored()
+    return _P(
+        _tokenize(src), scored=True, array_cols=array_cols, tables=tables
+    ).parse_scored()
 
 
 def parse_filter_plan(
@@ -631,20 +780,26 @@ def parse_filter_plan_scored(
     engine=None,
     refs: "dict | None" = None,
     scorer=None,
+    scan_cols=None,
+    tables=None,
 ):
     """Like :func:`parse_filter_plan` but in scored mode: the returned
     frame carries a ``__fscore`` column with the result-set score
     accumulation (query() selectors contribute their engine score,
     every other satisfied atom contributes 1)."""
     out, score = _plan_apply(
-        src, df, id_col, engine, refs, scored=True, scorer=scorer
+        src, df, id_col, engine, refs, scored=True, scorer=scorer,
+        scan_cols=scan_cols, tables=tables,
     )
     return out
 
 
-def _plan_apply(src, df, id_col, engine, refs, scored, scorer=None):
-    ctx = _PlanCtx(df, id_col, engine, refs, scorer=scorer)
-    p = _P(_tokenize(src), plan_ctx=ctx, scored=scored)
+def _plan_apply(
+    src, df, id_col, engine, refs, scored, scorer=None,
+    scan_cols=None, tables=None,
+):
+    ctx = _PlanCtx(df, id_col, engine, refs, scorer=scorer, scan_cols=scan_cols)
+    p = _P(_tokenize(src), plan_ctx=ctx, scored=scored, tables=tables)
     if scored:
         cond, score = p.parse_scored()
     else:
