@@ -1324,11 +1324,18 @@ WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
 AND term <> 'spark'
 GROUP BY term ORDER BY n DESC, term LIMIT 15"""
 
+    # scorer_tf_idf is RECORD-level (reference lib/scorers.c:26-52):
+    # idf = ln(N / estimate) with estimate = grn_ii_estimate_size ≈ df+2,
+    # floored at 1 per record (degenerate when estimate >= N)
     o["scorer_tfidf_q"] = f"""{_CTE}
 SELECT doc_id,
-round(greatest(tf * ln(stats.n::DOUBLE / dft.df::DOUBLE), 1.0), 4) AS score
+round(CASE WHEN dft.df + 2 >= stats.n THEN 1.0
+      ELSE greatest(tf * ln(stats.n::DOUBLE / (dft.df + 2)::DOUBLE), 1.0)
+      END, 4) AS score
 FROM tf JOIN dft USING (term) CROSS JOIN stats WHERE term = 'spark'
-ORDER BY greatest(tf * ln(stats.n::DOUBLE / dft.df::DOUBLE), 1.0) DESC, doc_id
+ORDER BY CASE WHEN dft.df + 2 >= stats.n THEN 1.0
+      ELSE greatest(tf * ln(stats.n::DOUBLE / (dft.df + 2)::DOUBLE), 1.0)
+      END DESC, doc_id
 LIMIT 10"""
 
     o["scorer_tf_at_most_q"] = f"""{_CTE}

@@ -1499,6 +1499,28 @@ class ConformanceRunner:
 
             args["table_resolver"] = _resolver
 
+        if not explicit_sort and query is None and args.get("filter"):
+            # an index-accelerated RANGE filter outputs in index-cursor
+            # order — ascending column value (select/index/range/*/time:
+            # the pat/dat lexicon cursor walks keys in order); ties keep
+            # posting (id) order
+            m = re.fullmatch(
+                r'\s*([A-Za-z_][\w.]*)\s*(?:>=|<=|>|<)\s*'
+                r'("(?:[^"\\]|\\.)*"|-?[\d.]+)\s*',
+                args["filter"],
+            )
+            if m and m.group(1) in t.indexed_cols:
+                lex = next(
+                    (
+                        self.tables[lx]
+                        for lx, _n, _f, src, srcs in self.index_defs
+                        if src == table and m.group(1) in srcs.split(",")
+                        and lx in self.tables
+                    ),
+                    None,
+                )
+                if lex is not None and (lex.pat or lex.dat):
+                    args["sortby"] = f"{m.group(1)},_id"
         rank = None if explicit_sort else self._natural_rank(t, args)
         if rank is None and not explicit_sort and query is not None:
             rank = self._or_branch_rank(table, t, args)
@@ -2442,13 +2464,27 @@ class ConformanceRunner:
             return _Resp("ERROR")
         normalizer = self._poskw(pos, kw, 2, "normalizer")
         flags = self._poskw(pos, kw, 3, "flags", "NONE") or "NONE"
-        mode = (self._poskw(pos, kw, 4, "mode", "ADD") or "ADD").upper()
+        mode = self._poskw(pos, kw, 4, "mode", "ADD") or "ADD"
         tfs = kw.get("token_filters", "")
         if tokenizer in ("TokenMecab", "TokenKytea"):
             raise Unsupported(f"tokenizer {tokenizer}")
         key = TOKENIZER_MAP.get(tokenizer)
         if key is None:
             return _Resp("ERROR")  # nonexistent tokenizer name
+        # argument validation (proc.c proc_tokenize: rc -22 on unknown
+        # mode / flag / normalizer — tokenize/invalid/*)
+        if mode not in ("ADD", "GET"):
+            return _Resp("ERROR")
+        if any(
+            f.strip() not in ("NONE", "ENABLE_TOKENIZED_DELIMITER", "")
+            for f in flags.replace("|", " ").split()
+        ):
+            return _Resp("ERROR")
+        if normalizer and normalizer not in ("NONE", "NormalizerAuto"):
+            if normalizer == "NormalizerNFKC51":
+                raise Unsupported("normalizer NormalizerNFKC51")
+            # a tokenizer name or an unregistered Normalizer* both error
+            return _Resp("ERROR")
         n = {"unigram": 1, "trigram": 3}.get(key, 2)
         is_ngram = key not in ("delimit", "delimit_null", "code")
         toks: list[tuple[str, int]]
@@ -2472,27 +2508,49 @@ class ConformanceRunner:
                 toks = [(string[i : i + n], i) for i in range(len(string))]
                 if mode == "GET" and len(toks) > 1:
                     toks = [t for t in toks if len(t[0]) == n] or toks[:1]
+                if key == "regexp" and mode == "ADD":
+                    # TokenRegexp brackets the content with the begin/end
+                    # marks even without a normalizer (tokenizers/regexp/
+                    # add/*)
+                    from .tokenize import REGEXP_BEGIN, REGEXP_END
+
+                    toks = (
+                        [(REGEXP_BEGIN, 0)]
+                        + [(t, p + 1) for t, p in toks]
+                        + [(REGEXP_END, (toks[-1][1] + 2) if toks else 1)]
+                    )
         else:
             from .tokenize import tokenize_batch
 
             terms, poss = tokenize_batch([string], key)[0]
             toks = list(zip(terms, poss))
             if mode == "GET" and is_ngram:
-                # GET cursor skips a short gram that only re-covers the
-                # tail of the previous full gram (token_cursor.c overlap
-                # skip — mode_get fixture)
+                # GET cursor skips a short gram the previous FULL gram
+                # already covers — both positions and characters
+                # (token_cursor.c overlap skip; mode_get and
+                # tokenizers/trigram/force_prefix/*/matured)
                 kept: list[tuple[str, int]] = []
                 for term, p in toks:
-                    if (
-                        len(term) < n
-                        and kept
-                        and len(kept[-1][0]) == n
-                        and kept[-1][1] == p - 1
-                        and kept[-1][0][1:] == term[: n - 1]
-                    ):
-                        continue
+                    if len(term) < n and kept:
+                        pp, pt = kept[-1][1], kept[-1][0]
+                        if (
+                            p + len(term) <= pp + len(pt)
+                            and pt[p - pp : p - pp + len(term)] == term
+                        ):
+                            continue
                     kept.append((term, p))
                 toks = kept
+        too_long = [t for t, _ in toks if len(t.encode("utf-8")) > 4096]
+        if too_long:
+            # a token beyond GRN_TABLE_MAX_KEY_SIZE is dropped with a
+            # warning and does not consume a position
+            # (tokenizers/bigram/long_token/*)
+            toks = [
+                (t, i)
+                for i, (t, _p) in enumerate(
+                    x for x in toks if len(x[0].encode("utf-8")) <= 4096
+                )
+            ]
         terms = [t for t, _ in toks]
         if "TokenFilterStem" in tfs:
             from .stem import stem_terms

@@ -287,7 +287,12 @@ class SearchEngine:
         for col, w in qp.parse_match_columns(match_columns):
             if col not in col_to_sid:
                 raise ValueError(f"{col} is not an indexed section")
-            weights[col_to_sid[col]] = w
+            # the same column listed twice (e.g. via TWO index columns over
+            # one source — load/index/online/key_twice "Index1.users_key *
+            # 10 || Index2.users_key * 5") runs one search per entry and
+            # the result sets OR-merge: scores ADD
+            sid = col_to_sid[col]
+            weights[sid] = weights.get(sid, 0.0) + w
         return weights
 
     def select(
@@ -412,6 +417,15 @@ class SearchEngine:
             weights = self._resolve_weights(match_columns)
         # phrase/NEAR scoring under the reference's tf scorer needs the
         # occurrence counts + section weights (see _eval_phrase)
+        #
+        # scorer_tf_idf (scorers.c:26-52) is RECORD-level: tf is the plain
+        # occurrence count and one idf multiplies the whole atom —
+        # idf = log(N / (n_candidates/n_tokens)) over the atom's token
+        # infos, floored at 1 per record.  Evaluate under "tf" and let
+        # _eval_atom / _prefix_expansion_frame apply the scale.
+        self._tfidf_mode = scorer == "tf_idf"
+        if self._tfidf_mode:
+            scorer = "tf"
         self._cur_weights, self._cur_scorer = weights, scorer
 
         # resolve prefix expansions + per-term df on the driver (tiny)
@@ -763,7 +777,12 @@ class SearchEngine:
         if not terms:
             return None
         term_doc, _ = self._scored_term_doc(terms, {}, weights, False, scorer)
-        return term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        out = term_doc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        if getattr(self, "_tfidf_mode", False):
+            # the whole expansion is ONE token_info (ntoken=1,
+            # size=Σ estimates) — scorer_tf_idf record semantics
+            out = self._tfidf_scale(out, [terms])
+        return out
 
     @staticmethod
     def _or_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -940,7 +959,51 @@ class SearchEngine:
             return pos.join(neg, "doc_id", "left_anti")
         raise TypeError(node)
 
+    def _tfidf_idf(self, tis: "list[list[str]]") -> "float | None":
+        """Record-level idf of scorer_tf_idf (scorers.c:26-52).  Each
+        entry of ``tis`` is one token_info's term group (a prefix
+        expansion is ONE ti); n_candidates sums grn_ii_estimate_size over
+        the groups (ii.c:4470: an embedded single posting estimates 1,
+        otherwise df + the 2 array slots), n_tokens counts the groups.
+        None → degenerate (estimated matches ≥ corpus) → min score 1."""
+        import math
+
+        terms = sorted({t for g in tis for t in g})
+        if not terms or not tis:
+            return None
+        rows = (
+            self.index.dictionary.filter(F.col("term").isin(terms))
+            .select("term", "df", "cf")
+            .collect()
+        )
+        es = {
+            r["term"]: 1 if (int(r["df"]) == 1 and int(r["cf"]) == 1)
+            else int(r["df"]) + 2
+            for r in rows
+        }
+        n_cand = sum(sum(es.get(t, 0) for t in g) for g in tis)
+        n_est = n_cand / len(tis)
+        n_all = self.index.stats.n_docs
+        if n_cand <= 0 or n_est >= n_all:
+            return None
+        return math.log(n_all / n_est)
+
+    def _tfidf_scale(self, out: DataFrame, tis: "list[list[str]]") -> DataFrame:
+        idf = self._tfidf_idf(tis)
+        score = (
+            F.lit(1.0) if idf is None
+            else F.greatest(F.col("score") * F.lit(idf), F.lit(1.0))
+        )
+        return out.withColumn("score", score)
+
     def _eval_atom(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
+        if getattr(self, "_tfidf_mode", False):
+            out = self._eval_atom_tf(a, term_doc, pos_rows)
+            tis = [a.expansions] if a.kind == "prefix" else [[t] for t in a.tokens]
+            return self._tfidf_scale(out, tis)
+        return self._eval_atom_tf(a, term_doc, pos_rows)
+
+    def _eval_atom_tf(self, a: _Atom, term_doc, pos_rows) -> DataFrame:
         if a.kind == "term":
             return term_doc.filter(F.col("term") == a.tokens[0]).select("doc_id", "score")
         if a.kind == "prefix":
@@ -1121,13 +1184,18 @@ class SearchEngine:
                 qtf[t] = qtf.get(t, 0) + 1
             rows = (
                 idx.dictionary.filter(F.col("term").isin(sorted(qtf)))
-                .select("term", "cf")
+                .select("term", "df", "cf")
                 .collect()
             )
+            # grn_ii_estimate_size (ii.c:4470): an embedded single posting
+            # (df 1, tf 1) estimates 1; otherwise df postings + 2 slots
             w1 = {
-                r["term"]: qtf[r["term"]] + 1048576 // int(r["cf"])
+                r["term"]: qtf[r["term"]] + 1048576 // (
+                    1 if (int(r["df"]) == 1 and int(r["cf"]) == 1)
+                    else int(r["df"]) + 2
+                )
                 for r in rows
-                if int(r["cf"]) > 0
+                if int(r["df"]) > 0
             }
             if not w1:
                 return self._empty_frame()

@@ -76,9 +76,11 @@ ALL_TOKENIZERS = ("delimit", "delimit_null", "code", "regexp", *_NGRAM_VARIANTS)
 
 # TokenRegexp sentinels (tokenizers.c:489-730): a begin mark before the
 # first content token and an end mark after the last, so \A / \z anchors
-# become ordinary phrase tokens over the regexp index
-REGEXP_BEGIN = "\x02"
-REGEXP_END = "\x03"
+# become ordinary phrase tokens over the regexp index.  The values are the
+# reference's own marks (grn_tokenizer BEGIN/END_MARK_UTF8, U+FFEF/U+FFF0)
+# so tokenize-command output and lexicon dumps agree byte-for-byte.
+REGEXP_BEGIN = "￯"
+REGEXP_END = "￰"
 
 
 def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[list[str], list[int]]]:
