@@ -179,6 +179,12 @@ class _Table:
     col_defs: list = field(default_factory=list)  # (name, flags_raw, gtype)
     key_normalize: bool = False  # KEY_NORMALIZE flag / --normalizer
     loaded: bool = False  # a parquet snapshot exists (possibly empty)
+    # grn object bookkeeping (table_list/column_list output)
+    oid: int = 0  # grn object id (user objects start at 256)
+    col_oids: dict = field(default_factory=dict)  # column name → object id
+    value_type: str | None = None  # table_create's 4th positional (range)
+    key_declared: bool = False  # an explicit key type was given
+    token_filters: list = field(default_factory=list)  # --token_filters
 
     @property
     def pat(self) -> bool:
@@ -318,26 +324,33 @@ def parse_expected(
     else:
         # indices of echoed command lines (shape-based)
         cmd_idx = [k for k, l in enumerate(lines) if _CMD_RE.match(l)]
-    res: dict[str, object] = {}
+    res: dict[tuple, object] = {}
+    seen: dict[str, int] = {}
     for j, k in enumerate(cmd_idx):
         end = cmd_idx[j + 1] if j + 1 < len(cmd_idx) else len(lines)
         # grntest log annotations (#|e| error echo, #>/#< traces) ride
         # between responses — drop them before JSON-parsing
         chunk = [l for l in lines[k + 1 : end] if not l.lstrip().startswith("#")]
+        cmd = lines[k].rstrip()
+        # key = (normalized command, occurrence #): the same line may run
+        # twice (dump before/after table_remove) with DIFFERENT responses
+        norm = re.sub(r"\s+", " ", cmd.strip())
+        occ = seen.get(norm, 0)
+        seen[norm] = occ + 1
         if not chunk:
             continue
-        cmd = lines[k].rstrip()
+        key = (norm, occ)
         if cmd.startswith("load"):
-            res[cmd] = json.loads(chunk[-1])
+            res[key] = json.loads(chunk[-1])
         else:
             # raw_decode: take the first JSON document; multi-line #|e|
             # error annotations continue past their '#' line and would
             # otherwise corrupt the parse.  A non-JSON response body
             # (``dump`` emits a command script) is kept as raw text.
             try:
-                res[cmd] = json.JSONDecoder().raw_decode("\n".join(chunk))[0]
+                res[key] = json.JSONDecoder().raw_decode("\n".join(chunk))[0]
             except ValueError:
-                res[cmd] = ("#text", "\n".join(chunk))
+                res[key] = ("#text", "\n".join(chunk))
     return res
 
 
@@ -780,6 +793,19 @@ class ConformanceRunner:
         # (lexicon, name, flags, src_table, sources) in creation order
         self.index_defs: list[tuple] = []
         self.plugins: list[str] = []  # plugin_register order (dump echoes)
+        # grn object ids: every created table/column takes the next id
+        # (user objects start at 256 — table_list/column_list output)
+        self._next_oid = 256
+
+    def _alloc_oid(self) -> int:
+        oid = self._next_oid
+        self._next_oid += 1
+        return oid
+
+    @staticmethod
+    def _obj_path(oid: int) -> str:
+        # db file path of a persistent object: db/db.%07x
+        return f"db/db.{oid:07x}"
 
     # -- command handlers --------------------------------------------------
     def _kw(self, argv: list[str]) -> tuple[list[str], dict[str, str]]:
@@ -829,10 +855,18 @@ class ConformanceRunner:
                 raise Unsupported(f"key type {pos[2]}")
             t.key_type = kt
             t.key_gtype = pos[2]
+            t.key_declared = True
         t.tokenizer_raw = kw.get("default_tokenizer")
         t.normalizer_raw = kw.get("normalizer") or (
             "NormalizerAuto" if "KEY_NORMALIZE" in flags else None
         )
+        if t.keyed and len(pos) > 3:
+            t.value_type = pos[3]
+        if kw.get("token_filters"):
+            t.token_filters = [
+                s.strip() for s in kw["token_filters"].split(",") if s.strip()
+            ]
+        t.oid = self._alloc_oid()
         self.tables[name] = t
         return True
 
@@ -850,6 +884,7 @@ class ConformanceRunner:
             lex.index_cols[name] = (src_table, sources[0])
             if src_table not in self.tables:
                 return False
+            lex.col_oids[name] = self._alloc_oid()
             self.index_defs.append(
                 (table, name, flags, src_table, ",".join(sources))
             )
@@ -871,9 +906,10 @@ class ConformanceRunner:
             t.untok_index = lex.lex_tokenizer is None
             t.lex_sis = lex.sis
             return
-        if self.tables[table].lex_tokenizer is not None:
-            return  # lexicon data columns are index internals
+        # lexicon data columns register like any other (they dump and
+        # column_list normally — dump/record/table_tokenizer_index_column)
         t = self.tables[table]
+        t.col_oids[name] = self._alloc_oid()
         gtype = pos[3] if len(pos) > 3 else "ShortText"
         t.col_defs.append((name, flags, gtype))
         typ = TYPE_MAP.get(gtype)
@@ -1051,6 +1087,42 @@ class ConformanceRunner:
                     key = _norm_key(key)
                 if str(key) not in {str(x.get("_key", "")) for x in ref.rows}:
                     self._ingest(ref_name, [{"_key": key}])
+        # indexing auto-registers source values as LEXICON keys: tokens of
+        # the lexicon's tokenizer, or the whole (normalized) value for an
+        # untokenized index (grn_ii update path —
+        # dump/record/table_tokenizer_index_column, delete/reference/*)
+        for lex, _iname, _fl, src, sources in self.index_defs:
+            if src != table or lex == table:
+                continue
+            lt = self.tables.get(lex)
+            if lt is None:
+                continue
+            known_keys = set(lt.keys)
+            reg: list[dict] = []
+            for r in rows:
+                for sc in sources.split(","):
+                    v = r.get(sc)
+                    for x in v if isinstance(v, list) else [v]:
+                        if x in (None, ""):
+                            continue
+                        if lt.lex_tokenizer:
+                            from .tokenize import tokenize as _tok_one
+
+                            toks = [
+                                tk for tk, _p in _tok_one(
+                                    str(x), lt.lex_tokenizer
+                                )
+                            ]
+                        elif lt.key_normalize and isinstance(x, str):
+                            toks = [_norm_key(x)]
+                        else:
+                            toks = [x]
+                        for tk in toks:
+                            if str(tk) not in known_keys:
+                                known_keys.add(str(tk))
+                                reg.append({"_key": tk})
+            if reg:
+                self._ingest(lex, reg)
         fresh, accepted, dirty = [], 0, False
         for r in rows:
             is_sis = r.pop("__sis__", False)
@@ -2263,8 +2335,14 @@ class ConformanceRunner:
         command yields a :class:`_Resp` whose body is compared verbatim
         against the reference's recorded response."""
         out = {}
+        occ: dict[str, int] = {}
         for raw, argv, payload in parse_script(script_text):
             name = argv[0]
+            # occurrence-indexed key: the same command line may repeat
+            # with different responses (dump before/after table_remove)
+            norm_cmd = re.sub(r"\s+", " ", raw.strip())
+            raw = (norm_cmd, occ.setdefault(norm_cmd, 0))
+            occ[norm_cmd] += 1
             if name == "table_create":
                 ok = self.table_create(argv)
                 out[raw] = _Resp(True if ok is not False else "ERROR")
@@ -2290,6 +2368,18 @@ class ConformanceRunner:
                     out[raw] = ("ERROR",)
             elif name == "tokenize":
                 out[raw] = self.tokenize_cmd(argv)
+            elif name == "table_tokenize":
+                out[raw] = self.table_tokenize_cmd(argv)
+            elif name == "table_list":
+                out[raw] = self.table_list_cmd(argv)
+            elif name == "column_list":
+                out[raw] = self.column_list_cmd(argv)
+            elif name == "table_remove":
+                out[raw] = self.table_remove_cmd(argv)
+            elif name == "column_remove":
+                out[raw] = self.column_remove_cmd(argv)
+            elif name == "column_rename":
+                out[raw] = self.column_rename_cmd(argv)
             elif name == "normalize":
                 out[raw] = self.normalize_cmd(argv)
             elif name == "truncate":
@@ -2570,6 +2660,297 @@ class ConformanceRunner:
             )
         return _Resp(out)
 
+    def table_tokenize_cmd(self, argv) -> _Resp:
+        """``table_tokenize`` (proc.c:6460): tokenize with a LEXICON
+        table's tokenizer/normalizer; GET outputs only tokens already in
+        the lexicon, ADD registers new tokens as keys."""
+        pos, kw = self._kw(argv)
+        table = self._poskw(pos, kw, 0, "table")
+        string = self._poskw(pos, kw, 1, "string")
+        flags = self._poskw(pos, kw, 2, "flags", "NONE") or "NONE"
+        # table_tokenize defaults to GET, unlike tokenize (proc.c:4264)
+        mode = self._poskw(pos, kw, 3, "mode", "GET") or "GET"
+        t = self.tables.get(table or "")
+        if t is None or string is None:
+            return _Resp("ERROR")
+        if t.tokenizer_raw is None:
+            raise Unsupported("table_tokenize without default_tokenizer")
+        resp = self.tokenize_cmd(
+            [
+                "tokenize",
+                t.tokenizer_raw,
+                string,
+                t.normalizer_raw or "NONE",
+                flags,
+                mode,
+            ]
+            + (
+                ["--token_filters", ",".join(t.token_filters)]
+                if t.token_filters
+                else []
+            )
+        )
+        if resp.body == "ERROR":
+            return resp
+        toks = resp.body
+        if mode == "GET":
+            known = set(t.keys)
+            toks = [d for d in toks if d["value"] in known]
+            if "TokenFilterStopWord" in t.token_filters:
+                # GET-only: lexicon records with is_stop_word=true drop
+                # (plugins/token_filters/stop_word.c)
+                stops = {
+                    str(r.get("_key", ""))
+                    for r in t.rows
+                    if r.get("is_stop_word")
+                }
+                toks = [d for d in toks if d["value"] not in stops]
+        else:
+            seen = set(t.keys)
+            new = []
+            for d in toks:
+                if d["value"] not in seen:
+                    seen.add(d["value"])
+                    new.append({"_key": d["value"]})
+            if new:
+                self._ingest(table, new)
+        return _Resp(toks)
+
+    # grn fixed-size value types (column_list "type" column: fix/var/index)
+    _FIX_TYPES = {
+        "Int8", "UInt8", "Int16", "UInt16", "Int32", "UInt32",
+        "Int64", "UInt64", "Float", "Time", "Bool",
+    }
+
+    def table_list_cmd(self, argv) -> _Resp:
+        """``table_list`` (proc.c:2296): every user table, name-ordered —
+        [id, name, path, flags|PERSISTENT, domain, range, tokenizer,
+        normalizer].  KEY_NORMALIZE surfaces as NormalizerAuto, not as a
+        flag (table_list/flags/key_normalize)."""
+        _pos, kw = self._kw(argv)
+        if kw.get("output_type", "json") != "json":
+            raise Unsupported(f"output_type {kw['output_type']}")
+        header = [
+            ["id", "UInt32"], ["name", "ShortText"], ["path", "ShortText"],
+            ["flags", "ShortText"], ["domain", "ShortText"],
+            ["range", "ShortText"], ["default_tokenizer", "ShortText"],
+            ["normalizer", "ShortText"],
+        ]
+        rows = []
+        for name in sorted(self.tables):
+            t = self.tables[name]
+            parts = [
+                f for f in (t.flags or "TABLE_HASH_KEY").split("|")
+                if f and f != "KEY_NORMALIZE"
+            ]
+            rows.append([
+                t.oid, name, self._obj_path(t.oid),
+                "|".join(parts) + "|PERSISTENT",
+                t.key_gtype if (t.keyed and t.key_declared) else None,
+                t.value_type,
+                t.tokenizer_raw,
+                t.normalizer_raw,
+            ])
+        return _Resp([header] + rows)
+
+    def column_list_cmd(self, argv) -> _Resp:
+        """``column_list`` (proc.c:2157): _key pseudo-column first (id =
+        the TABLE's id, empty path), then data/index columns name-ordered."""
+        pos, kw = self._kw(argv)
+        if kw.get("output_type", "json") != "json":
+            raise Unsupported(f"output_type {kw['output_type']}")
+        table = self._poskw(pos, kw, 0, "table")
+        t = self.tables.get(table or "")
+        if t is None:
+            return _Resp("ERROR")
+        header = [
+            ["id", "UInt32"], ["name", "ShortText"], ["path", "ShortText"],
+            ["type", "ShortText"], ["flags", "ShortText"],
+            ["domain", "ShortText"], ["range", "ShortText"],
+            ["source", "ShortText"],
+        ]
+        rows = []
+        if t.keyed:
+            rows.append([
+                t.oid, "_key", "", "", "COLUMN_SCALAR", table,
+                t.key_gtype, [],
+            ])
+        entries: list[tuple[str, list]] = []
+        for name, flags_raw, gtype in t.col_defs:
+            kind = "var"
+            if "COLUMN_VECTOR" not in flags_raw and (
+                gtype in self._FIX_TYPES or gtype in self.tables
+            ):
+                kind = "fix"
+            entries.append((name, [
+                t.col_oids.get(name, 0), name,
+                self._obj_path(t.col_oids.get(name, 0)), kind,
+                flags_raw + "|PERSISTENT", table, gtype, [],
+            ]))
+        for lex, name, flags_raw, src, sources in self.index_defs:
+            if lex != table:
+                continue
+            srcs = [
+                src if c == "_key" else f"{src}.{c}"
+                for c in sources.split(",")
+            ]
+            # canonical grn flag order (db.c grn_column_create_flags):
+            # COLUMN_INDEX|WITH_SECTION|WITH_WEIGHT|WITH_POSITION
+            given = set(flags_raw.split("|"))
+            canon = "|".join(
+                f for f in (
+                    "COLUMN_INDEX", "WITH_SECTION", "WITH_WEIGHT",
+                    "WITH_POSITION",
+                ) if f in given
+            )
+            entries.append((name, [
+                t.col_oids.get(name, 0), name,
+                self._obj_path(t.col_oids.get(name, 0)), "index",
+                canon + "|PERSISTENT", table, src, srcs,
+            ]))
+        rows += [r for _n, r in sorted(entries)]
+        return _Resp([header] + rows)
+
+    def table_remove_cmd(self, argv) -> _Resp:
+        """``table_remove`` (proc.c:1003 / grn_obj_remove): refuses while
+        another table references this one (as key type or via a reference
+        column); a SELF-reference does not block removal."""
+        pos, kw = self._kw(argv)
+        name = self._poskw(pos, kw, 0, "name")
+        if name not in self.tables:
+            return _Resp("ERROR")
+        for o, ot in self.tables.items():
+            if o == name:
+                continue
+            if ot.keyed and ot.key_gtype == name:
+                return _Resp("ERROR")
+            if name in ot.ref_cols.values() or name in ot.vector_ref_cols.values():
+                return _Resp("ERROR")
+        removed = [d for d in self.index_defs if d[0] == name]
+        self.index_defs = [
+            d for d in self.index_defs if d[0] != name and d[3] != name
+        ]
+        for _lex, _n, _f, src, sources in removed:
+            st = self.tables.get(src)
+            if st is not None and st is not self.tables[name]:
+                gone = set(sources.split(","))
+                still = {
+                    s
+                    for d in self.index_defs
+                    if d[3] == src
+                    for s in d[4].split(",")
+                }
+                st.indexed_cols = [
+                    c for c in st.indexed_cols if c not in (gone - still)
+                ]
+        del self.tables[name]
+        try:
+            self.ctx.table_remove(name)
+        except Exception:
+            pass  # never materialized — nothing on disk
+        return _Resp(True)
+
+    def column_remove_cmd(self, argv) -> _Resp:
+        pos, kw = self._kw(argv)
+        table = self._poskw(pos, kw, 0, "table")
+        name = self._poskw(pos, kw, 1, "name")
+        t = self.tables.get(table or "")
+        if t is None or not name or name == "_key":
+            return _Resp("ERROR")
+        if name in t.index_cols:
+            removed = [
+                d for d in self.index_defs if d[0] == table and d[1] == name
+            ]
+            self.index_defs = [
+                d
+                for d in self.index_defs
+                if not (d[0] == table and d[1] == name)
+            ]
+            for _lex, _n, _f, src, sources in removed:
+                st = self.tables.get(src)
+                if st is not None:
+                    still = {
+                        s
+                        for d in self.index_defs
+                        if d[3] == src
+                        for s in d[4].split(",")
+                    }
+                    st.indexed_cols = [
+                        c for c in st.indexed_cols
+                        if c in still or c not in sources.split(",")
+                    ]
+            del t.index_cols[name]
+            t.col_oids.pop(name, None)
+            return _Resp(True)
+        if name not in t.types and name not in t.col_oids:
+            return _Resp("ERROR")
+        # removing a data column cascades to index columns sourced from it
+        # (grn_obj_remove removes dependent indexes —
+        # column_remove/*/with_index)
+        for lex, iname, _f, src, sources in list(self.index_defs):
+            if src == table and name in sources.split(","):
+                lt = self.tables.get(lex)
+                if lt is not None:
+                    lt.index_cols.pop(iname, None)
+                    lt.col_oids.pop(iname, None)
+                self.index_defs.remove((lex, iname, _f, src, sources))
+        still = {
+            s
+            for d in self.index_defs
+            if d[3] == table
+            for s in d[4].split(",")
+        }
+        t.indexed_cols = [c for c in t.indexed_cols if c != name or c in still]
+        t.col_defs = [d for d in t.col_defs if d[0] != name]
+        t.columns = [c for c in t.columns if c[0] != name]
+        t.types.pop(name, None)
+        t.vector_cols.discard(name)
+        t.ref_cols.pop(name, None)
+        t.vector_ref_cols.pop(name, None)
+        t.col_oids.pop(name, None)
+        for r in t.rows:
+            r.pop(name, None)
+        if t.loaded:
+            self._resync(table)
+        return _Resp(True)
+
+    def column_rename_cmd(self, argv) -> _Resp:
+        pos, kw = self._kw(argv)
+        table = self._poskw(pos, kw, 0, "table")
+        name = self._poskw(pos, kw, 1, "name")
+        new = self._poskw(pos, kw, 2, "new_name")
+        t = self.tables.get(table or "")
+        if t is None or not name or not new:
+            return _Resp("ERROR")
+        if name in t.index_cols:
+            # renaming an INDEX column only touches the schema bookkeeping
+            t.index_cols[new] = t.index_cols.pop(name)
+            if name in t.col_oids:
+                t.col_oids[new] = t.col_oids.pop(name)
+            self.index_defs = [
+                (lex, new if (lex == table and n == name) else n, f, s, ss)
+                for lex, n, f, s, ss in self.index_defs
+            ]
+            return _Resp(True)
+        if name not in t.types:
+            return _Resp("ERROR")
+        t.col_defs = [
+            (new if n == name else n, f, g) for n, f, g in t.col_defs
+        ]
+        t.columns = [(new if n == name else n, ty) for n, ty in t.columns]
+        for d in (t.types, t.ref_cols, t.vector_ref_cols, t.col_oids):
+            if name in d:
+                d[new] = d.pop(name)
+        if name in t.vector_cols:
+            t.vector_cols.discard(name)
+            t.vector_cols.add(new)
+        for r in t.rows:
+            if name in r:
+                r[new] = r.pop(name)
+        if t.loaded:
+            self._resync(table)
+        return _Resp(True)
+
     def normalize_cmd(self, argv) -> _Resp:
         """``normalize`` (proc.c:6254): NormalizerAuto with the WITH_TYPES /
         WITH_CHECKS / REMOVE_BLANK / REMOVE_TOKENIZED_DELIMITER flags.
@@ -2626,6 +3007,18 @@ class ConformanceRunner:
         record ids restart at 1 (the table is emptied)."""
         pos, kw = self._kw(argv)
         table = kw.get("table") or (pos[0] if pos else None)
+        if table and "." in table:
+            # ``truncate Table.column`` resets that COLUMN's values to the
+            # type default, records stay (truncate/column/*)
+            table, col = table.split(".", 1)
+            t = self.tables.get(table)
+            if t is None or col not in t.types:
+                return _Resp("ERROR")
+            for r in t.rows:
+                r.pop(col, None)
+            if t.loaded:
+                self._resync(table)
+            return _Resp(True)
         t = self.tables.get(table)
         if t is None:
             return _Resp("ERROR")
@@ -2720,7 +3113,10 @@ class ConformanceRunner:
                 chunks.append("\n".join(ref_lines))
         if want["records"]:
             for name, t in self.tables.items():
-                if t.lex_tokenizer is not None or not t.rows:
+                # a tokenizer lexicon's records reconstruct from reindex —
+                # dump skips them UNLESS it carries data columns
+                # (dump/record/lexicon vs …/table_tokenizer_index_column)
+                if (t.lex_tokenizer is not None and not t.col_defs) or not t.rows:
                     continue
                 cols = (["_key"] if t.keyed else ["_id"]) + sorted(
                     cn for cn, _, _ in t.col_defs
@@ -2762,8 +3158,17 @@ class ConformanceRunner:
                     f"load --table {name}\n[\n" + ",\n".join(body) + "\n]"
                 )
         if want["indexes"]:
+            def canon(fl: str) -> str:
+                given = set(fl.split("|"))
+                return "|".join(
+                    f for f in (
+                        "COLUMN_INDEX", "WITH_SECTION", "WITH_WEIGHT",
+                        "WITH_POSITION",
+                    ) if f in given
+                )
+
             idx_lines = [
-                f"column_create {lx} {nm} {fl} {st} {src}"
+                f"column_create {lx} {nm} {canon(fl)} {st} {src}"
                 for lx, nm, fl, st, src in self.index_defs
             ]
             if idx_lines:
@@ -2846,12 +3251,11 @@ def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
     exp = parse_expected(
         expected_text, [raw for raw, _, _ in parse_script(test_text)]
     )
-    # the .expected echo preserves the original continuation spacing,
-    # parse_script collapses it — compare on normalized whitespace
-    norm = {re.sub(r"\s+", " ", k): v for k, v in exp.items()}
+    # both sides key on (whitespace-normalized command, occurrence #)
     results = []
-    for cmd, ours in got.items():
-        resp = norm.get(re.sub(r"\s+", " ", cmd))
+    for key, ours in got.items():
+        cmd = key[0]
+        resp = exp.get(key)
         if resp is None:
             # included-fixture / #@disable-logging commands run for state
             # but have no recorded response to verify against

@@ -14,6 +14,17 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    # Python workers inherit the driver's environment, not its sys.path:
+    # UDFs defined in this package pickle by reference and need the repo
+    # root importable on the worker regardless of the driver's cwd.  On a
+    # real cluster the same is done with spark-submit --py-files
+    # (submit_job.py); this covers local-mode drivers started elsewhere.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + prev if prev else "")
+        )
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
