@@ -185,6 +185,11 @@ class _Table:
     value_type: str | None = None  # table_create's 4th positional (range)
     key_declared: bool = False  # an explicit key type was given
     token_filters: list = field(default_factory=list)  # --token_filters
+    # COLUMN_VECTOR|WITH_WEIGHT columns: the row mirror stores the loaded
+    # {value: weight} object; the parquet frame carries the VALUES array
+    # (so every vector op works unchanged) and weights apply at scoring /
+    # output time (grn weight vector — select/match_columns/weight/*)
+    weight_vector_cols: set = field(default_factory=set)
 
     @property
     def pat(self) -> bool:
@@ -271,6 +276,9 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
     while i < len(lines):
         line = lines[i]
         i += 1
+        if line.strip().startswith("#@omit"):
+            # grntest skips #@omit-marked fixtures entirely
+            raise Unsupported(f"omitted fixture: {line.strip()[6:].strip()}")
         if not line.strip() or line.lstrip().startswith("#"):
             continue
         if not _CMD_RE.match(line):
@@ -847,10 +855,12 @@ class ConformanceRunner:
             t.lex_tokenizer = tok
         if t.keyed and len(pos) > 2:
             kt = TYPE_MAP.get(pos[2])
-            if kt is None and pos[2] in self.tables and self.tables[pos[2]].keyed:
+            if kt is None and pos[2] in self.tables:
                 # a table as key type: keys are that table's keys
-                # (dump/schema/table/*/reference_key)
-                kt = self.tables[pos[2]].key_type
+                # (dump/schema/table/*/reference_key); an UNKEYED (array)
+                # table is referenced by record id (UInt32)
+                rt = self.tables[pos[2]]
+                kt = rt.key_type if rt.keyed else "long"
             if kt is None:
                 raise Unsupported(f"key type {pos[2]}")
             t.key_type = kt
@@ -913,21 +923,25 @@ class ConformanceRunner:
         gtype = pos[3] if len(pos) > 3 else "ShortText"
         t.col_defs.append((name, flags, gtype))
         typ = TYPE_MAP.get(gtype)
-        if typ is None and gtype in self.tables and self.tables[gtype].keyed:
+        if typ is None and gtype in self.tables:
             # reference column: stored as a struct of the referenced
             # record's _key + scalar columns so that script dotted access
-            # (bookmark.title) compiles to Spark struct field access
+            # (bookmark.title) compiles to Spark struct field access.
+            # An UNKEYED (array) table is referenced by record id, so the
+            # struct leads with _id:long instead (table_remove/array/*).
+            ref = self.tables[gtype]
+            keyf = ("_key", ref.key_type) if ref.keyed else ("_id", "long")
             if "COLUMN_VECTOR" in flags:
                 # vector of references (tag column): an array of the
                 # referenced keys; match ops evaluate per element
-                ref = self.tables[gtype]
-                t.columns.append((name, f"array<{ref.key_type}>"))
+                t.columns.append((name, f"array<{keyf[1]}>"))
                 t.types[name] = gtype
                 t.vector_cols.add(name)
                 t.vector_ref_cols[name] = gtype
+                if "WITH_WEIGHT" in flags:
+                    t.weight_vector_cols.add(name)
                 return
-            ref = self.tables[gtype]
-            parts = [f"_key:{ref.key_type}"] + [
+            parts = [f"{keyf[0]}:{keyf[1]}"] + [
                 f"`{n}`:{ty}" for n, ty in ref.columns if n not in ref.ref_cols
             ]
             t.columns.append((name, f"struct<{','.join(parts)}>"))
@@ -940,6 +954,8 @@ class ConformanceRunner:
         if "COLUMN_VECTOR" in flags:
             t.vector_cols.add(name)
             t.columns.append((name, f"array<{typ}>"))
+            if "WITH_WEIGHT" in flags:
+                t.weight_vector_cols.add(name)
         else:
             t.columns.append((name, typ))
 
@@ -999,6 +1015,15 @@ class ConformanceRunner:
         """Struct value of a reference column pointing at ``key``: the
         referenced record's _key plus its scalar columns (dotted access
         ``refcol.attr`` then works as Spark struct field access)."""
+        if not ref.keyed:
+            # array-table reference: the stored value is the record id
+            rid = int(key) if str(key).strip() not in ("", "0") else 0
+            rec = next((r for r in ref.rows if r.get("_id") == rid), {})
+            out = {"_id": rid}
+            for n, _ty in ref.columns:
+                if n not in ref.ref_cols:
+                    out[n] = rec.get(n)
+            return out
         if ref.key_normalize and isinstance(key, str):
             key = _norm_key(key)
         if key == "" and ref.key_type != "string":
@@ -1023,9 +1048,29 @@ class ConformanceRunner:
                     r["_key"] = _norm_key(str(r["_key"]))
         time_cols = [n for n, ty in t.columns if t.types.get(n) == "Time"]
         for r in rows:
-            for n in t.vector_cols:
-                if isinstance(r.get(n), dict):
-                    raise Unsupported("weighted vector value")
+            for n in list(r):
+                if n in ("_key", "_id") or not isinstance(r[n], dict):
+                    continue
+                if n in t.weight_vector_cols:
+                    # weight vector: {value: weight}; a plain array loads
+                    # with weight 0 (load/vector/add/weight/*)
+                    r[n] = {str(k): int(v) for k, v in r[n].items()}
+                else:
+                    # "columns except weight vector column don't support
+                    # object value": the VALUE is dropped, the record
+                    # still loads (load/vector/add/weight/*/invalid/*)
+                    r.pop(n)
+            for n in t.weight_vector_cols:
+                if isinstance(r.get(n), list):
+                    # plain array → weight 0; dump round-trip form
+                    # [{value: weight}, …] merges back into one object
+                    d: dict = {}
+                    for x in r[n]:
+                        if isinstance(x, dict):
+                            d.update({str(k): int(v) for k, v in x.items()})
+                        else:
+                            d[str(x)] = 0
+                    r[n] = d
             for n in time_cols:
                 if isinstance(r.get(n), str):
                     r[n] = _parse_time(r[n])
@@ -1038,6 +1083,7 @@ class ConformanceRunner:
                     r.get(n) is not None
                     and n not in t.ref_cols
                     and n not in t.vector_ref_cols
+                    and n not in t.weight_vector_cols
                 ):
                     r[n] = _cast_load_value(r[n], ty)
             for v in r.values():
@@ -1064,13 +1110,19 @@ class ConformanceRunner:
             # vector-of-reference elements auto-register too, normalized
             # per the referenced table's key rules
             for col, ref_name in t.vector_ref_cols.items():
-                vals = r.get(col) or []
+                raw = r.get(col) or []
+                vals = list(raw) if isinstance(raw, dict) else raw
                 ref = self.tables[ref_name]
+                if not ref.keyed:
+                    continue  # array-table refs are ids — nothing to register
                 if ref.key_normalize:
                     vals = [
                         _norm_key(v) if isinstance(v, str) else v for v in vals
                     ]
-                    r[col] = vals
+                    r[col] = (
+                        {nk: raw[ok] for nk, ok in zip(vals, raw)}
+                        if isinstance(raw, dict) else vals
+                    )
                 known = {str(x.get("_key", "")) for x in ref.rows}
                 for key in vals:
                     if key not in (None, "") and str(key) not in known:
@@ -1083,6 +1135,8 @@ class ConformanceRunner:
                 if key in (None, ""):
                     continue
                 ref = self.tables[ref_name]
+                if not ref.keyed:
+                    continue  # array-table refs are ids — nothing to register
                 if ref.key_normalize and isinstance(key, str):
                     key = _norm_key(key)
                 if str(key) not in {str(x.get("_key", "")) for x in ref.rows}:
@@ -1102,6 +1156,8 @@ class ConformanceRunner:
             for r in rows:
                 for sc in sources.split(","):
                     v = r.get(sc)
+                    if isinstance(v, dict):
+                        v = list(v)  # weight vector: register the values
                     for x in v if isinstance(v, list) else [v]:
                         if x in (None, ""):
                             continue
@@ -1198,6 +1254,8 @@ class ConformanceRunner:
                 return fill[n]
             if n in t.ref_cols:
                 return self._ref_struct(self.tables[t.ref_cols[n]], v)
+            if isinstance(v, dict):
+                return list(v)  # weight vector: the frame carries values
             return v
 
         data = [
@@ -1240,7 +1298,13 @@ class ConformanceRunner:
                     continue
                 for r in t.rows:
                     vals = r.get(c) or []
-                    nv = [v for v in vals if str(v) not in deleted_keys]
+                    if isinstance(vals, dict):  # weight vector
+                        nv = {
+                            k: w for k, w in vals.items()
+                            if str(k) not in deleted_keys
+                        }
+                    else:
+                        nv = [v for v in vals if str(v) not in deleted_keys]
                     if len(nv) != len(vals):
                         r[c] = nv
                         dirty = True
@@ -1354,6 +1418,47 @@ class ConformanceRunner:
         # REFERENCED table, then maps hits back through the reference —
         # score rides along × the match weight (select/index/nested/*)
         nested_scores = None
+        # weight vector match: a --query term over a WITH_WEIGHT vector
+        # column scores (stored weight + 1) × match-column weight per
+        # matching element (select/match_columns/weight/weight_vector,
+        # select/query/weight_vector)
+        if query is not None and match_cols and "||" not in match_cols:
+            p = match_cols.strip()
+            w = 1.0
+            wm = re.fullmatch(r"(.+?)\s*\*\s*(\d+(?:\.\d+)?)", p)
+            if wm:
+                p, w = wm.group(1).strip(), float(wm.group(2))
+            if p in t.weight_vector_cols:
+                term = query.strip()
+                if not re.fullmatch(r"[\w.-]+", term):
+                    raise Unsupported("complex query over a weight vector")
+                rt = t.vector_ref_cols.get(p)
+                normf = (
+                    _norm_key
+                    if rt and self.tables[rt].key_normalize
+                    else (lambda s: s)
+                )
+                qn = normf(term)
+                keycol = "_key" if t.keyed else "_id"
+                matched = {}
+                for r in t.rows:
+                    s = sum(
+                        wt + 1
+                        for k, wt in (r.get(p) or {}).items()
+                        if normf(str(k)) == qn
+                    )
+                    if s:
+                        matched[str(r.get(keycol))] = float(s) * w
+                if not matched:
+                    cond = "1 == 2"
+                elif keycol == "_key":
+                    vals = ", ".join(json.dumps(k) for k in matched)
+                    cond = f"in_values(_key, {vals})"
+                else:
+                    cond = f"in_values(_id, {', '.join(matched)})"
+                filt = f"({filt}) && ({cond})" if filt else cond
+                nested_scores = (keycol, matched)
+                query, match_cols = None, None
         if query is not None and match_cols and "." in match_cols:
             p = match_cols.split("||")[0].strip()
             w = 1.0
@@ -1371,23 +1476,48 @@ class ConformanceRunner:
                 ft = self.tables[rt]
                 if not ft.loaded:
                     self._ingest(rt, [])
-                fres = self.ctx.select(
-                    rt,
-                    query=query,
-                    match_columns=segs[1],
-                    output_columns="_key,_score",
-                    sortby="_id",
-                    offset=0,
-                    limit=-1,
-                    id_col="_id",
-                    scorer=mc_scorer or "tf",
-                    text_cols=[segs[1]],
-                    tokenizer=ft.tokenizer or "bigram",
-                )
-                matched = {
-                    r["_key"]: r["score"] * w
-                    for r in fres["records"].collect()
-                }
+                if segs[1] in ft.weight_vector_cols:
+                    # nested weight vector (products.tags * 10): each
+                    # referenced record scores (weight+1) × w; the outer
+                    # record sums its elements' scores
+                    # (select/match_columns/weight/nested_weight_vector)
+                    term = query.strip()
+                    if not re.fullmatch(r"[\w.-]+", term):
+                        raise Unsupported("complex query over a weight vector")
+                    nrt = ft.vector_ref_cols.get(segs[1])
+                    normf = (
+                        _norm_key
+                        if nrt and self.tables[nrt].key_normalize
+                        else (lambda s: s)
+                    )
+                    qn = normf(term)
+                    matched = {}
+                    for r in ft.rows:
+                        s = sum(
+                            wt + 1
+                            for k, wt in (r.get(segs[1]) or {}).items()
+                            if normf(str(k)) == qn
+                        )
+                        if s:
+                            matched[str(r.get("_key", ""))] = float(s) * w
+                else:
+                    fres = self.ctx.select(
+                        rt,
+                        query=query,
+                        match_columns=segs[1],
+                        output_columns="_key,_score",
+                        sortby="_id",
+                        offset=0,
+                        limit=-1,
+                        id_col="_id",
+                        scorer=mc_scorer or "tf",
+                        text_cols=[segs[1]],
+                        tokenizer=ft.tokenizer or "bigram",
+                    )
+                    matched = {
+                        r["_key"]: r["score"] * w
+                        for r in fres["records"].collect()
+                    }
                 if not matched:
                     cond = "1 == 2"
                 elif base in t.ref_cols:
@@ -1514,6 +1644,29 @@ class ConformanceRunner:
                 kw.pop("match_escalation_threshold")
             )
         kw.pop("cache", None)
+        # --adjuster 'col @ "value" * factor + …' (grn_select adjuster,
+        # proc.c): each matching element ADDS (stored weight + 1) × factor
+        # to the record's score; non-matching records keep their base
+        # score (select/adjuster/*).  '+' inside quoted values is not
+        # split (no suite fixture carries one).
+        adjust = None
+        adj_spec = kw.pop("adjuster", None)
+        if adj_spec:
+            adjust = []
+            for part in (x.strip() for x in adj_spec.split("+")):
+                m = re.fullmatch(
+                    r'(\w+)\s*@\s*"((?:[^"\\]|\\.)*)"'
+                    r"\s*(?:\*\s*(\d+(?:\.\d+)?))?",
+                    part,
+                )
+                if not m or m.group(1) not in t.types:
+                    raise QueryParseError(f"invalid adjuster {adj_spec!r}")
+                adjust.append(
+                    (m.group(1), m.group(2), float(m.group(3) or 1))
+                )
+        out_type = kw.pop("output_type", "json")
+        if out_type not in ("json", "xml"):
+            raise Unsupported(f"output_type {out_type}")
         if kw.pop("command_version", "1") not in ("1", "2"):
             raise Unsupported("command_version 3 (object output)")
         if kw:
@@ -1663,7 +1816,11 @@ class ConformanceRunner:
                 for c in x.cols:
                     if c not in fetch:
                         fetch.append(c)
-        if "_id" not in fetch and (rank is not None or not fetch):
+        weighted_out = [e for e in entries if e in t.weight_vector_cols]
+        if "_id" not in fetch and (
+            rank is not None or adjust is not None or weighted_out
+            or not fetch
+        ):
             fetch.append("_id")
         if nested_scores is not None and nested_scores[0] not in fetch:
             fetch.append(nested_scores[0])
@@ -1705,9 +1862,38 @@ class ConformanceRunner:
                 v = d.get(base)
                 if isinstance(v, list):
                     d["score"] = sum(matched.get(str(k), 0.0) for k in v)
+                elif v is None or isinstance(v, (str, int, float)):
+                    # direct record scores keyed on _key/_id
+                    # (weight vector match)
+                    d["score"] = matched.get(str(v), 0.0)
                 else:
-                    k = v["_key"] if v is not None else ""
-                    d["score"] = matched.get(str(k), 0.0)
+                    d["score"] = matched.get(str(v["_key"]), 0.0)
+                patched.append(d)
+            rows = patched
+        if adjust is not None:
+            adj_by_id: dict = {}
+            for r in t.rows:
+                a = 0.0
+                for col, val, factor in adjust:
+                    cell = r.get(col)
+                    if isinstance(cell, dict):  # weight vector
+                        a += sum(
+                            (wt + 1) * factor
+                            for k, wt in cell.items()
+                            if str(k) == val
+                        )
+                    elif isinstance(cell, list):  # plain vector: weight 0
+                        a += sum(factor for k in cell if str(k) == val)
+                    elif cell is not None and str(cell) == val:
+                        a += factor
+                if a:
+                    adj_by_id[r["_id"]] = a
+            patched = []
+            for r in rows:
+                d = r.asDict() if hasattr(r, "asDict") else dict(r)
+                d["score"] = d.get("score", 0.0) + adj_by_id.get(
+                    d.get("_id"), 0.0
+                )
                 patched.append(d)
             rows = patched
         if rank is not None:
@@ -1717,6 +1903,9 @@ class ConformanceRunner:
             off = offset if offset >= 0 else max(n_hits + offset, 0)
             lim = limit if limit >= 0 else max(n_hits + limit + 1 - off, 0)
             rows = rows[off : off + lim]
+        wv_lut = (
+            {r["_id"]: r for r in t.rows} if weighted_out else {}
+        )
         page = []
         for row in rows:
             vals = []
@@ -1729,6 +1918,14 @@ class ConformanceRunner:
                 elif e in vec_ref:
                     base, _attr, lut = vec_ref[e]
                     vals.append([lut.get(str(k)) for k in (row[base] or [])])
+                elif e in weighted_out:
+                    # weight vector output renders the stored {value:
+                    # weight} object (select/output/value/weight_vector/*)
+                    src = wv_lut.get(row["_id"], {})
+                    v = src.get(e) or {}
+                    vals.append(
+                        v if isinstance(v, dict) else {str(k): 0 for k in v}
+                    )
                 else:
                     v = row[self._col_name(e)]
                     if e == "_score" and isinstance(v, float):
@@ -1748,6 +1945,12 @@ class ConformanceRunner:
                 labeled_out[label] = tbl
         if dd_labeled:
             out_tables.append(labeled_out)
+        if out_type == "xml":
+            if dd_specs:
+                raise Unsupported("xml select with drilldowns")
+            return _Resp(
+                self._xml_resultset(n_hits, cols_out, page, max(offset, 0))
+            )
         return out_tables
 
     def _run_drilldown(self, t: _Table, rows, keys: list, spec: dict):
@@ -2716,6 +2919,84 @@ class ConformanceRunner:
                 self._ingest(table, new)
         return _Resp(toks)
 
+    # -- XML serialization (lib/output.c grn_output_xml; the select
+    # RESULTSET form is the legacy Tritonn/Senna page format) -----------
+    @staticmethod
+    def _xml_esc(s: str) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    def _xml_list_response(self, tag: str, header, rows) -> str:
+        """``table_list``/``column_list`` --output_type xml: RESULT
+        wrapper, HEADER of PROPERTY name/type pairs, one <TABLE>/<COLUMN>
+        element per row; container close tags glue to their last child
+        (table_list/multi_tables_xml, column_list/*_xml)."""
+        row_tag = tag.rsplit("_", 1)[0]
+
+        def cell(v):
+            if v is None:
+                return "<NULL/>"
+            if isinstance(v, bool):
+                return f"<BOOL>{str(v).lower()}</BOOL>"
+            if isinstance(v, int):
+                return f"<INT>{v}</INT>"
+            if isinstance(v, float):
+                return f"<FLOAT>{v}</FLOAT>"
+            if isinstance(v, list):
+                inner = "\n".join(
+                    f"<TEXT>{self._xml_esc(x)}</TEXT>" for x in v
+                )
+                return "<SOURCES>" + ("\n" + inner if v else "") + "</SOURCES>"
+            return f"<TEXT>{self._xml_esc(v)}</TEXT>"
+
+        props = "\n".join(
+            f"<PROPERTY>\n<TEXT>{n}</TEXT>\n<TEXT>{ty}</TEXT></PROPERTY>"
+            for n, ty in header
+        )
+        body = "\n".join(
+            f"<{row_tag}>\n" + "\n".join(cell(v) for v in r) + f"</{row_tag}>"
+            for r in rows
+        )
+        return (
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<RESULT CODE="0" UP="0.0" ELAPSED="0.0">\n'
+            f"<{tag}>\n<HEADER>\n{props}</HEADER>\n{body}</{tag}>\n</RESULT>"
+        )
+
+    def _xml_resultset(self, n_hits, cols, page, offset: int) -> str:
+        """``select --output_type xml``: the SEGMENTS/RESULTSET page.
+        Vector fields join with ', '; weight vectors render value:weight
+        (select/output/value/weight_vector/type_xml)."""
+
+        def field(v):
+            if v is None:
+                return ""
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, dict):
+                return ", ".join(f"{k}:{w}" for k, w in v.items())
+            if isinstance(v, list):
+                return ", ".join(field(x) for x in v)
+            return self._xml_esc(v)
+
+        hits = []
+        for i, row in enumerate(page):
+            fields = "\n".join(
+                f'<FIELD NAME="{c}">{field(v)}</FIELD>'
+                for c, v in zip(cols, row)
+            )
+            hits.append(f'<HIT NO="{offset + i + 1}">\n{fields}\n</HIT>')
+        body = ("\n".join(hits) + "\n") if hits else ""
+        return (
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            "<SEGMENTS>\n<SEGMENT>\n<RESULTPAGE>\n"
+            f'<RESULTSET OFFSET="{offset}" LIMIT="{len(page)}" '
+            f'NHITS="{n_hits}">\n{body}</RESULTSET>\n'
+            "</RESULTPAGE>\n</SEGMENT>\n</SEGMENTS>"
+        )
+
     # grn fixed-size value types (column_list "type" column: fix/var/index)
     _FIX_TYPES = {
         "Int8", "UInt8", "Int16", "UInt16", "Int32", "UInt32",
@@ -2728,8 +3009,9 @@ class ConformanceRunner:
         normalizer].  KEY_NORMALIZE surfaces as NormalizerAuto, not as a
         flag (table_list/flags/key_normalize)."""
         _pos, kw = self._kw(argv)
-        if kw.get("output_type", "json") != "json":
-            raise Unsupported(f"output_type {kw['output_type']}")
+        out_type = kw.get("output_type", "json")
+        if out_type not in ("json", "xml"):
+            raise Unsupported(f"output_type {out_type}")
         header = [
             ["id", "UInt32"], ["name", "ShortText"], ["path", "ShortText"],
             ["flags", "ShortText"], ["domain", "ShortText"],
@@ -2751,14 +3033,17 @@ class ConformanceRunner:
                 t.tokenizer_raw,
                 t.normalizer_raw,
             ])
+        if out_type == "xml":
+            return _Resp(self._xml_list_response("TABLE_LIST", header, rows))
         return _Resp([header] + rows)
 
     def column_list_cmd(self, argv) -> _Resp:
         """``column_list`` (proc.c:2157): _key pseudo-column first (id =
         the TABLE's id, empty path), then data/index columns name-ordered."""
         pos, kw = self._kw(argv)
-        if kw.get("output_type", "json") != "json":
-            raise Unsupported(f"output_type {kw['output_type']}")
+        out_type = kw.get("output_type", "json")
+        if out_type not in ("json", "xml"):
+            raise Unsupported(f"output_type {out_type}")
         table = self._poskw(pos, kw, 0, "table")
         t = self.tables.get(table or "")
         if t is None:
@@ -2809,6 +3094,8 @@ class ConformanceRunner:
                 canon + "|PERSISTENT", table, src, srcs,
             ]))
         rows += [r for _n, r in sorted(entries)]
+        if out_type == "xml":
+            return _Resp(self._xml_list_response("COLUMN_LIST", header, rows))
         return _Resp([header] + rows)
 
     def table_remove_cmd(self, argv) -> _Resp:
@@ -3145,6 +3432,10 @@ class ConformanceRunner:
                         if ty.startswith("array"):
                             return []
                         return dflt.get(ty, "")
+                    if isinstance(v, dict):
+                        # weight vector dumps as one {value: weight}
+                        # object per element (dump/record/weight_vector_*)
+                        return [{k: w} for k, w in v.items()]
                     return v
 
                 body = [json.dumps(cols, ensure_ascii=False,
