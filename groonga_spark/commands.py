@@ -303,7 +303,10 @@ class CommandContext:
         Writing it back via ``load`` round-trips the table."""
         return self._read(table)
 
-    def _get_engine(self, table, df, text_cols, tokenizer, id_col):
+    def _get_engine(
+        self, table, df, text_cols, tokenizer, id_col,
+        token_filters=(), stopwords=frozenset(),
+    ):
         eng = self._engines.get(table)
         if eng is None:
             from .query.engine import SearchEngine
@@ -313,7 +316,11 @@ class CommandContext:
                 for f in df.schema.fields
                 if f.dataType.typeName() == "string" and f.name != id_col
             ]
-            eng = SearchEngine.build(df, cols, tokenizer=tokenizer, id_col=id_col)
+            eng = SearchEngine.build(
+                df, cols, tokenizer=tokenizer, id_col=id_col,
+                token_filters=tuple(token_filters),
+                stopwords=frozenset(stopwords),
+            )
             self._engines[table] = eng
         return eng
 
@@ -344,6 +351,8 @@ class CommandContext:
         array_match: "dict[str, bool] | None" = None,
         table_resolver=None,
         noindex_cols: "list[str] | None" = None,
+        token_filters: tuple = (),
+        stopwords=frozenset(),
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -368,7 +377,8 @@ class CommandContext:
                   repr(columns), repr(text_cols), tokenizer, id_col, scorer,
                   repr(adjuster), match_escalation_threshold,
                   repr(query_expander), query_flags, repr(scan_columns),
-                  repr(array_match))
+                  repr(array_match), repr(token_filters),
+                  repr(sorted(stopwords)))
             hit = self._select_cache.get(ck)
             if hit is not None:
                 self._select_cache.move_to_end(ck)  # LRU touch
@@ -414,7 +424,10 @@ class CommandContext:
         # match set — the engine's top-k page can't serve it
         need_full = filter is not None or offset < 0 or limit < 0
         if query is not None:
-            eng = self._get_engine(table, df, text_cols, tokenizer, id_col)
+            eng = self._get_engine(
+                table, df, text_cols, tokenizer, id_col,
+                token_filters, stopwords,
+            )
             # per-call scan/index split: a Groonga column with no index
             # column evaluates its query-syntax operators by sequential
             # scan — the engine here always has a dictionary, so the
@@ -445,7 +458,10 @@ class CommandContext:
                     for lc, (ft, fk, loc, arr) in self._refs.get(table, {}).items()
                 }
                 f_eng = (
-                    self._get_engine(table, df, text_cols, tokenizer, id_col)
+                    self._get_engine(
+                        table, df, text_cols, tokenizer, id_col,
+                        token_filters, stopwords,
+                    )
                     if re.search(r"\bquery\s*\(|\*[NS]\b", filter)
                     else self._engines.get(table)
                 )
@@ -803,14 +819,19 @@ class CommandContext:
 
     # -- cache_limit (proc.c:6838; lib/cache.c grn_cache_set_max_n_entries) --
     def cache_limit(self, max: int | None = None) -> int:
-        """``cache_limit [--max N]``: return the select-cache capacity,
-        setting it first when ``max`` is given (0 disables; shrinking
-        evicts LRU immediately, as the reference reallocates the cache)."""
+        """``cache_limit [--max N]``: return the select-cache capacity —
+        the PREVIOUS one when ``max`` is given (grn_cache_set_max_n_entries
+        returns the old size; cache_limit/valid/set).  0 disables;
+        shrinking evicts LRU immediately, as the reference reallocates the
+        cache.  A negative max is an invalid unsigned integer → error."""
+        prev = self._cache_max
         if max is not None:
+            if int(max) < 0:
+                raise ValueError(f"invalid unsigned integer: {max}")
             self._cache_max = int(max)
             while len(self._select_cache) > self._cache_max:
                 self._select_cache.popitem(last=False)
-        return self._cache_max
+        return prev
 
     # -- status (proc.c:6797) ----------------------------------------------
     def status(self) -> dict:

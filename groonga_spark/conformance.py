@@ -848,11 +848,12 @@ class ConformanceRunner:
             if tok is None:
                 if kw["default_tokenizer"] in ("TokenMecab", "TokenKytea"):
                     raise Unsupported(f"tokenizer {kw['default_tokenizer']}")
-                # not a reference tokenizer at all (e.g. the sharding
-                # fixtures' deliberate "TokenizerBigram" typo): the
-                # reference errors and the table is NOT created
-                return False
-            t.lex_tokenizer = tok
+                # an unregistered tokenizer name is silently DROPPED — the
+                # table creates fine without one
+                # (table_create/default_tokenizer/nonexistent)
+                kw.pop("default_tokenizer")
+            else:
+                t.lex_tokenizer = tok
         if t.keyed and len(pos) > 2:
             kt = TYPE_MAP.get(pos[2])
             if kt is None and pos[2] in self.tables:
@@ -867,18 +868,33 @@ class ConformanceRunner:
             t.key_gtype = pos[2]
             t.key_declared = True
         t.tokenizer_raw = kw.get("default_tokenizer")
-        t.normalizer_raw = kw.get("normalizer") or (
+        norm = kw.get("normalizer")
+        if norm == "NormalizerNFKC51":
+            raise Unsupported("normalizer NormalizerNFKC51")
+        if norm is not None and norm != "NormalizerAuto":
+            # an unregistered normalizer name is silently DROPPED — the
+            # table creates fine without it (column_create/index/source/
+            # multi_column/trailing_space: --normalizer NomralizerAuto)
+            norm = None
+            t.key_normalize = "KEY_NORMALIZE" in flags
+        t.normalizer_raw = norm or (
             "NormalizerAuto" if "KEY_NORMALIZE" in flags else None
         )
         if t.keyed and len(pos) > 3:
             t.value_type = pos[3]
+        bad_tf = False
         if kw.get("token_filters"):
-            t.token_filters = [
-                s.strip() for s in kw["token_filters"].split(",") if s.strip()
-            ]
+            names = kw["token_filters"].split(",")
+            if any(not s.strip() for s in names):
+                # "[table][create][token-filter] empty token filter name":
+                # the command errors but the table IS created, without
+                # token filters (table_create/token_filters/*_comma)
+                bad_tf = True
+            else:
+                t.token_filters = [s.strip() for s in names]
         t.oid = self._alloc_oid()
         self.tables[name] = t
-        return True
+        return False if bad_tf else True
 
     def column_create(self, argv) -> bool:
         pos, kw = self._kw(argv)
@@ -888,16 +904,41 @@ class ConformanceRunner:
         if "COLUMN_INDEX" in flags:
             # column_create Lexicon idx COLUMN_INDEX|… SourceTable col[,col]
             lex = self.tables[table]
-            src_table, sources = pos[3], (kw.get("source") or pos[4]).split(",")
+            src_table = pos[3]
+            sources = [
+                s.strip() for s in (kw.get("source") or pos[4]).split(",")
+            ]
+            if src_table not in self.tables:
+                lex.index_cols[name] = (src_table, sources[0])
+                return False
+            st = self.tables[src_table]
+            # source validation (grn_obj_set_info GRN_INFO_SOURCE,
+            # column_create/index/source/*): every source must be _key or
+            # an existing data column (never _id); when the lexicon's key
+            # is a table REFERENCE, the source value domain must be that
+            # same table
+            for sc in sources:
+                if sc == "_id" or (sc != "_key" and sc not in st.types):
+                    return False
+                if lex.key_gtype in self.tables:
+                    dom = st.key_gtype if sc == "_key" else st.types.get(sc)
+                    if dom != lex.key_gtype:
+                        return False
+            if len(sources) > 1 and "WITH_SECTION" not in flags:
+                # multi-column sources need WITH_SECTION
+                # (column_create/index/source/multi_column/without_section)
+                return False
             # remember the reverse reference: sub_filter(idx, "expr") walks
             # the index back to the source records (func_sub_filter)
             lex.index_cols[name] = (src_table, sources[0])
-            if src_table not in self.tables:
-                return False
             lex.col_oids[name] = self._alloc_oid()
             self.index_defs.append(
                 (table, name, flags, src_table, ",".join(sources))
             )
+            if st.rows:
+                # OFFLINE build: indexing an already-loaded table registers
+                # its values' tokens as lexicon keys (load/index/offline/*)
+                self._index_autoregister(src_table, st.rows)
             t = self.tables[src_table]
             t.indexed_cols.extend(s for s in sources if s not in t.indexed_cols)
             if all(
@@ -912,7 +953,9 @@ class ConformanceRunner:
             # (one key per value; suffix_search/…_index_with_sis.test,
             # escape/prefix_search.test) — TokenDelimitNull on \0-free text
             # is exactly that: the full normalized value as a single token
-            t.tokenizer = lex.lex_tokenizer or "delimit_null"
+            t.tokenizer = lex.lex_tokenizer or (
+                "delimit_null_norm" if lex.key_normalize else "delimit_null"
+            )
             t.untok_index = lex.lex_tokenizer is None
             t.lex_sis = lex.sis
             return
@@ -1038,6 +1081,65 @@ class ConformanceRunner:
                 out[n] = rec.get(n)
         return out
 
+    def _index_autoregister(self, table: str, rows: list[dict]) -> None:
+        """Register ``rows``' source values as LEXICON keys for every
+        index over ``table``: tokens of the lexicon's tokenizer (raw
+        sliding n-grams when it has NO normalizer — no character classes),
+        or the whole (normalized) value for an untokenized index
+        (grn_ii update path — dump/record/table_tokenizer_index_column,
+        table_create/default_tokenizer/bigram/default)."""
+        for lex, _iname, _fl, src, sources in self.index_defs:
+            if src != table or lex == table:
+                continue
+            lt = self.tables.get(lex)
+            if lt is None:
+                continue
+            known_keys = set(lt.keys)
+            reg: list[dict] = []
+            for r in rows:
+                for sc in sources.split(","):
+                    v = r.get(sc)
+                    if isinstance(v, dict):
+                        v = list(v)  # weight vector: register the values
+                    for x in v if isinstance(v, list) else [v]:
+                        if x in (None, ""):
+                            continue
+                        if lt.lex_tokenizer:
+                            from .tokenize import tokenize as _tok_one
+
+                            ng = {"unigram": 1, "trigram": 3}.get(
+                                lt.lex_tokenizer, 2
+                            )
+                            if lt.normalizer_raw is None and (
+                                lt.lex_tokenizer.startswith(
+                                    ("bigram", "unigram", "trigram")
+                                )
+                            ):
+                                s = str(x)
+                                toks = [
+                                    s[i : i + ng] for i in range(len(s))
+                                ]
+                            else:
+                                toks = [
+                                    tk for tk, _p in _tok_one(
+                                        str(x), lt.lex_tokenizer
+                                    )
+                                ]
+                        elif lt.key_normalize and isinstance(x, str):
+                            toks = [_norm_key(x)]
+                        else:
+                            toks = [x]
+                        for tk in toks:
+                            if str(tk) not in known_keys:
+                                known_keys.add(str(tk))
+                                # __auto__ marks keys that exist only
+                                # because indexing registered them — dump
+                                # omits such lexicons' records (they
+                                # reconstruct from reindex)
+                                reg.append({"_key": tk, "__auto__": True})
+            if reg:
+                self._ingest(lex, reg)
+
     def _ingest(self, table: str, rows: list[dict]) -> int:
         t = self.tables[table]
         if t.keyed and t.key_normalize and t.key_type == "string":
@@ -1110,7 +1212,23 @@ class ConformanceRunner:
             # vector-of-reference elements auto-register too, normalized
             # per the referenced table's key rules
             for col, ref_name in t.vector_ref_cols.items():
-                raw = r.get(col) or []
+                raw = r.get(col)
+                if isinstance(raw, str):
+                    # casting TEXT into a vector of references TOKENIZES
+                    # it with the referenced lexicon's tokenizer
+                    # (grn_obj_cast — table_create/default_tokenizer/
+                    # delimit/default); plain refs get a 1-element vector
+                    reft = self.tables[ref_name]
+                    if reft.lex_tokenizer:
+                        from .tokenize import tokenize as _tok_cast
+
+                        raw = [
+                            tk for tk, _p in _tok_cast(raw, reft.lex_tokenizer)
+                        ]
+                    else:
+                        raw = [raw] if raw else []
+                    r[col] = raw
+                raw = raw or []
                 vals = list(raw) if isinstance(raw, dict) else raw
                 ref = self.tables[ref_name]
                 if not ref.keyed:
@@ -1145,40 +1263,7 @@ class ConformanceRunner:
         # the lexicon's tokenizer, or the whole (normalized) value for an
         # untokenized index (grn_ii update path —
         # dump/record/table_tokenizer_index_column, delete/reference/*)
-        for lex, _iname, _fl, src, sources in self.index_defs:
-            if src != table or lex == table:
-                continue
-            lt = self.tables.get(lex)
-            if lt is None:
-                continue
-            known_keys = set(lt.keys)
-            reg: list[dict] = []
-            for r in rows:
-                for sc in sources.split(","):
-                    v = r.get(sc)
-                    if isinstance(v, dict):
-                        v = list(v)  # weight vector: register the values
-                    for x in v if isinstance(v, list) else [v]:
-                        if x in (None, ""):
-                            continue
-                        if lt.lex_tokenizer:
-                            from .tokenize import tokenize as _tok_one
-
-                            toks = [
-                                tk for tk, _p in _tok_one(
-                                    str(x), lt.lex_tokenizer
-                                )
-                            ]
-                        elif lt.key_normalize and isinstance(x, str):
-                            toks = [_norm_key(x)]
-                        else:
-                            toks = [x]
-                        for tk in toks:
-                            if str(tk) not in known_keys:
-                                known_keys.add(str(tk))
-                                reg.append({"_key": tk})
-            if reg:
-                self._ingest(lex, reg)
+        self._index_autoregister(table, rows)
         fresh, accepted, dirty = [], 0, False
         for r in rows:
             is_sis = r.pop("__sis__", False)
@@ -1210,6 +1295,10 @@ class ConformanceRunner:
                         if str(x.get("_key", "")) == k
                     )
                     tgt.update({kk: vv for kk, vv in r.items() if kk != "_key"})
+                    if not r.get("__auto__"):
+                        # an explicit load of an auto-registered key makes
+                        # it a real record — it dumps from now on
+                        tgt.pop("__auto__", None)
                     if not is_sis:
                         accepted += 1
                     dirty = True
@@ -1332,9 +1421,17 @@ class ConformanceRunner:
             raise Unsupported(f"select on unknown table {table}")
         t = self.tables[table]
         if t.lex_tokenizer is not None:
-            # selecting a lexicon table exposes index internals (term ids,
-            # index-column byte estimates) we don't materialize
-            raise Unsupported("select on a lexicon table")
+            # a plain scan over a tokenizer lexicon lists its keys
+            # (table_create/default_tokenizer/delimit/default); anything
+            # touching index internals (term postings via --query/--filter,
+            # index-column output like --sortby -index) stays unsupported
+            blob = " ".join(str(v) for v in kw.values())
+            if (
+                kw.get("query") or kw.get("filter")
+                or kw.get("match_columns")
+                or any(ic in blob for ic in t.index_cols)
+            ):
+                raise Unsupported("select on a lexicon table")
         if not t.loaded:
             self._ingest(table, [])  # selects on never-loaded tables
         # data columns list ALPHABETICALLY in default output (grn keeps
@@ -1603,6 +1700,27 @@ class ConformanceRunner:
             args["text_cols"] = scalar_indexed + list(nested_mc.values())
             args["tokenizer"] = t.tokenizer
             args["scan_columns"] = key_scan
+            # the indexing lexicon's --token_filters ride into the engine:
+            # TokenFilterStem stems at ADD+GET, TokenFilterStopWord drops
+            # query tokens whose lexicon record has is_stop_word
+            # (token_filters/stem/*, token_filters/stop_word/*)
+            tf, stops = set(), set()
+            for lx, _n, _f, src, _s in self.index_defs:
+                lex = self.tables.get(lx)
+                if src != table or lex is None:
+                    continue
+                if "TokenFilterStem" in lex.token_filters:
+                    tf.add("stem")
+                if "TokenFilterStopWord" in lex.token_filters:
+                    tf.add("stopword")
+                    stops |= {
+                        str(r.get("_key", ""))
+                        for r in lex.rows
+                        if r.get("is_stop_word")
+                    }
+            if tf:
+                args["token_filters"] = tuple(sorted(tf))
+                args["stopwords"] = frozenset(stops)
         elif nested_mc:
             strings = [n for n, ty in t.columns if ty == "string"]
             args["text_cols"] = strings + list(nested_mc.values())
@@ -1693,6 +1811,16 @@ class ConformanceRunner:
                 self.ctx.set_reference(table, c, rt, "_key", array=True)
         if args["filter"]:
             f = args["filter"]
+            if t.keyed and t.key_normalize and t.key_type == "string":
+                # the key trie stores NORMALIZED keys — a _key comparison
+                # literal normalizes before the lookup
+                # (load/utf8_4byte/normalize: _key == "A" finds "a")
+                f = re.sub(
+                    r'\b_key\s*(==|!=)\s*"((?:[^"\\]|\\.)*)"',
+                    lambda m: f'_key {m.group(1)} '
+                    + json.dumps(_norm_key(m.group(2))),
+                    f,
+                )
             if any(t.types.get(n) == "Time" for n, _ in t.columns) or any(
                 "Time" in self.tables[rt].types.values()
                 for rt in t.ref_cols.values()
@@ -2745,6 +2873,87 @@ class ConformanceRunner:
             return v
         return pos[i] if len(pos) > i else default
 
+    @staticmethod
+    def _regexp_tokens(s: str, mode: str) -> list[dict]:
+        """TokenRegexp tokenization (tokenizers.c:489-730).
+
+        ADD brackets the content with the begin/end marks, emits every
+        overlapping bigram per blank-separated run plus each run's final
+        single char; positions are CHARACTER offsets (+1 for the begin
+        mark), so blanks consume positions (tokenizers/regexp/add/*,
+        …/get/normalizer/blank/* ADD responses).
+
+        GET emits no marks unless they are literally in the input (a
+        quoted \\A/\\z query); per run, bigrams at stride 2 with the tail
+        overlapping back to the last FULL bigram; positions are offsets in
+        the blank-less character sequence; the final content token gets
+        force_prefix when shorter than the gram and not end-anchored
+        (tokenizers/regexp/get/*)."""
+        from .tokenize import REGEXP_BEGIN, REGEXP_END
+
+        out: list[dict] = []
+        if mode == "ADD":
+            out.append(
+                {"value": REGEXP_BEGIN, "position": 0, "force_prefix": False}
+            )
+            for m in re.finditer(r"\S+", s):
+                st, run = m.start() + 1, m.group()
+                for j in range(len(run)):
+                    out.append({
+                        "value": run[j : j + 2],
+                        "position": st + j,
+                        "force_prefix": False,
+                    })
+            out.append({
+                "value": REGEXP_END,
+                "position": len(s) + 1,
+                "force_prefix": False,
+            })
+            return out
+        begin = s.startswith(REGEXP_BEGIN)
+        end = s.endswith(REGEXP_END) and len(s) > (1 if begin else 0)
+        body = s[1:] if begin else s
+        body = body[:-1] if end else body
+        if begin:
+            out.append(
+                {"value": REGEXP_BEGIN, "position": 0, "force_prefix": False}
+            )
+        dense = 1 if begin else 0
+        last_content = None
+        for run in re.split(r"\s+", body):
+            if not run:
+                continue
+            L = len(run)
+            if L == 1:
+                out.append(
+                    {"value": run, "position": dense, "force_prefix": False}
+                )
+            else:
+                p = 0
+                while p + 2 <= L:
+                    out.append({
+                        "value": run[p : p + 2],
+                        "position": dense + p,
+                        "force_prefix": False,
+                    })
+                    p += 2
+                if p < L:  # 1-char remainder → last full bigram instead
+                    out.append({
+                        "value": run[L - 2 :],
+                        "position": dense + L - 2,
+                        "force_prefix": False,
+                    })
+            dense += L
+            last_content = len(out) - 1
+        if last_content is not None and not end:
+            if len(out[last_content]["value"]) < 2:
+                out[last_content]["force_prefix"] = True
+        if end:
+            out.append(
+                {"value": REGEXP_END, "position": dense, "force_prefix": False}
+            )
+        return out
+
     def tokenize_cmd(self, argv) -> _Resp:
         """``tokenize`` (proc.c:6372): tokenizer, string, [normalizer,
         flags, mode, token_filters] → [{value, position, force_prefix}]."""
@@ -2781,6 +2990,13 @@ class ConformanceRunner:
         n = {"unigram": 1, "trigram": 3}.get(key, 2)
         is_ngram = key not in ("delimit", "delimit_null", "code")
         toks: list[tuple[str, int]]
+        if key == "regexp" and "ENABLE_TOKENIZED_DELIMITER" not in flags:
+            s = string
+            if normalizer and normalizer != "NONE":
+                from .normalize import normalize
+
+                s = normalize(s)
+            return _Resp(self._regexp_tokens(s, mode))
         if "ENABLE_TOKENIZED_DELIMITER" in flags:
             # U+FFFE is an explicit token delimiter; the tokenizer is
             # bypassed (tokenizer.c tokenized-delimiter mode), empty
@@ -2801,17 +3017,6 @@ class ConformanceRunner:
                 toks = [(string[i : i + n], i) for i in range(len(string))]
                 if mode == "GET" and len(toks) > 1:
                     toks = [t for t in toks if len(t[0]) == n] or toks[:1]
-                if key == "regexp" and mode == "ADD":
-                    # TokenRegexp brackets the content with the begin/end
-                    # marks even without a normalizer (tokenizers/regexp/
-                    # add/*)
-                    from .tokenize import REGEXP_BEGIN, REGEXP_END
-
-                    toks = (
-                        [(REGEXP_BEGIN, 0)]
-                        + [(t, p + 1) for t, p in toks]
-                        + [(REGEXP_END, (toks[-1][1] + 2) if toks else 1)]
-                    )
         else:
             from .tokenize import tokenize_batch
 
@@ -3383,6 +3588,8 @@ class ConformanceRunner:
                     parts += ["--default_tokenizer", t.tokenizer_raw]
                 if t.normalizer_raw:
                     parts += ["--normalizer", t.normalizer_raw]
+                if t.token_filters:
+                    parts += ["--token_filters", ",".join(t.token_filters)]
                 lines = [" ".join(parts)]
                 for cn, cf, cg in sorted(t.col_defs):
                     if cn in t.ref_cols or cn in t.vector_ref_cols:
@@ -3400,10 +3607,19 @@ class ConformanceRunner:
                 chunks.append("\n".join(ref_lines))
         if want["records"]:
             for name, t in self.tables.items():
-                # a tokenizer lexicon's records reconstruct from reindex —
-                # dump skips them UNLESS it carries data columns
-                # (dump/record/lexicon vs …/table_tokenizer_index_column)
-                if (t.lex_tokenizer is not None and not t.col_defs) or not t.rows:
+                # a lexicon's records reconstruct from reindex — dump
+                # skips a tokenizer lexicon, and an untokenized index
+                # lexicon whose every key was auto-registered, UNLESS it
+                # carries data columns (dump/record/lexicon vs
+                # …/table_tokenizer_index_column; table_create/normalizer/
+                # auto/utf8 dumps no Terms records)
+                auto_only = t.index_cols and all(
+                    r.get("__auto__") for r in t.rows
+                )
+                if (
+                    (t.lex_tokenizer is not None or auto_only)
+                    and not t.col_defs
+                ) or not t.rows:
                     continue
                 cols = (["_key"] if t.keyed else ["_id"]) + sorted(
                     cn for cn, _, _ in t.col_defs
@@ -3511,17 +3727,35 @@ class ConformanceRunner:
             c.strip()
             for c in kw.get("output_columns", ",".join(out_default)).split(",")
         ]
-        offset = int(kw.get("offset", 0))
-        limit = int(kw.get("limit", -1))
+        # offset/limit validate against the match size with EXPLICIT
+        # errors, unlike select's silent clamp (proc.c range_filter:
+        # "too small/large offset", "too small limit", "invalid … format";
+        # the default limit is 10 — range_filter/limit/default)
+        try:
+            offset = int(kw.get("offset", 0))
+            limit = int(kw.get("limit", 10))
+        except ValueError:
+            return _Resp("ERROR")
         res = self.ctx.select(
             table,
             filter=" && ".join(conds) or None,
             sortby=f"{column},_id" if column in [n for n, _ in t.columns] else "_id",
-            offset=offset,
-            limit=limit,
+            offset=0,
+            limit=-1,
             output_columns=",".join(out_cols),
             id_col="_id",
         )
+        size = res["n_hits"]
+        if offset < 0:
+            offset += size
+            if offset < 0:
+                return _Resp("ERROR")
+        elif offset > size:
+            return _Resp("ERROR")
+        if limit < 0:
+            limit += size + 1
+            if limit < 0:
+                return _Resp("ERROR")
         header = [
             [c, {"_id": "UInt32", "_key": t.key_gtype, "_score": "Int32"}.get(
                 c, t.types.get(c, "ShortText")
@@ -3531,7 +3765,7 @@ class ConformanceRunner:
         rows = [
             [self._out_val(r[self._col_name(c)]) for c in out_cols]
             for r in res["records"].collect()
-        ]
+        ][offset : offset + limit]
         return _Resp([header] + rows)
 
 

@@ -72,7 +72,10 @@ _NGRAM_VARIANTS: dict[str, tuple[int, tuple, bool]] = {
     ),
 }
 
-ALL_TOKENIZERS = ("delimit", "delimit_null", "code", "regexp", *_NGRAM_VARIANTS)
+ALL_TOKENIZERS = (
+    "delimit", "delimit_null", "delimit_null_norm", "code", "regexp",
+    *_NGRAM_VARIANTS,
+)
 
 # TokenRegexp sentinels (tokenizers.c:489-730): a begin mark before the
 # first content token and an end mark after the last, so \A / \z anchors
@@ -89,6 +92,13 @@ def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[lis
         return [_delimit(t) for t in texts]
     if mode == "delimit_null":  # TokenDelimitNull (tokenizers.c:236)
         return [_delimit(t, "\x00") for t in texts]
+    if mode == "delimit_null_norm":
+        # whole-value tokens through NormalizerAuto — the shape of an
+        # untokenized lexicon WITH a normalizer (PAT keys store the
+        # normalized value; table_create/normalizer/auto/utf8)
+        from .normalize import normalize
+
+        return [_delimit(normalize(t or ""), "\x00") for t in texts]
     if mode == "regexp":
         # TokenRegexp = char bigrams over EVERY class (uni_* all off) plus
         # begin/end sentinel tokens — the lexicon shape grn_ii_select_regexp
