@@ -112,7 +112,7 @@ class CommandContext:
         snapshotted at build time) and Spark's file-index/footer cache for
         the rewritten path (same directory, new files — a stale
         InMemoryFileIndex would list deleted part files)."""
-        self._engines.pop(table, None)
+        self._drop_engines(table)
         # grn_cache_expire-on-write: the reference expires the WHOLE query
         # cache on any write (a cached select may depend on other tables
         # via sub_filter), so clear everything, not just this table's keys
@@ -139,7 +139,7 @@ class CommandContext:
     def table_remove(self, table: str) -> None:
         """``table_remove --name T`` (proc.c:2852)."""
         shutil.rmtree(self._path(table))
-        self._engines.pop(table, None)
+        self._drop_engines(table)
         self._select_cache.clear()
 
     def column_create(
@@ -167,7 +167,7 @@ class CommandContext:
         if os.path.exists(dst):
             raise ValueError(f"table {new_name!r} exists")
         os.rename(self._path(table), dst)
-        self._engines.pop(table, None)
+        self._drop_engines(table)
         self._select_cache.clear()
         if table in self._refs:
             self._refs[new_name] = self._refs.pop(table)
@@ -211,7 +211,7 @@ class CommandContext:
     ) -> None:
         """``reindex`` (proc.c reindex command): drop the cached engine and
         eagerly rebuild the inverted index for the table."""
-        self._engines.pop(table, None)
+        self._drop_engines(table)
         df = self._read(table)
         eng = self._get_engine(table, df, text_cols, tokenizer, id_col)
         eng.index.persist()
@@ -303,11 +303,27 @@ class CommandContext:
         Writing it back via ``load`` round-trips the table."""
         return self._read(table)
 
+
+    def _drop_engines(self, table: str) -> None:
+        """Invalidate every cached engine of ``table`` — the default one
+        and any per-tokenizer overrides keyed (table, tokenizer)."""
+        for k in [
+            k for k in self._engines
+            if k == table or (isinstance(k, tuple) and k[0] == table)
+        ]:
+            self._engines.pop(k, None)
+
     def _get_engine(
         self, table, df, text_cols, tokenizer, id_col,
         token_filters=(), stopwords=frozenset(),
     ):
         eng = self._engines.get(table)
+        if eng is not None and eng.index.tokenizer != tokenizer:
+            # a per-call tokenizer override (an explicitly named lexicon in
+            # match_columns) gets its own cached engine alongside the
+            # table's default one; mutation invalidation pops both (the
+            # tuple key leads with the table name)
+            eng = self._engines.get((table, tokenizer))
         if eng is None:
             from .query.engine import SearchEngine
 
@@ -321,7 +337,10 @@ class CommandContext:
                 token_filters=tuple(token_filters),
                 stopwords=frozenset(stopwords),
             )
-            self._engines[table] = eng
+            if table in self._engines:
+                self._engines[(table, tokenizer)] = eng
+            else:
+                self._engines[table] = eng
         return eng
 
     # -- select (grn_select, proc.c:1087) ------------------------------------

@@ -882,6 +882,15 @@ class ConformanceRunner:
         )
         if t.keyed and len(pos) > 3:
             t.value_type = pos[3]
+        if kw.get("value_type"):
+            t.value_type = kw["value_type"]
+        if t.value_type and TYPE_MAP.get(t.value_type):
+            # the fixed-size record value reads/writes as the _value
+            # pseudo-column (select/output/value/uint64); it is not a data
+            # column — no col_defs entry, so dump/column_list skip it and
+            # the default output filters it below
+            t.columns.append(("_value", TYPE_MAP[t.value_type]))
+            t.types["_value"] = t.value_type
         bad_tf = False
         if kw.get("token_filters"):
             names = kw["token_filters"].split(",")
@@ -953,9 +962,7 @@ class ConformanceRunner:
             # (one key per value; suffix_search/…_index_with_sis.test,
             # escape/prefix_search.test) — TokenDelimitNull on \0-free text
             # is exactly that: the full normalized value as a single token
-            t.tokenizer = lex.lex_tokenizer or (
-                "delimit_null_norm" if lex.key_normalize else "delimit_null"
-            )
+            t.tokenizer = self._lex_engine_tokenizer(lex)
             t.untok_index = lex.lex_tokenizer is None
             t.lex_sis = lex.sis
             return
@@ -1081,6 +1088,69 @@ class ConformanceRunner:
                 out[n] = rec.get(n)
         return out
 
+    @staticmethod
+    def _lex_engine_tokenizer(lex: "_Table") -> str:
+        """Engine tokenizer for an index LEXICON: its own tokenizer,
+        downgraded to the raw (class-less, case-sensitive) n-gram mode
+        when it has NO normalizer; an untokenized lexicon indexes whole
+        values, normalized when the lexicon normalizes
+        (suffix_search/…_index_with_sis, table_create/normalizer/auto,
+        select/query_expander/column/*/quoted_or)."""
+        from .tokenize import _NGRAM_VARIANTS
+
+        tok = lex.lex_tokenizer
+        if tok is None:
+            return "delimit_null_norm" if lex.key_normalize else "delimit_null"
+        if tok in _NGRAM_VARIANTS and lex.normalizer_raw is None:
+            n = _NGRAM_VARIANTS[tok][0]
+            return {1: "unigram_raw", 2: "bigram_raw", 3: "trigram_raw"}[n]
+        return tok
+
+    def _index_posting_counts(
+        self, tname: str, t: "_Table", iname: str
+    ) -> dict:
+        """Per-key posting count of a lexicon's index column — the value
+        an index column renders as in select output (grn_ii_estimate_size
+        per key; delete/index/fix_size_column).  Counts source RECORDS per
+        key (df, not tf); deleted records drop out while the key stays."""
+        entry = next(
+            (
+                d for d in self.index_defs
+                if d[0] == tname and d[1] == iname
+            ),
+            None,
+        )
+        if entry is None:
+            return {}
+        _lex, _n, _fl, src, sources = entry
+        st = self.tables.get(src)
+        if st is None:
+            return {}
+        lut: dict[str, int] = {}
+        for r in st.rows:
+            keys: set[str] = set()
+            for sc in sources.split(","):
+                v = r.get("_key") if sc == "_key" else r.get(sc)
+                vals = list(v) if isinstance(v, (list, dict)) else [v]
+                for x in vals:
+                    if x in (None, ""):
+                        continue
+                    if t.lex_tokenizer:
+                        from .tokenize import tokenize as _tok_pc
+
+                        keys |= {
+                            str(tk) for tk, _p in _tok_pc(
+                                str(x), self._lex_engine_tokenizer(t)
+                            )
+                        }
+                    elif t.key_normalize and isinstance(x, str):
+                        keys.add(_norm_key(x))
+                    else:
+                        keys.add(str(x))
+            for k in keys:
+                lut[k] = lut.get(k, 0) + 1
+        return lut
+
     def _index_autoregister(self, table: str, rows: list[dict]) -> None:
         """Register ``rows``' source values as LEXICON keys for every
         index over ``table``: tokens of the lexicon's tokenizer (raw
@@ -1107,24 +1177,12 @@ class ConformanceRunner:
                         if lt.lex_tokenizer:
                             from .tokenize import tokenize as _tok_one
 
-                            ng = {"unigram": 1, "trigram": 3}.get(
-                                lt.lex_tokenizer, 2
-                            )
-                            if lt.normalizer_raw is None and (
-                                lt.lex_tokenizer.startswith(
-                                    ("bigram", "unigram", "trigram")
+                            toks = [
+                                tk for tk, _p in _tok_one(
+                                    str(x),
+                                    self._lex_engine_tokenizer(lt),
                                 )
-                            ):
-                                s = str(x)
-                                toks = [
-                                    s[i : i + ng] for i in range(len(s))
-                                ]
-                            else:
-                                toks = [
-                                    tk for tk, _p in _tok_one(
-                                        str(x), lt.lex_tokenizer
-                                    )
-                                ]
+                            ]
                         elif lt.key_normalize and isinstance(x, str):
                             toks = [_norm_key(x)]
                         else:
@@ -1438,11 +1496,13 @@ class ConformanceRunner:
         # columns in a name-keyed hash — match_columns/no_index/
         # two_columns outputs content before title)
         out_default = ["_id"] + (["_key"] if t.keyed else []) + sorted(
-            n for n, _ in t.columns
+            [n for n, _ in t.columns if n != "_value"]
+            + list(t.index_cols)
         )
         query = kw.pop("query", None)
         match_cols = kw.pop("match_columns", None)
         mc_scorer = None
+        self._mc_lexicon = None
         if match_cols:
             match_cols, mc_scorer = self._resolve_match_columns(match_cols, t)
         numeric_match = None
@@ -1698,7 +1758,11 @@ class ConformanceRunner:
                 args["columns"] = cols
         if scalar_indexed:
             args["text_cols"] = scalar_indexed + list(nested_mc.values())
-            args["tokenizer"] = t.tokenizer
+            args["tokenizer"] = (
+                self._lex_engine_tokenizer(self._mc_lexicon)
+                if getattr(self, "_mc_lexicon", None) is not None
+                else t.tokenizer
+            )
             args["scan_columns"] = key_scan
             # the indexing lexicon's --token_filters ride into the engine:
             # TokenFilterStem stems at ADD+GET, TokenFilterStopWord drops
@@ -1885,7 +1949,14 @@ class ConformanceRunner:
             i = entries.index("*")
             entries = entries[:i] + star + entries[i + 1 :]
         ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-        known = set(t.types) | {"_id", "_score", "_nsubrecs"}
+        # a lexicon's INDEX column outputs its per-key posting count
+        # (delete/index/fix_size_column: users_age is 1, then 0 after the
+        # referencing record deletes)
+        idx_counts = {
+            e: self._index_posting_counts(table, t, e)
+            for e in t.index_cols
+        }
+        known = set(t.types) | {"_id", "_score", "_nsubrecs"} | set(idx_counts)
         if t.keyed:
             known.add("_key")  # _key on a NO_KEY table silently drops
             # (index/nested/by_key/match outputs only 'path')
@@ -1933,6 +2004,8 @@ class ConformanceRunner:
         fetch: list[str] = []
         for e in entries:
             if ident.fullmatch(e):
+                if e in idx_counts:
+                    continue  # runner-side posting count, not a frame col
                 if e not in fetch:
                     fetch.append(e)
             elif e in vec_ref:
@@ -1950,6 +2023,12 @@ class ConformanceRunner:
             or not fetch
         ):
             fetch.append("_id")
+        if (
+            t.keyed
+            and "_key" not in fetch
+            and any(e in idx_counts for e in entries)
+        ):
+            fetch.append("_key")
         if nested_scores is not None and nested_scores[0] not in fetch:
             fetch.append(nested_scores[0])
         dd_specs: list[tuple[str | None, list[str], dict]] = []
@@ -2054,6 +2133,8 @@ class ConformanceRunner:
                     vals.append(
                         v if isinstance(v, dict) else {str(k): 0 for k in v}
                     )
+                elif e in idx_counts:
+                    vals.append(idx_counts[e].get(str(row["_key"]), 0))
                 else:
                     v = row[self._col_name(e)]
                     if e == "_score" and isinstance(v, float):
@@ -2198,6 +2279,7 @@ class ConformanceRunner:
         (``Lexicon.idx.title`` / ``Lexicon.idx[0]``), and ``* weight``."""
         out: list[str] = []
         scorers: set[str] = set()
+        self._mc_lexicon = None  # Lexicon named explicitly in the spec
         for e in (x.strip() for x in spec.split("||")):
             w = None
             m = re.fullmatch(r"(.+?)\s*\*\s*(\d+(?:\.\d+)?)", e)
@@ -2232,6 +2314,12 @@ class ConformanceRunner:
             lex, idx, secname, secnum = m.groups()
             for lx, nm, _fl, _st, srcs in self.index_defs:
                 if lx == lex and nm == idx:
+                    # naming the lexicon picks ITS tokenizer for the match
+                    # even when another index over the same source was
+                    # created later (match_columns/section/by_name/1_item/
+                    # multiple_indexes)
+                    if lex in self.tables:
+                        self._mc_lexicon = self.tables[lex]
                     sources = srcs.split(",")
                     if secname is not None:
                         if secname not in sources:
@@ -2416,6 +2504,15 @@ class ConformanceRunner:
                 q = ast_to_query(child)
             except QueryParseError:
                 return None
+            # keep the dynamic columns that BACK match columns (flattened
+            # nested references like owner.name → __nm0) — dropping them
+            # breaks the branch select and loses branch ordering
+            # (index/nested/match_columns/*/or)
+            mc_cols = {
+                k: v
+                for k, v in (args.get("columns") or {}).items()
+                if k in (args.get("text_cols") or ())
+            }
             sub = dict(
                 args,
                 query=q,
@@ -2424,7 +2521,7 @@ class ConformanceRunner:
                 sortby="_id",
                 offset=0,
                 limit=-1,
-                columns=None,
+                columns=mc_cols or None,
             )
             try:
                 rows = self.ctx.select(table, **sub)["records"].collect()

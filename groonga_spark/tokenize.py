@@ -70,6 +70,14 @@ _NGRAM_VARIANTS: dict[str, tuple[int, tuple, bool]] = {
         ("symbol", "alpha", "digit"),
         True,
     ),
+    # raw modes: an n-gram lexicon with NO normalizer has no character
+    # classes at all — case-sensitive sliding n-grams over the raw text,
+    # blanks included, positions = char offsets
+    # (table_create/default_tokenizer/bigram/default,
+    # select/query_expander/column/*/quoted_or)
+    "unigram_raw": (1, ("symbol", "alpha", "digit"), False),
+    "bigram_raw": (2, ("symbol", "alpha", "digit"), False),
+    "trigram_raw": (3, ("symbol", "alpha", "digit"), False),
 }
 
 ALL_TOKENIZERS = (
@@ -110,6 +118,15 @@ def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[lis
             p = [0, *[x + 1 for x in poss], (poss[-1] + 2) if poss else 1]
             out.append((t, p))
         return out
+    if mode.endswith("_raw"):
+        n = _NGRAM_VARIANTS[mode][0]
+        return [
+            (
+                [(t or "")[i : i + n] for i in range(len(t or ""))],
+                list(range(len(t or ""))),
+            )
+            for t in texts
+        ]
     if mode != "code" and mode not in _NGRAM_VARIANTS:
         raise ValueError(f"unknown tokenizer {mode!r}")
     out: list[tuple[list[str], list[int]]] = []

@@ -55,8 +55,9 @@ class TestVariants:
         assert poss == list(range(len(terms)))
 
     def test_registry_has_all_reference_variants(self):
-        # 10 ngram tokenizers + delimit ×2 + code + TokenRegexp
-        assert len(ALL_TOKENIZERS) == 14
+        # 10 ngram tokenizers + 3 raw (no-normalizer) modes + delimit ×2
+        # + normalized whole-value + code + TokenRegexp
+        assert len(ALL_TOKENIZERS) == 18
 
     def test_regexp_sentinels(self):
         from groonga_spark.tokenize import REGEXP_BEGIN, REGEXP_END
