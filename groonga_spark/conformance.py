@@ -279,6 +279,12 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
         if line.strip().startswith("#@omit"):
             # grntest skips #@omit-marked fixtures entirely
             raise Unsupported(f"omitted fixture: {line.strip()[6:].strip()}")
+        mcp = re.match(r"#@copy-path\s+(\S+)\s+(\S+)", line.strip())
+        if mcp:
+            # grntest copies a fixture file into the test tmp dir (e.g.
+            # the QueryExpanderTSV synonyms file)
+            out.append((line.rstrip(), ["#copy-path", *mcp.groups()], None))
+            continue
         if not line.strip() or line.lstrip().startswith("#"):
             continue
         if not _CMD_RE.match(line):
@@ -801,6 +807,7 @@ class ConformanceRunner:
         # (lexicon, name, flags, src_table, sources) in creation order
         self.index_defs: list[tuple] = []
         self.plugins: list[str] = []  # plugin_register order (dump echoes)
+        self.fixture_files: dict[str, str] = {}  # #@copy-path dst → src
         # grn object ids: every created table/column takes the next id
         # (user objects start at 256 — table_list/column_list output)
         self._next_oid = 256
@@ -1106,6 +1113,26 @@ class ConformanceRunner:
             return {1: "unigram_raw", 2: "bigram_raw", 3: "trigram_raw"}[n]
         return tok
 
+    def _tsv_synonyms(self) -> "dict[str, list[str]] | None":
+        """Synonym mapping from a #@copy-path'd TSV fixture (the
+        QueryExpanderTSV plugin's file format: key TAB snippet TAB …)."""
+        import os
+
+        for _dst, src in self.fixture_files.items():
+            if not src.endswith(".tsv") or not os.path.exists(src):
+                continue
+            mp: dict[str, list[str]] = {}
+            with open(src, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = line.split("\t")
+                    if len(parts) >= 2:
+                        mp[parts[0]] = parts[1:]
+            return mp
+        return None
+
     def _index_posting_counts(
         self, tname: str, t: "_Table", iname: str
     ) -> dict:
@@ -1233,7 +1260,18 @@ class ConformanceRunner:
                     r[n] = d
             for n in time_cols:
                 if isinstance(r.get(n), str):
-                    r[n] = _parse_time(r[n])
+                    s = r[n].strip()
+                    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+                        # numeric strings cast as epoch seconds
+                        # (load/time/cast/string/epoch/*)
+                        r[n] = float(s)
+                    else:
+                        try:
+                            r[n] = _parse_time(s)
+                        except Unsupported:
+                            # "failed to cast to <Time>": value dropped,
+                            # record loads (load/invalid/in_mid_*/scalar)
+                            r.pop(n)
                 elif isinstance(r.get(n), bool):
                     # bool→Time casts through the raw MICROsecond value
                     # (true = 1 µs — load/bool/cast/time expects 1e-06)
@@ -1571,6 +1609,105 @@ class ConformanceRunner:
             cast = ints.get(t.types.get(tgt, ""))
             columns[tgt] = {"value": expr, "cast": cast} if cast else expr
         filt = kw.pop("filter", None)
+        if filt and "QueryExpanderTSV" in filt:
+            # query("cols", "q", "QueryExpanderTSV") — the TSV plugin
+            # (plugins/query_expanders/tsv.c): each query word that is a
+            # first-column key expands to the OR of its row's remaining
+            # columns, each parsed as a query snippet
+            # (select/function/query/query_expander)
+            mapping = self._tsv_synonyms()
+            if mapping is None:
+                raise Unsupported("QueryExpanderTSV without a synonyms file")
+
+            def _rw_tsv(m):
+                cols, q = m.group(1), m.group(2)
+                expanded = re.sub(
+                    r"[\w.-]+",
+                    lambda w: (
+                        "("
+                        + " OR ".join(
+                            f"({x})" for x in mapping[w.group(0)]
+                        )
+                        + ")"
+                        if w.group(0) in mapping
+                        else w.group(0)
+                    ),
+                    q,
+                )
+                return f'query({cols}, "{expanded}")'
+
+            filt = re.sub(
+                r'query\(\s*("(?:[^"\\]|\\.)*")\s*,\s*'
+                r'"((?:[^"\\]|\\.)*)"\s*,\s*"QueryExpanderTSV"\s*\)',
+                _rw_tsv,
+                filt,
+            )
+        # two-hop sub_filter accessor — sub_filter(files.author, "expr"):
+        # the expr runs on the FINAL table (Users), matches map back
+        # through the scalar reference (Files.author) and then through the
+        # outer vector/scalar reference (Packages.files) —
+        # select/function/sub_filter/accessor/scalar
+        if filt and "sub_filter" in filt:
+            m2 = re.search(
+                r'sub_filter\(\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*,\s*'
+                r'"((?:[^"\\]|\\.)*)"\s*\)',
+                filt,
+            )
+            if m2:
+                a, b, inner = m2.groups()
+                rt_name = t.vector_ref_cols.get(a) or t.ref_cols.get(a)
+                rt = self.tables.get(rt_name or "")
+                if rt is not None and b in rt.index_cols:
+                    # index-column accessor hop: the reference's result
+                    # order comes from index-internal set iteration we
+                    # don't reproduce
+                    raise Unsupported("sub_filter over an index accessor")
+                if rt is not None and b in rt.ref_cols:
+                    fin_name = rt.ref_cols[b]
+                    fin = self.tables[fin_name]
+                    if not fin.loaded:
+                        self._ingest(fin_name, [])
+                    inner_expr = inner.replace('\\"', '"')
+                    if any(fin.types.get(n) == "Time" for n, _ in fin.columns):
+                        inner_expr = _TIME_LIT_RE.sub(
+                            lambda m: repr(_parse_time(m.group(1))),
+                            inner_expr,
+                        )
+                    fres = self.ctx.select(
+                        fin_name, filter=inner_expr,
+                        output_columns="_key", offset=0, limit=-1,
+                        id_col="_id",
+                    )
+                    matched_fin = {
+                        str(r["_key"]) for r in fres["records"].collect()
+                    }
+                    mid_keys = {
+                        str(r.get("_key", ""))
+                        for r in rt.rows
+                        if str(r.get(b, "")) in matched_fin
+                    }
+                    if a in t.vector_ref_cols:
+                        outer = [
+                            r for r in t.rows
+                            if any(
+                                str(x) in mid_keys
+                                for x in (r.get(a) or [])
+                            )
+                        ]
+                    else:
+                        outer = [
+                            r for r in t.rows
+                            if str(r.get(a, "")) in mid_keys
+                        ]
+                    keyc = "_key" if t.keyed else "_id"
+                    if outer:
+                        vals = ", ".join(
+                            json.dumps(r.get(keyc)) for r in outer
+                        )
+                        cond = f"in_values({keyc}, {vals})"
+                    else:
+                        cond = "1 == 2"
+                    filt = filt[: m2.start()] + cond + filt[m2.end():]
         # nested index match: ref_col.sub_col runs the match on the
         # REFERENCED table, then maps hits back through the reference —
         # score rides along × the match weight (select/index/nested/*)
@@ -1963,11 +2100,39 @@ class ConformanceRunner:
         # nonexistent output columns are silently DROPPED by the reference
         # (output_columns/nonexistent/*, key/chained_not_exist)
         dotted = re.compile(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
+        dotted3 = re.compile(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
         kept = []
         vec_ref: dict[str, tuple[str, str, dict]] = {}
         for e in entries:
             if ident.fullmatch(e):
                 if e in known:
+                    kept.append(e)
+                continue
+            m3 = dotted3.fullmatch(e)
+            if m3 and m3.group(1) in t.vector_ref_cols:
+                # two-hop vector output (files.author.birthday): per
+                # element, the scalar reference's attribute
+                # (sub_filter/accessor/scalar output_columns)
+                ref = self.tables[t.vector_ref_cols[m3.group(1)]]
+                mid, attr = m3.group(2), m3.group(3)
+                if mid in ref.ref_cols and (
+                    attr == "_key"
+                    or attr in self.tables[ref.ref_cols[mid]].types
+                ):
+                    fin = self.tables[ref.ref_cols[mid]]
+                    fin_lut = {
+                        str(r.get("_key", "")): (
+                            r.get("_key") if attr == "_key" else r.get(attr)
+                        )
+                        for r in fin.rows
+                    }
+                    lut = {
+                        str(r.get("_key", "")): fin_lut.get(
+                            str(r.get(mid, ""))
+                        )
+                        for r in ref.rows
+                    }
+                    vec_ref[e] = (m3.group(1), attr, lut)
                     kept.append(e)
                 continue
             m = dotted.fullmatch(e)
@@ -2771,6 +2936,13 @@ class ConformanceRunner:
             norm_cmd = re.sub(r"\s+", " ", raw.strip())
             raw = (norm_cmd, occ.setdefault(norm_cmd, 0))
             occ[norm_cmd] += 1
+            if name == "#copy-path":
+                import os as _os
+
+                self.fixture_files[argv[2]] = _os.path.join(
+                    INCLUDE_BASE, argv[1]
+                )
+                continue  # directive: no recorded response
             if name == "table_create":
                 ok = self.table_create(argv)
                 out[raw] = _Resp(True if ok is not False else "ERROR")
