@@ -1609,6 +1609,7 @@ class ConformanceRunner:
             cast = ints.get(t.types.get(tgt, ""))
             columns[tgt] = {"value": expr, "cast": cast} if cast else expr
         filt = kw.pop("filter", None)
+        nested_scores = None  # (key_col, {key: score}) applied post-fetch
         if filt and "QueryExpanderTSV" in filt:
             # query("cols", "q", "QueryExpanderTSV") — the TSV plugin
             # (plugins/query_expanders/tsv.c): each query word that is a
@@ -1662,56 +1663,84 @@ class ConformanceRunner:
                     # order comes from index-internal set iteration we
                     # don't reproduce
                     raise Unsupported("sub_filter over an index accessor")
-                if rt is not None and b in rt.ref_cols:
-                    fin_name = rt.ref_cols[b]
+                if rt is not None and (
+                    b in rt.ref_cols or b in rt.vector_ref_cols
+                ):
+                    fin_name = rt.ref_cols.get(b) or rt.vector_ref_cols[b]
                     fin = self.tables[fin_name]
                     if not fin.loaded:
                         self._ingest(fin_name, [])
                     inner_expr = inner.replace('\\"', '"')
-                    if any(fin.types.get(n) == "Time" for n, _ in fin.columns):
-                        inner_expr = _TIME_LIT_RE.sub(
-                            lambda m: repr(_parse_time(m.group(1))),
-                            inner_expr,
-                        )
-                    fres = self.ctx.select(
-                        fin_name, filter=inner_expr,
-                        output_columns="_key", offset=0, limit=-1,
-                        id_col="_id",
+                    qm = re.fullmatch(
+                        r'\s*query\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*'
+                        r'"((?:[^"\\]|\\.)*)"\s*\)\s*',
+                        inner_expr,
                     )
-                    matched_fin = {
-                        str(r["_key"]) for r in fres["records"].collect()
-                    }
-                    mid_keys = {
-                        str(r.get("_key", ""))
-                        for r in rt.rows
-                        if str(r.get(b, "")) in matched_fin
-                    }
-                    if a in t.vector_ref_cols:
-                        outer = [
-                            r for r in t.rows
-                            if any(
-                                str(x) in mid_keys
-                                for x in (r.get(a) or [])
-                            )
-                        ]
+                    if qm:
+                        # nested query(): run the final table's own select
+                        # (index-named weighted match columns resolve
+                        # there), scores ride back through the references
+                        # (select/function/query/nested_index: 20·tf+5·tf)
+                        res = self.select([
+                            "select", fin_name,
+                            "--match_columns", qm.group(1),
+                            "--query", qm.group(2),
+                            "--output_columns", "_key,_score",
+                            "--limit", "-1",
+                        ])
+                        matched_map = {
+                            str(r[0]): float(r[1]) for r in res[0][2]
+                        }
                     else:
-                        outer = [
-                            r for r in t.rows
-                            if str(r.get(a, "")) in mid_keys
-                        ]
+                        if any(
+                            fin.types.get(n) == "Time"
+                            for n, _ in fin.columns
+                        ):
+                            inner_expr = _TIME_LIT_RE.sub(
+                                lambda m: repr(_parse_time(m.group(1))),
+                                inner_expr,
+                            )
+                        fres = self.ctx.select(
+                            fin_name, filter=inner_expr,
+                            output_columns="_key", offset=0, limit=-1,
+                            id_col="_id",
+                        )
+                        matched_map = {
+                            str(r["_key"]): 1.0
+                            for r in fres["records"].collect()
+                        }
+                    mid_score: dict[str, float] = {}
+                    for r in rt.rows:
+                        mv = r.get(b)
+                        elems = mv if isinstance(mv, list) else [mv]
+                        s = sum(
+                            matched_map.get(str(x), 0.0) for x in elems
+                        )
+                        if s:
+                            mid_score[str(r.get("_key", ""))] = s
                     keyc = "_key" if t.keyed else "_id"
-                    if outer:
+                    outer_score: dict[str, float] = {}
+                    for r in t.rows:
+                        ov = r.get(a)
+                        elems = ov if isinstance(ov, list) else [ov]
+                        s = sum(mid_score.get(str(x), 0.0) for x in elems)
+                        if s:
+                            outer_score[str(r.get(keyc))] = s
+                    if outer_score:
                         vals = ", ".join(
-                            json.dumps(r.get(keyc)) for r in outer
+                            json.dumps(r.get(keyc))
+                            for r in t.rows
+                            if str(r.get(keyc)) in outer_score
                         )
                         cond = f"in_values({keyc}, {vals})"
                     else:
                         cond = "1 == 2"
                     filt = filt[: m2.start()] + cond + filt[m2.end():]
+                    if qm and nested_scores is None:
+                        nested_scores = (keyc, outer_score)
         # nested index match: ref_col.sub_col runs the match on the
         # REFERENCED table, then maps hits back through the reference —
         # score rides along × the match weight (select/index/nested/*)
-        nested_scores = None
         # weight vector match: a --query term over a WITH_WEIGHT vector
         # column scores (stored weight + 1) × match-column weight per
         # matching element (select/match_columns/weight/weight_vector,
@@ -2115,23 +2144,41 @@ class ConformanceRunner:
                 # (sub_filter/accessor/scalar output_columns)
                 ref = self.tables[t.vector_ref_cols[m3.group(1)]]
                 mid, attr = m3.group(2), m3.group(3)
-                if mid in ref.ref_cols and (
-                    attr == "_key"
-                    or attr in self.tables[ref.ref_cols[mid]].types
+                fin_name = ref.ref_cols.get(mid) or ref.vector_ref_cols.get(
+                    mid
+                )
+                if fin_name and (
+                    attr == "_key" or attr in self.tables[fin_name].types
                 ):
-                    fin = self.tables[ref.ref_cols[mid]]
+                    fin = self.tables[fin_name]
+                    dfl = {"string": "", "long": 0, "double": 0.0,
+                           "boolean": False}
+                    fdef = dfl.get(dict(fin.columns).get(attr, "string"), "")
                     fin_lut = {
                         str(r.get("_key", "")): (
-                            r.get("_key") if attr == "_key" else r.get(attr)
+                            r.get("_key") if attr == "_key"
+                            else r.get(attr, fdef)
                         )
                         for r in fin.rows
                     }
-                    lut = {
-                        str(r.get("_key", "")): fin_lut.get(
-                            str(r.get(mid, ""))
-                        )
-                        for r in ref.rows
-                    }
+                    if mid in ref.vector_ref_cols:
+                        # vector mid-hop (blogs.entries.content): each
+                        # element maps to the LIST of its sub-elements'
+                        # values (select/function/query/nested_index)
+                        lut = {
+                            str(r.get("_key", "")): [
+                                fin_lut.get(str(x), fdef)
+                                for x in (r.get(mid) or [])
+                            ]
+                            for r in ref.rows
+                        }
+                    else:
+                        lut = {
+                            str(r.get("_key", "")): fin_lut.get(
+                                str(r.get(mid, ""))
+                            )
+                            for r in ref.rows
+                        }
                     vec_ref[e] = (m3.group(1), attr, lut)
                     kept.append(e)
                 continue
