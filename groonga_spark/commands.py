@@ -76,6 +76,8 @@ class CommandContext:
         # table → {local_col: (foreign_table, foreign_key)} — the Groonga
         # reference-column schema made explicit (parquet has no FK metadata)
         self._refs: dict[str, dict[str, tuple[str, str]]] = {}
+        # table → terms whose LEXICON record was deleted (postings gone)
+        self._deleted_terms: dict[str, set] = {}
 
     def set_reference(
         self,
@@ -313,6 +315,16 @@ class CommandContext:
         ]:
             self._engines.pop(k, None)
 
+    def delete_terms(self, table: str, terms) -> None:
+        """Deleting a LEXICON record drops its postings (grn lexicon↔index
+        coupling): record the terms; every engine over ``table`` hides them
+        from its dictionary, so query-time token resolution treats them as
+        unindexed (delete/index/have_tokenizer)."""
+        self._deleted_terms.setdefault(table, set()).update(
+            str(t) for t in terms
+        )
+        self._drop_engines(table)
+
     def _get_engine(
         self, table, df, text_cols, tokenizer, id_col,
         token_filters=(), stopwords=frozenset(),
@@ -337,6 +349,13 @@ class CommandContext:
                 token_filters=tuple(token_filters),
                 stopwords=frozenset(stopwords),
             )
+            dele = self._deleted_terms.get(table)
+            if dele:
+                from pyspark.sql import functions as F
+
+                hide = ~F.col("term").isin(sorted(dele))
+                eng.index.dictionary = eng.index.dictionary.filter(hide)
+                eng.index.postings = eng.index.postings.filter(hide)
             if table in self._engines:
                 self._engines[(table, tokenizer)] = eng
             else:

@@ -811,6 +811,10 @@ class ConformanceRunner:
         # grn object ids: every created table/column takes the next id
         # (user objects start at 256 — table_list/column_list output)
         self._next_oid = 256
+        # ``truncate Lexicon.index_col`` drops that index's postings while
+        # the lexicon keys stay: source _ids whose postings were cleared,
+        # keyed (lexicon, index column) (truncate/column/index)
+        self.trunc_index_ids: dict[tuple[str, str], set] = {}
 
     def _alloc_oid(self) -> int:
         oid = self._next_oid
@@ -1136,10 +1140,15 @@ class ConformanceRunner:
     def _index_posting_counts(
         self, tname: str, t: "_Table", iname: str
     ) -> dict:
-        """Per-key posting count of a lexicon's index column — the value
-        an index column renders as in select output (grn_ii_estimate_size
-        per key; delete/index/fix_size_column).  Counts source RECORDS per
-        key (df, not tf); deleted records drop out while the key stays."""
+        """Per-key value a lexicon's INDEX column renders as in select
+        output: grn_ii_estimate_size (ii.c:4470).  A single inline posting
+        (df 1, tf 1) reads 1; a buffered term reads
+        ``a[1] + size_in_buffer + 2`` where size_in_buffer counts buffer
+        RECORDS (one per record×section insertion, ii.c:2050) and a[1] is
+        the stale first-inline position — the first posting's token
+        position when WITH_POSITION and that posting had tf 1, else 0
+        (token_filters/stem/all_upper: I→4, DEVELOP→7, GROONGA→8;
+        delete/index/fix_size_column: df 1 → 1, deleted → 0)."""
         entry = next(
             (
                 d for d in self.index_defs
@@ -1149,33 +1158,60 @@ class ConformanceRunner:
         )
         if entry is None:
             return {}
-        _lex, _n, _fl, src, sources = entry
+        _lex, _n, fl, src, sources = entry
         st = self.tables.get(src)
         if st is None:
             return {}
-        lut: dict[str, int] = {}
-        for r in st.rows:
-            keys: set[str] = set()
+        excluded = self.trunc_index_ids.get((tname, iname), set())
+        with_pos = "WITH_POSITION" in fl
+        apply_stem = "TokenFilterStem" in t.token_filters
+        from .tokenize import tokenize as _tok_pc
+        if apply_stem:
+            from .stem import stem_token as _stem_pc
+
+        # key -> [n_records, first_pos, tf_of_first_record]
+        stats: dict[str, list[int]] = {}
+        for r in st.rows:  # insertion (= id) order for these scripts
+            if r.get("_id") in excluded:
+                continue
             for sc in sources.split(","):
                 v = r.get("_key") if sc == "_key" else r.get(sc)
                 vals = list(v) if isinstance(v, (list, dict)) else [v]
+                # one grn_ii_update_one per record×section → one buffer
+                # record per key here, however many occurrences (tf)
+                per: dict[str, tuple[int, int]] = {}
                 for x in vals:
                     if x in (None, ""):
                         continue
                     if t.lex_tokenizer:
-                        from .tokenize import tokenize as _tok_pc
-
-                        keys |= {
-                            str(tk) for tk, _p in _tok_pc(
+                        toks = [
+                            (str(tk), p) for tk, p in _tok_pc(
                                 str(x), self._lex_engine_tokenizer(t)
                             )
-                        }
+                        ]
+                        if apply_stem:
+                            toks = [(_stem_pc(tk), p) for tk, p in toks]
                     elif t.key_normalize and isinstance(x, str):
-                        keys.add(_norm_key(x))
+                        toks = [(_norm_key(x), 0)]
                     else:
-                        keys.add(str(x))
-            for k in keys:
-                lut[k] = lut.get(k, 0) + 1
+                        toks = [(str(x), 0)]
+                    for tk, p in toks:
+                        if tk in per:
+                            per[tk] = (per[tk][0], per[tk][1] + 1)
+                        else:
+                            per[tk] = (p, 1)
+                for tk, (fp, tf) in per.items():
+                    s = stats.get(tk)
+                    if s is None:
+                        stats[tk] = [1, fp, tf]
+                    else:
+                        s[0] += 1
+        lut: dict[str, int] = {}
+        for tk, (n, fp, tf1) in stats.items():
+            if n == 1 and tf1 == 1:
+                lut[tk] = 1
+            else:
+                lut[tk] = (fp if (with_pos and tf1 == 1) else 0) + n + 2
         return lut
 
     def _index_autoregister(self, table: str, rows: list[dict]) -> None:
@@ -1210,6 +1246,10 @@ class ConformanceRunner:
                                     self._lex_engine_tokenizer(lt),
                                 )
                             ]
+                            if "TokenFilterStem" in lt.token_filters:
+                                from .stem import stem_token as _stem_ar
+
+                                toks = [_stem_ar(tk) for tk in toks]
                         elif lt.key_normalize and isinstance(x, str):
                             toks = [_norm_key(x)]
                         else:
@@ -3820,6 +3860,23 @@ class ConformanceRunner:
             # type default, records stay (truncate/column/*)
             table, col = table.split(".", 1)
             t = self.tables.get(table)
+            if t is not None and col in t.index_cols:
+                # truncating an INDEX column clears its postings; the
+                # lexicon keys stay and render 0 (truncate/column/index)
+                entry = next(
+                    (
+                        d for d in self.index_defs
+                        if d[0] == table and d[1] == col
+                    ),
+                    None,
+                )
+                if entry is None:
+                    return _Resp("ERROR")
+                src = self.tables.get(entry[3])
+                self.trunc_index_ids[(table, col)] = (
+                    {r.get("_id") for r in src.rows} if src else set()
+                )
+                return _Resp(True)
             if t is None or col not in t.types:
                 return _Resp("ERROR")
             for r in t.rows:
@@ -3872,9 +3929,14 @@ class ConformanceRunner:
         t.rows = [r for r in t.rows if r["_id"] in remaining]
         if t.keyed:
             t.keys = [str(r.get("_key", "")) for r in t.rows]
-            self._clear_refs(
-                table, {str(r.get("_key", "")) for r in gone}
-            )
+            gone_keys = {str(r.get("_key", "")) for r in gone}
+            self._clear_refs(table, gone_keys)
+            # deleting a LEXICON record drops the term's postings with it:
+            # a later --query for that term finds nothing
+            # (delete/index/have_tokenizer)
+            for lex, _n, _f, src, _s in self.index_defs:
+                if lex == table and gone_keys:
+                    self.ctx.delete_terms(src, gone_keys)
         return _Resp(True)
 
     def dump_cmd(self, argv) -> _Resp:
@@ -4087,6 +4149,11 @@ class ConformanceRunner:
 
 def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
     """Replay one ``.test``; → list of (command, ours, theirs, match)."""
+    import shutil
+
+    # a reused db_path (sweep reruns) must start empty — stale parquet from
+    # an earlier fixture would merge into same-named tables
+    shutil.rmtree(db_path, ignore_errors=True)
     runner = ConformanceRunner(spark, db_path)
     got = runner.run(test_text)
     exp = parse_expected(

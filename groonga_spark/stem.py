@@ -147,6 +147,33 @@ def stem(word: str) -> str:
     return w
 
 
+def _is_stemmable(t: str) -> bool:
+    """The reference filter only stems tokens of ASCII alphanumerics plus
+    ``'`` and ``-`` (stem.c:70-115 is_stemmable)."""
+    return bool(t) and all(
+        c.isascii() and (c.isalnum() or c in "'-") for c in t
+    )
+
+
+def stem_token(t: str) -> str:
+    """Stem one token with the reference filter's semantics
+    (stem.c:172-233 stem_filter): non-stemmable tokens pass through; an
+    ALL-UPPERCASE token is lowercased, stemmed, and re-uppercased
+    (stem.c normalize/unnormalize); libstemmer's English (Porter2)
+    apostrophe prelude strips a trailing ``'s'``/``'s``/``'``."""
+    if not _is_stemmable(t):
+        return t
+    has_upper = any(c.isupper() for c in t)
+    all_upper = has_upper and not any(c.islower() for c in t)
+    w = t.lower() if all_upper else t
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: len(w) - len(suf)]
+            break
+    w = stem(w)
+    return w.upper() if all_upper else w
+
+
 def stem_terms(terms: list[str]) -> list[str]:
-    """Stem a token list; non-alpha tokens pass through unchanged."""
-    return [stem(t) if t.isalpha() and t.isascii() else t for t in terms]
+    """Stem a token list; non-stemmable tokens pass through unchanged."""
+    return [stem_token(t) for t in terms]
