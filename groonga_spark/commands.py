@@ -34,6 +34,28 @@ from .query.script import (
 # Column predicate but rides the same path for uniform scoring
 _SELECTOR_RE = re.compile(r"\b(sub_filter|query)\s*\(|\*[NS]\b")
 
+
+def _split_sort_keys(sortby: str) -> list[str]:
+    """Split a --sortby list on TOP-LEVEL commas only — an expression key
+    like ``geo_distance(point, "0x0")`` keeps its internal commas."""
+    parts, depth, start = [], 0, 0
+    in_str: str | None = None
+    for i, ch in enumerate(sortby):
+        if in_str:
+            if ch == in_str and sortby[i - 1] != "\\":
+                in_str = None
+        elif ch in "\"'":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(sortby[start:i])
+            start = i + 1
+    parts.append(sortby[start:])
+    return [p for p in parts if p.strip()]
+
 _ADJUSTER_RE = re.compile(
     r'\s*(\w+)\s*@\s*"((?:[^"\\]|\\.)*)"\s*(?:\*\s*(\d+(?:\.\d+)?))?\s*'
 )
@@ -391,6 +413,7 @@ class CommandContext:
         noindex_cols: "list[str] | None" = None,
         token_filters: tuple = (),
         stopwords=frozenset(),
+        geo_cols: "dict[str, str] | None" = None,
     ) -> dict:
         """The ``select`` command: fulltext --query via the inverted-index
         engine, --filter via the script compiler, then sort/offset/limit,
@@ -416,7 +439,7 @@ class CommandContext:
                   repr(adjuster), match_escalation_threshold,
                   repr(query_expander), query_flags, repr(scan_columns),
                   repr(array_match), repr(token_filters),
-                  repr(sorted(stopwords)))
+                  repr(sorted(stopwords)), repr(geo_cols))
             hit = self._select_cache.get(ck)
             if hit is not None:
                 self._select_cache.move_to_end(ck)  # LRU touch
@@ -429,7 +452,7 @@ class CommandContext:
         # Catalyst Column (whole-stage codegen, pushdown-friendly)
         for cname, spec in (columns or {}).items():
             value = spec["value"] if isinstance(spec, dict) else spec
-            col = parse_filter(value)
+            col = parse_filter(value, geo_cols=geo_cols)
             if isinstance(spec, dict) and spec.get("cast"):
                 # integer-typed assignment truncates to the column's
                 # storage type (select --scorer 'output /= value')
@@ -515,6 +538,7 @@ class CommandContext:
                         else (scan_columns or ())
                     ),
                     tables=table_resolver,
+                    geo_cols=geo_cols,
                 )
                 wants_score = "_score" in (output_columns or "") or (
                     "_score" in (sortby or "")
@@ -524,7 +548,8 @@ class CommandContext:
                 df = df.drop("__fscore")
             else:
                 cond, fscore = parse_filter_scored(
-                    filter, array_cols=array_match, tables=table_resolver
+                    filter, array_cols=array_match, tables=table_resolver,
+                    geo_cols=geo_cols,
                 )
                 if fscore is not None:
                     # boolean expression of match/comparison atoms: the
@@ -576,12 +601,18 @@ class CommandContext:
 
         if sortby:
             keys = []
-            for part in sortby.split(","):
+            for part in _split_sort_keys(sortby):
                 part = part.strip()
                 desc = part.startswith("-")
                 name = part.lstrip("+-")
-                name = {"_score": "score", "_id": id_col}.get(name, name)
-                keys.append(F.col(name).desc() if desc else F.col(name).asc())
+                if "(" in name:
+                    # expression sort key (--sortby 'geo_distance(point,
+                    # "0x0")' — grn_table_sort on an expr key)
+                    key = parse_filter(name, geo_cols=geo_cols)
+                else:
+                    name = {"_score": "score", "_id": id_col}.get(name, name)
+                    key = F.col(name)
+                keys.append(key.desc() if desc else key.asc())
             df = df.orderBy(*keys)
         page = df.offset(offset).limit(limit) if offset else df.limit(limit)
 

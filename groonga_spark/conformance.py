@@ -61,6 +61,9 @@ TYPE_MAP = {
     "Float": "double",
     "Bool": "boolean",
     "Time": "double",
+    # geo points live as their canonical "latxlng" msec text (geo.py)
+    "TokyoGeoPoint": "string",
+    "WGS84GeoPoint": "string",
 }
 
 # reference tokenizer name → our registry key (tokenize.py)
@@ -1274,6 +1277,17 @@ class ConformanceRunner:
                 if "_key" in r:
                     r["_key"] = _norm_key(str(r["_key"]))
         time_cols = [n for n, ty in t.columns if t.types.get(n) == "Time"]
+        geo_cols = [
+            n for n, ty in t.columns
+            if t.types.get(n) in ("TokyoGeoPoint", "WGS84GeoPoint")
+        ]
+        if t.keyed and t.key_gtype in ("TokyoGeoPoint", "WGS84GeoPoint"):
+            # geo-keyed trie: keys canonicalize to msec form
+            from . import geo as _geo
+
+            for r in rows:
+                if "_key" in r:
+                    r["_key"] = _geo.canonical(str(r["_key"]))
         for r in rows:
             for n in list(r):
                 if n in ("_key", "_id") or not isinstance(r[n], dict):
@@ -1316,12 +1330,26 @@ class ConformanceRunner:
                     # bool→Time casts through the raw MICROsecond value
                     # (true = 1 µs — load/bool/cast/time expects 1e-06)
                     r[n] = (1.0 if r[n] else 0.0) / 1e6
+            for n in geo_cols:
+                # text → geo point canonical msec form; any other source
+                # type (or a bad string) fails the cast and stores the
+                # type default "0x0" (load/bool/cast/tokyo_geo_point)
+                if n in r:
+                    from . import geo as _geo
+
+                    try:
+                        r[n] = _geo.canonical(str(r[n])) if isinstance(
+                            r[n], str
+                        ) else "0x0"
+                    except _geo.GeoParseError:
+                        r[n] = "0x0"
             for n, ty in t.columns:
                 if (
                     r.get(n) is not None
                     and n not in t.ref_cols
                     and n not in t.vector_ref_cols
                     and n not in t.weight_vector_cols
+                    and n not in geo_cols
                 ):
                     r[n] = _cast_load_value(r[n], ty)
             for v in r.values():
@@ -1922,6 +1950,16 @@ class ConformanceRunner:
         # the key trie (key prefix/suffix search), never the fulltext
         # lexicon — our endswith/startswith scan reproduces those results
         key_scan = ["_key"] if t.keyed and t.key_type == "string" else []
+        _geo_domain = {"WGS84GeoPoint": "wgs84", "TokyoGeoPoint": "tokyo"}
+        geo_cols = {
+            n: _geo_domain[g]
+            for n, g in t.types.items()
+            if g in _geo_domain
+        }
+        if t.keyed and t.key_gtype in _geo_domain:
+            geo_cols["_key"] = _geo_domain[t.key_gtype]
+        if geo_cols:
+            args["geo_cols"] = geo_cols
         if t.vector_cols:
             # vector (tag) columns: match ops evaluate per element; an
             # index over the vector makes `@` an exact element lookup

@@ -85,12 +85,40 @@ class _Arr:
         self.exact = exact
 
 
+class _Geo:
+    """A reference to a geo-point column (canonical ``"latxlng"`` msec
+    string, see :mod:`groonga_spark.geo`); carries the point's datum so
+    geo_distance()'s ellipsoid constants follow the column type."""
+
+    __slots__ = ("col", "domain")
+
+    def __init__(self, col: Column, domain: str):
+        self.col = col
+        self.domain = domain
+
+
+class _GrnBool:
+    """A Groonga-boolean function result usable BOTH as a filter condition
+    and as a number (``geo_in_rectangle(...) > 0`` — grn bools compare as
+    1/0; Spark won't compare boolean with int)."""
+
+    __slots__ = ("cond",)
+
+    def __init__(self, cond: Column):
+        self.cond = cond
+
+
 def _c(x) -> Column:
     """Lift a raw python literal to a Column; pass Columns through."""
     if isinstance(x, _Scored):
         return x.cond
     if isinstance(x, _Arr):
         return x.col
+    if isinstance(x, _Geo):
+        return x.col
+    if isinstance(x, _GrnBool):
+        # numeric context: grn bool is 1/0 (geo_in_*(…) > 0)
+        return x.cond.cast("int")
     return x if isinstance(x, Column) else F.lit(x)
 
 
@@ -100,6 +128,8 @@ def _cond(x) -> Column:
     # no-tag record too)
     if isinstance(x, _Arr):
         return F.lit(True)
+    if isinstance(x, _GrnBool):
+        return x.cond
     return _c(x)
 
 
@@ -156,10 +186,94 @@ def lift(atom):
     return _c(atom)
 
 
+def _geo_pt(a, name):
+    """Literal arg → (lat, lng) msec; parse errors surface as script
+    errors (the reference select answers rc<0 on a bad cast)."""
+    from .. import geo as _geo
+
+    if isinstance(a, str):
+        try:
+            return _geo.parse_geopoint(a)
+        except _geo.GeoParseError as e:
+            raise ScriptSyntaxError(str(e))
+    raise ScriptSyntaxError(f"{name} expects a geo point literal")
+
+
+def _geo_latlng(a):
+    """Column-ish arg → (lat Column, lng Column, domain) or None."""
+    from .. import geo as _geo
+
+    if isinstance(a, _Geo):
+        lat, lng = _geo.lat_lng(a.col)
+        return lat, lng, a.domain
+    if isinstance(a, Column):
+        lat, lng = _geo.lat_lng(a)
+        return lat, lng, "wgs84"
+    return None
+
+
+def _geo_call(name, *args):
+    """geo_distance / geo_in_circle / geo_in_rectangle
+    (lib/geo.c:2083-2570, proc registrations proc.c:7036-7052)."""
+    from .. import geo as _geo
+
+    def approx_of(a):
+        ap = _geo.APPROX_NAMES.get(a if isinstance(a, str) else None)
+        if ap is None:
+            raise ScriptSyntaxError(
+                f"geo distance approximate type must be one of "
+                f"[rectangle, rect, sphere, sphr, ellipsoid, ellip]: {a!r}"
+            )
+        return ap
+
+    if name == "geo_distance":
+        if not 2 <= len(args) <= 3:
+            raise ScriptSyntaxError("geo_distance takes 2 or 3 arguments")
+        approx = approx_of(args[2]) if len(args) == 3 else "rectangle"
+        c = _geo_latlng(args[0])
+        if c is not None:
+            lat, lng, domain = c
+            return _geo.distance_col(
+                lat, lng, _geo_pt(args[1], name), approx, domain
+            )
+        return F.lit(_geo.distance_py(
+            _geo_pt(args[0], name), _geo_pt(args[1], name), approx
+        ))
+    if name == "geo_in_rectangle":
+        if len(args) != 3:
+            raise ScriptSyntaxError("geo_in_rectangle takes 3 arguments")
+        tl, br = _geo_pt(args[1], name), _geo_pt(args[2], name)
+        c = _geo_latlng(args[0])
+        if c is None:
+            p = _geo_pt(args[0], name)
+            return _GrnBool(F.lit(_geo.in_rectangle_py(p, tl, br)))
+        lat, lng, _dom = c
+        return _GrnBool(_geo.in_rectangle_col(lat, lng, tl, br))
+    # geo_in_circle(point, center, radius_or_point[, approx])
+    if not 3 <= len(args) <= 4:
+        raise ScriptSyntaxError("geo_in_circle takes 3 or 4 arguments")
+    approx = approx_of(args[3]) if len(args) == 4 else "rectangle"
+    center = _geo_pt(args[1], name)
+    radius = args[2]
+    if isinstance(radius, str):
+        radius = _geo_pt(radius, name)
+    elif not isinstance(radius, (int, float)) or isinstance(radius, bool):
+        raise ScriptSyntaxError("geo_in_circle radius must be a literal")
+    c = _geo_latlng(args[0])
+    if c is None:
+        p = _geo_pt(args[0], name)
+        return _GrnBool(F.lit(_geo.in_circle_py(p, center, radius, approx)))
+    lat, lng, domain = c
+    return _GrnBool(_geo.in_circle_col(lat, lng, center, radius, approx, domain))
+
+
 # registered scalar functions (lib/proc.c:6910-7000 registry analogue)
 def _fn_registry():
     return {
         **_EXTRA_FNS,
+        "geo_distance": lambda *a: _geo_call("geo_distance", *a),
+        "geo_in_circle": lambda *a: _geo_call("geo_in_circle", *a),
+        "geo_in_rectangle": lambda *a: _geo_call("geo_in_rectangle", *a),
         # between's borders and in_values' value list need RAW python
         # values; everything else lifts its args to Columns
         "edit_distance": lambda a, b: gf.edit_distance(_c(a), _c(b)),
@@ -247,6 +361,7 @@ class _P:
         scored: bool = False,
         array_cols: "dict[str, bool] | None" = None,
         tables=None,
+        geo_cols: "dict[str, str] | None" = None,
     ):
         self.t = toks
         self.i = 0
@@ -259,6 +374,8 @@ class _P:
         # suite/select/filter/record/key/*: Keywords["groonga"].label):
         # callable name → (df, key_col, key_normalized) or None
         self.tables = tables
+        # geo-point column name → datum ("wgs84" | "tokyo")
+        self.geo_cols = geo_cols or {}
 
     def peek(self):
         return self.t[self.i] if self.i < len(self.t) else None
@@ -381,6 +498,8 @@ class _P:
                     return self._record_literal(tok, spec)
             if tok in self.array_cols:
                 return _Arr(F.col(tok), self.array_cols[tok])
+            if tok in self.geo_cols:
+                return _Geo(F.col(tok), self.geo_cols[tok])
             return F.col(tok)
         raise ScriptSyntaxError(f"unexpected token {tok!r}")
 
@@ -731,15 +850,20 @@ def parse_filter(
     src: str,
     array_cols: "dict[str, bool] | None" = None,
     tables=None,
+    geo_cols: "dict[str, str] | None" = None,
 ) -> Column:
     """Compile a ``--filter`` script expression to a Spark Column."""
-    return _P(_tokenize(src), array_cols=array_cols, tables=tables).parse()
+    return _P(
+        _tokenize(src), array_cols=array_cols, tables=tables,
+        geo_cols=geo_cols,
+    ).parse()
 
 
 def parse_filter_scored(
     src: str,
     array_cols: "dict[str, bool] | None" = None,
     tables=None,
+    geo_cols: "dict[str, str] | None" = None,
 ) -> "tuple[Column, Column | None]":
     """Compile a ``--filter`` expression to ``(condition, score)`` —
     the score is the reference's result-set accumulation (each satisfied
@@ -747,7 +871,8 @@ def parse_filter_scored(
     sums both sides, AND_NOT keeps the left side).  ``None`` score means
     the expression is a bare value with no atoms (truthiness semantics)."""
     return _P(
-        _tokenize(src), scored=True, array_cols=array_cols, tables=tables
+        _tokenize(src), scored=True, array_cols=array_cols, tables=tables,
+        geo_cols=geo_cols,
     ).parse_scored()
 
 
@@ -782,6 +907,7 @@ def parse_filter_plan_scored(
     scorer=None,
     scan_cols=None,
     tables=None,
+    geo_cols: "dict[str, str] | None" = None,
 ):
     """Like :func:`parse_filter_plan` but in scored mode: the returned
     frame carries a ``__fscore`` column with the result-set score
@@ -789,17 +915,20 @@ def parse_filter_plan_scored(
     every other satisfied atom contributes 1)."""
     out, score = _plan_apply(
         src, df, id_col, engine, refs, scored=True, scorer=scorer,
-        scan_cols=scan_cols, tables=tables,
+        scan_cols=scan_cols, tables=tables, geo_cols=geo_cols,
     )
     return out
 
 
 def _plan_apply(
     src, df, id_col, engine, refs, scored, scorer=None,
-    scan_cols=None, tables=None,
+    scan_cols=None, tables=None, geo_cols=None,
 ):
     ctx = _PlanCtx(df, id_col, engine, refs, scorer=scorer, scan_cols=scan_cols)
-    p = _P(_tokenize(src), plan_ctx=ctx, scored=scored, tables=tables)
+    p = _P(
+        _tokenize(src), plan_ctx=ctx, scored=scored, tables=tables,
+        geo_cols=geo_cols,
+    )
     if scored:
         cond, score = p.parse_scored()
     else:
