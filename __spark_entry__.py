@@ -654,6 +654,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edit_distance(F.col("n_name"), F.lit("NATION_1")).cast("long").alias("dist"),
         )
 
+    def _geo_points(spark, sf):
+        # deterministic synthetic geo column over customer: both
+        # hemispheres, full longitude range (msec of arc, geo.py)
+        return (
+            _read(spark, sf, "customer")
+            .withColumn(
+                "lat",
+                (F.col("c_custkey") * 7919) % F.lit(648000001)
+                - F.lit(324000000),
+            )
+            .withColumn(
+                "lng",
+                (F.col("c_custkey") * 104729) % F.lit(1295999999)
+                - F.lit(647999999),
+            )
+            .withColumn("point", F.concat_ws("x", "lat", "lng"))
+        )
+
+    def geo_in_rectangle_q(spark, sf):
+        # geo_in_rectangle through the --filter script path
+        # (grn_geo_in_rectangle_raw, lib/geo.c:2151)
+        from groonga_spark.query.script import parse_filter
+
+        df = _geo_points(spark, sf)
+        cond = parse_filter(
+            'geo_in_rectangle(point, "80.0x-100.0", "-80.0x100.0")',
+            geo_cols={"point": "wgs84"},
+        )
+        return (
+            df.filter(cond != 0)
+            .select("c_custkey", "point")
+            .orderBy("c_custkey")
+        )
+
+    def geo_distance_q(spark, sf):
+        # rectangle-approximation distance sort (grn_geo_distance_rectangle
+        # lib/geo.c:2424; the symmetric reduction in geo.py) — nearest 20
+        # customers to Tokyo Tocho, antimeridian wrap included
+        from groonga_spark import geo
+
+        df = _geo_points(spark, sf)
+        center = geo.parse_geopoint("128429532x503148672")
+        d = geo.distance_col(
+            F.col("lat"), F.col("lng"), center, "rectangle"
+        )
+        return (
+            df.select("c_custkey", d.alias("d"))
+            .orderBy(F.col("d").asc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select("c_custkey", F.round("d", 1).alias("dist_m"))
+        )
+
+    def geo_in_circle_q(spark, sf):
+        # geo_in_circle with a numeric radius (grn_geo_in_circle,
+        # lib/geo.c:2083): membership count per hemisphere
+        from groonga_spark import geo
+
+        df = _geo_points(spark, sf)
+        center = geo.parse_geopoint("0x0")
+        inside = geo.in_circle_col(
+            F.col("lat"), F.col("lng"), center, 5.0e6, "sphere"
+        )
+        return (
+            df.filter(inside)
+            .withColumn(
+                "hemi", F.when(F.col("lat") >= 0, "N").otherwise("S")
+            )
+            .groupBy("hemi")
+            .agg(F.count("*").alias("n"))
+            .orderBy("hemi")
+        )
+
     def filter_sub_filter_q(spark, sf):
         # sub_filter as a --filter SCRIPT function (func_sub_filter,
         # proc.c:5269): membership semi-join through the declared reference
@@ -1095,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_bands_q=minhash_bands_q,
         multimodal_meta=multimodal_meta,
         table_tokenize_cmd=table_tokenize_cmd,
+        geo_in_rectangle_q=geo_in_rectangle_q,
+        geo_distance_q=geo_distance_q,
+        geo_in_circle_q=geo_in_circle_q,
         # ---- rows-only (engine-specific; no reasonable SQL oracle) ----
         bpe_train_q=bpe_train_q,
         bpe_encode_q=bpe_encode_q,
@@ -1466,6 +1541,41 @@ WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5')"""
 
     o["edit_distance_nation"] = """SELECT n_name,
 levenshtein(n_name, 'NATION_1')::BIGINT AS dist FROM nation"""
+
+    # synthetic geo points over customer (msec of arc; geo.py canonical
+    # form) — identical derivation to queries()._geo_points
+    _PTS = """WITH pts AS (SELECT c_custkey,
+  (c_custkey::BIGINT * 7919) % 648000001 - 324000000 AS lat,
+  (c_custkey::BIGINT * 104729) % 1295999999 - 647999999 AS lng
+FROM customer)"""
+    # GRN_GEO_INT2RAD: msec → radians
+    _K = "(pi() / 648000000)"
+
+    o["geo_in_rectangle_q"] = f"""{_PTS}
+SELECT c_custkey, (lat::VARCHAR || 'x' || lng::VARCHAR) AS point FROM pts
+WHERE lat <= 288000000 AND lat >= -288000000
+  AND lng >= -360000000 AND lng <= 360000000
+ORDER BY c_custkey"""
+
+    o["geo_distance_q"] = f"""{_PTS}
+SELECT c_custkey, round(d, 1) AS dist_m FROM (
+  SELECT c_custkey,
+    sqrt(pow((lat - 128429532) * {_K}, 2) +
+         pow((CASE WHEN lng < 0 AND abs(lng - 503148672) > 648000000
+              THEN 2 * pi() - abs(lng - 503148672) * {_K}
+              ELSE abs(lng - 503148672) * {_K} END)
+             * cos((lat + 128429532) * {_K} * 0.5), 2)) * 6357303 AS d
+  FROM pts)
+ORDER BY d, c_custkey LIMIT 20"""
+
+    o["geo_in_circle_q"] = f"""{_PTS}
+SELECT CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS hemi,
+       count(*)::BIGINT AS n
+FROM pts
+WHERE asin(sqrt(pow(sin(abs(lat * {_K}) * 0.5), 2) +
+                cos(lat * {_K}) * pow(sin(abs(lng * {_K}) * 0.5), 2)))
+      * 2 * 6357303 <= 5000000
+GROUP BY 1 ORDER BY 1"""
 
     o["sub_filter_orders"] = """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"""
