@@ -922,6 +922,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", "source")
 
+    def dedup_cc_q(spark, sf):
+        # near-dedup with transitive-closure clustering: same verified
+        # pairs as dedup_near_q, but clusters come from distributed
+        # connected components (alternating large-star/small-star,
+        # Kiveris et al. SoCC'14) and only each cluster's min id survives
+        from groonga_spark.ops.dedup import dedup_documents
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        kept = dedup_documents(
+            docs, method="minhash_cc", threshold=0.5, k=3, n_bands=4, r=2
+        )
+        return kept.select("doc_id", "source")
+
     def bpe_train_q(spark, sf):
         # distributed BPE training on the distinct-word frequency table —
         # iterative (rows-only: no closed-form SQL), deterministic merges
@@ -1116,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline ops (10) → #50
         dedup_exact=dedup_exact,
         dedup_near_q=dedup_near_q,
+        dedup_cc_q=dedup_cc_q,
         minhash_pairs=minhash_pairs,
         simhash_q=simhash_q,
         simhash_pairs_q=simhash_pairs_q,
@@ -1695,6 +1709,23 @@ ver AS (SELECT inter.a, inter.b FROM inter
         WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5)
 SELECT doc_id, source FROM docs300
 WHERE doc_id NOT IN (SELECT b FROM ver)"""
+
+    # transitive-closure variant: cluster the same verified pairs with a
+    # recursive reachability CTE, keep only each component's min id (the
+    # Spark side uses distributed large-star/small-star instead)
+    _VER_CTES = o["dedup_near_q"].split("\nSELECT doc_id, source")[0].replace(
+        "WITH docs300", "WITH RECURSIVE docs300", 1
+    )
+    o["dedup_cc_q"] = f"""{_VER_CTES},
+edges AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, least(u, min(v)) AS c FROM reach GROUP BY u)
+SELECT doc_id, source FROM docs300
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)"""
 
     o["simhash_pairs_q"] = f"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -232,12 +232,17 @@ def dedup_documents(
       a separate opt-in; greedy-by-id is what subword/dolma-style
       pipelines ship).  Identical docs always share all bands, so exact
       duplicates are a subset of the candidates.
+    * ``method='minhash_cc'`` — same verified pairs, but clustered by
+      :func:`connected_components` (transitive closure) and one survivor —
+      the minimum id — kept per cluster.  Strictly-fewer-or-equal
+      survivors than greedy: a chain a~b, b~c (a!~c) keeps {a, c} under
+      greedy but only {a} under cc.
     """
     if method == "exact":
         fp = exact_fingerprints(df, text_col, id_col)
         keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
         return df.join(keep, id_col, "left_semi")
-    if method != "minhash":
+    if method not in ("minhash", "minhash_cc"):
         raise ValueError(method)
     cand = minhash_candidate_pairs(df, text_col, id_col, n_bands, k, r)
     sh = (
@@ -249,8 +254,89 @@ def dedup_documents(
     verified = _jaccard_on_pairs(sh, sizes, cand).filter(
         F.col("jaccard") >= threshold
     )
+    if method == "minhash_cc":
+        cc = connected_components(verified.select("a", "b"))
+        drop = cc.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
     drop = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors reconnect to
+    the minimum of its closed neighborhood (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14, Alg. 2)."""
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (
+        bidir.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node's smaller-or-equal neighbors (and the
+    node itself) reconnect to the minimum neighbor (ibid., Alg. 3)."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    w = Window.partitionBy("u")
+    withm = oriented.withColumn("m", F.min("v").over(w))
+    out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        withm.select("u", F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 50
+) -> DataFrame:
+    """(id, component) for every node appearing in the ``(a, b)`` edge
+    frame; ``component`` is the MINIMUM node id of the node's connected
+    component (so it's deterministic and joinable as a canonical-doc key).
+
+    Distributed alternating large-star / small-star (Kiveris et al.,
+    SoCC'14): converges in O(log² n) rounds, each round is one shuffle on
+    the node id — the graph never funnels through the driver and no
+    neighbor list is ever materialized (per-node minima via window
+    aggregates, AQE handles degree skew).  Each round is localCheckpointed
+    to truncate the iterative lineage, same discipline as ops/bpe.py.
+
+    This is the transitive-closure clustering step layered over any of the
+    pair generators here (MinHash-LSH, SimHash, Jaccard): the standard
+    canonicalization used by large-scale dedup pipelines before choosing
+    one survivor per cluster.
+    """
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # fixpoint: the star edge set no longer changes (cheap symmetric
+        # check — both frames are already distinct)
+        if (
+            nxt.count() == e.count()
+            and nxt.exceptAll(e).isEmpty()
+        ):
+            e = nxt
+            break
+        e = nxt
+    # at fixpoint every edge points at its component minimum; centers map
+    # to themselves
+    nodes = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    centers = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return nodes.union(centers).distinct()
 
 
 SIMHASH_BITS = 60  # 15 md5 hex digits — fits signed int64 in Spark AND the
