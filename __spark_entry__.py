@@ -935,6 +935,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", "source")
 
+    def repetition_q(spark, sf):
+        # Gopher-style repetition quality filters (Rae et al. 2021
+        # App. A1.1): duplicated-word fraction, top-bigram share,
+        # duplicated-trigram fraction — one shuffle for both gram sizes
+        from groonga_spark.ops.textstats import repetition_signals
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        return repetition_signals(docs).orderBy("doc_id")
+
+    def decontam_q(spark, sf):
+        # training-set decontamination: docs sharing any 5-word shingle
+        # with the "benchmark" (docs 0-4) are removed; benchmark shingle
+        # set is broadcast, corpus side never self-joins
+        from groonga_spark.ops.dedup import decontaminate
+
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") < 5)
+        kept = decontaminate(docs.filter(F.col("doc_id") >= 5), bench, n=5)
+        return (
+            kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"))
+            .orderBy("source")
+        )
+
     def bpe_train_q(spark, sf):
         # distributed BPE training on the distinct-word frequency table —
         # iterative (rows-only: no closed-form SQL), deterministic merges
@@ -1130,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact=dedup_exact,
         dedup_near_q=dedup_near_q,
         dedup_cc_q=dedup_cc_q,
+        repetition_q=repetition_q,
+        decontam_q=decontam_q,
         minhash_pairs=minhash_pairs,
         simhash_q=simhash_q,
         simhash_pairs_q=simhash_pairs_q,
@@ -1726,6 +1752,52 @@ reach(u, v) AS (
 comp AS (SELECT u AS id, least(u, min(v)) AS c FROM reach GROUP BY u)
 SELECT doc_id, source FROM docs300
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)"""
+
+    o["repetition_q"] = """WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE doc_id < 200),
+base AS (SELECT doc_id, len(a)::BIGINT AS n_words,
+  round((len(a) - len(list_distinct(a)))::DOUBLE / len(a), 4)
+    AS dup_word_frac, a FROM d),
+grams AS (
+  SELECT doc_id, 2 AS n,
+    unnest(list_transform(range(1, len(a)),
+      i -> a[i] || ' ' || a[i+1])) AS g
+  FROM base WHERE len(a) >= 3
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+    unnest(list_transform(range(1, len(a) - 1),
+      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+  FROM base WHERE len(a) >= 3),
+counts AS (SELECT doc_id, n, g, count(*)::BIGINT AS c
+           FROM grams GROUP BY 1, 2, 3),
+stats AS (SELECT counts.doc_id,
+  round(max(CASE WHEN n = 2 THEN c END)::DOUBLE
+        / (any_value(n_words) - 1), 4) AS top_bigram_frac,
+  round(sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END)::DOUBLE
+        / sum(CASE WHEN n = 3 THEN c ELSE 0 END)::DOUBLE, 4)
+    AS dup_trigram_frac
+  FROM counts JOIN base USING (doc_id) GROUP BY 1)
+SELECT base.doc_id, n_words, dup_word_frac,
+  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+  coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM base LEFT JOIN stats ON base.doc_id = stats.doc_id
+ORDER BY base.doc_id"""
+
+    _5G = (
+        "list_transform(range(1, len(a) - 3), i -> a[i] || ' ' || a[i+1]"
+        " || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])"
+    )
+    o["decontam_q"] = f"""WITH sp AS (
+  SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+bg AS (SELECT DISTINCT unnest({_5G}) AS s
+       FROM sp WHERE doc_id < 5 AND len(a) >= 5),
+dg AS (SELECT doc_id, unnest({_5G}) AS s
+       FROM sp WHERE doc_id >= 5 AND len(a) >= 5),
+bad AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (s))
+SELECT source, count(*)::BIGINT AS n_kept FROM sp
+WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY source ORDER BY source"""
 
     o["simhash_pairs_q"] = f"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

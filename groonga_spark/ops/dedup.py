@@ -264,6 +264,38 @@ def dedup_documents(
     return df.join(drop, id_col, "left_anti")
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training-set decontamination: remove every doc that shares ANY
+    n-word shingle with the benchmark frame (the standard eval-leakage
+    guard of LLM data pipelines; n=13 tokens is the common production
+    setting, parameterized here).
+
+    Distributed shape: the benchmark side is eval-set sized (thousands of
+    rows) → its distinct shingle set is BROADCAST; the corpus side
+    explodes shingles once and left-semi joins against the broadcast to
+    find contaminated ids, then one left-anti join removes them.  No
+    corpus-side shuffle other than the final anti-join on id."""
+    bg = (
+        word_shingles(bench, bench_text_col, n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    dg = word_shingles(docs, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
+    contaminated = (
+        dg.join(F.broadcast(bg), "s", "left_semi").select(id_col).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every node's strictly-larger neighbors reconnect to
     the minimum of its closed neighborhood (Kiveris et al., "Connected

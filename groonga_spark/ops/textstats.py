@@ -185,6 +185,85 @@ def langid_trigram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return out.withColumn("pred", pred)
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac) —
+    Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    Models", App. A1.1 — published paper): repetitive/templated documents
+    are flagged by the fraction of duplicated words, the share of the
+    single most frequent word 2-gram, and the fraction of word 3-grams
+    that occur more than once.
+
+    Distributed shape: ``dup_word_frac`` is a pure per-row Column expr
+    (array_distinct, no shuffle); the 2-gram and 3-gram stats share ONE
+    exploded frame tagged by gram size, so the whole operator costs one
+    shuffle (groupBy id,n,gram → groupBy id) + a broadcast-size join back.
+    Docs with < 3 words report 0 for the gram fractions."""
+    arr = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_words"),
+        F.round(
+            (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
+            / F.size(arr).cast("double"),
+            4,
+        ).alias("dup_word_frac"),
+        arr.alias("a"),
+    )
+    grams = base.filter(F.size("a") >= 3).select(
+        id_col,
+        "n_words",
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> struct(2 AS n, concat(a[i-1], ' ', a[i]) AS g))"
+                    ),
+                    F.expr(
+                        "transform(sequence(1, size(a) - 2),"
+                        " i -> struct(3 AS n,"
+                        " concat(a[i-1], ' ', a[i], ' ', a[i+1]) AS g))"
+                    ),
+                )
+            )
+        ).alias("t"),
+    ).select(id_col, "n_words", "t.n", "t.g")
+    counts = grams.groupBy(id_col, "n_words", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    stats = counts.groupBy(id_col).agg(
+        F.round(
+            F.max(F.when(F.col("n") == 2, F.col("c"))).cast("double")
+            / (F.first("n_words") - 1).cast("double"),
+            4,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.sum(
+                F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum(F.when(F.col("n") == 3, F.col("c")).otherwise(F.lit(0))).cast(
+                "double"
+            ),
+            4,
+        ).alias("dup_trigram_frac"),
+    )
+    return (
+        base.drop("a")
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
 _BASE = 1000003
 _M64 = 1 << 64
 
