@@ -55,6 +55,9 @@ HEADLINE = [
     "jaccard_pairs",
     "fingerprint_q",
     "dedup_near_q",
+    "dedup_cc_q",
+    "repetition_q",
+    "decontam_q",
     "lm_bigram_q",
     "cosine_topk_q",
     "token_counts_q",
