@@ -87,6 +87,49 @@ TOKENIZER_MAP = {
 
 _CMD_RE = re.compile(r"^[a-z][a-z0-9_]*(\s|$)")
 
+_GEO_BARE = re.compile(r"\s*geo_in_(circle|rectangle)\s*\(")
+
+
+def _bare_geo_call(f: str) -> "tuple[str, list[str]] | None":
+    """``(kind, top-level args)`` when the ENTIRE filter is one
+    ``geo_in_circle(…)`` / ``geo_in_rectangle(…)`` call — the form the
+    reference plans through the geo-index selector (grn_selector_geo_*,
+    lib/geo.c:747-841).  Wrapped forms (``… > 0``, boolean operators)
+    evaluate sequentially instead and return None here."""
+    m = _GEO_BARE.match(f)
+    if m is None:
+        return None
+    depth, i, args, buf, q = 1, m.end(), [], [], None
+    while i < len(f):
+        c = f[i]
+        if q:
+            if c == "\\" and i + 1 < len(f):
+                buf.append(f[i : i + 2])
+                i += 2
+                continue
+            if c == q:
+                q = None
+            buf.append(c)
+        elif c in "\"'":
+            q = c
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return (m.group(1), args) if not f[i + 1 :].strip() else None
+            buf.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    return None
+
 _SELECTOR_CALL = re.compile(r"\b(sub_filter|query)\s*\(")
 
 _UNESC = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
@@ -282,6 +325,14 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
         if line.strip().startswith("#@omit"):
             # grntest skips #@omit-marked fixtures entirely
             raise Unsupported(f"omitted fixture: {line.strip()[6:].strip()}")
+        msd = re.match(r"#@suggest-create-dataset\s+(\S+)", line.strip())
+        if msd:
+            # grntest runs groonga-suggest-create-dataset; the runner
+            # instantiates the dataset mirror (suggest_dataset.py)
+            out.append(
+                (line.rstrip(), ["#suggest-create-dataset", msd.group(1)], None)
+            )
+            continue
         mcp = re.match(r"#@copy-path\s+(\S+)\s+(\S+)", line.strip())
         if mcp:
             # grntest copies a fixture file into the test tmp dir (e.g.
@@ -818,6 +869,8 @@ class ConformanceRunner:
         # the lexicon keys stay: source _ids whose postings were cleared,
         # keyed (lexicon, index column) (truncate/column/index)
         self.trunc_index_ids: dict[tuple[str, str], set] = {}
+        # #@suggest-create-dataset mirrors (suggest_dataset.py)
+        self.suggest_datasets: dict[str, object] = {}
 
     def _alloc_oid(self) -> int:
         oid = self._next_oid
@@ -1071,6 +1124,36 @@ class ConformanceRunner:
                 rows = [{} for _ in rows]
             else:
                 raise Unsupported("positional load rows without a header")
+        if kw.get("each"):
+            # load --each 'col = expr': the expression runs once per
+            # loaded record with the record as scope (grn_load,
+            # lib/proc.c:1371; load/each/*).  The suite's each-exprs are
+            # single assignments; geo_distance is the one function used.
+            m = re.fullmatch(
+                r"\s*(\w+)\s*=\s*geo_distance\(\s*(\w+)\s*,\s*"
+                r"[\"']([^\"']*)[\"']\s*\)\s*",
+                kw["each"],
+            )
+            if not m:
+                raise Unsupported(f"load --each {kw['each']!r}")
+            tgt, src, lit = m.groups()
+            from . import geo as _geo
+
+            t = self.tables[table]
+            ref = _geo.parse_geopoint(lit)
+            for r in rows:
+                if isinstance(r, dict) and isinstance(r.get(src), str):
+                    try:
+                        d = _geo.distance_py(
+                            _geo.parse_geopoint(r[src]), ref
+                        )
+                    except _geo.GeoParseError:
+                        continue
+                    # assignment casts to the target column's storage
+                    # type (UInt32 in the fixtures — C truncation)
+                    r[tgt] = (
+                        int(d) if t.types.get(tgt) != "Float" else d
+                    )
         # the response counts APPLIED payload records (updates included,
         # rejected rows and SIS/auto-registered extras excluded)
         return self._ingest(table, rows)
@@ -1333,16 +1416,31 @@ class ConformanceRunner:
             for n in geo_cols:
                 # text → geo point canonical msec form; any other source
                 # type (or a bad string) fails the cast and stores the
-                # type default "0x0" (load/bool/cast/tokyo_geo_point)
+                # type default "0x0" (load/bool/cast/tokyo_geo_point).
+                # Vector geo columns canonicalize per element, dropping
+                # failed casts like any vector element
+                # (load/index/online/vector/wgs84_geo_point)
                 if n in r:
                     from . import geo as _geo
 
-                    try:
-                        r[n] = _geo.canonical(str(r[n])) if isinstance(
-                            r[n], str
-                        ) else "0x0"
-                    except _geo.GeoParseError:
-                        r[n] = "0x0"
+                    def _geo_cast(v):
+                        try:
+                            return (
+                                _geo.canonical(str(v))
+                                if isinstance(v, str)
+                                else None
+                            )
+                        except _geo.GeoParseError:
+                            return None
+
+                    if n in t.vector_cols or isinstance(r[n], list):
+                        vals = r[n] if isinstance(r[n], list) else [r[n]]
+                        r[n] = [
+                            c for c in (_geo_cast(x) for x in vals)
+                            if c is not None
+                        ]
+                    else:
+                        r[n] = _geo_cast(r[n]) or "0x0"
             for n, ty in t.columns:
                 if (
                     r.get(n) is not None
@@ -1960,6 +2058,78 @@ class ConformanceRunner:
             geo_cols["_key"] = _geo_domain[t.key_gtype]
         if geo_cols:
             args["geo_cols"] = geo_cols
+        geo_rank: "dict[int, int] | None" = None
+        bare_geo = _bare_geo_call(filt) if filt and geo_cols else None
+        if bare_geo is not None and bare_geo[1] and (
+            bare_geo[1][0].strip() in geo_cols
+        ):
+            from . import geo as _geo
+
+            kind, gargs = bare_geo
+            gcol = gargs[0].strip()
+            # geo selectors are index-only — no sequential fallback in the
+            # reference (grn_geo_select_*, lib/geo.c:793,1246); the geo
+            # "index" is either a COLUMN_INDEX in a geo-keyed PAT lexicon
+            # or the geo-keyed PAT trie itself for _key
+            indexed = t.pat if gcol == "_key" else gcol in t.indexed_cols
+            if not indexed:
+                raise ScriptSyntaxError(
+                    f"geo_in_{kind}(): index for <{table}.{gcol}> is missing"
+                )
+
+            def _glit(a: str):
+                a = a.strip()
+                if len(a) >= 2 and a[0] in "\"'" and a[-1] == a[0]:
+                    try:
+                        return _geo.parse_geopoint(a[1:-1])
+                    except _geo.GeoParseError:
+                        return None
+                return None
+
+            if kind == "rectangle" and len(gargs) == 3:
+                tl, br = _glit(gargs[1]), _glit(gargs[2])
+                if tl is not None and br is not None:
+                    # the index path validates corner bounds before the
+                    # mesh walk (in_rectangle_data_validate,
+                    # lib/geo.c:1085-1177)
+                    try:
+                        _geo.validate_rectangle(tl, br, "geo_in_rectangle()")
+                    except _geo.GeoParseError as e:
+                        raise ScriptSyntaxError(str(e)) from None
+            if (
+                kind == "circle"
+                and not explicit_sort
+                and query is None
+                and 3 <= len(gargs) <= 4
+            ):
+                center = _glit(gargs[1])
+                rad_s = gargs[2].strip()
+                radius = _glit(gargs[2])
+                if radius is None:
+                    try:
+                        radius = float(rad_s)
+                    except ValueError:
+                        radius = None
+                approx = "rectangle"
+                if len(gargs) == 4:
+                    approx = _geo.APPROX_NAMES.get(
+                        gargs[3].strip().strip("\"'"), "rectangle"
+                    )
+                if center is not None and radius is not None:
+                    pts = []
+                    for r in t.rows:
+                        v = r.get("_key") if gcol == "_key" else r.get(gcol)
+                        if isinstance(v, str):
+                            try:
+                                pts.append(
+                                    (r["_id"], _geo.parse_geopoint(v))
+                                )
+                            except _geo.GeoParseError:
+                                pass
+                    order = _geo.in_circle_select_order(
+                        pts, center, radius, approx, geo_cols[gcol]
+                    )
+                    geo_rank = {rid: i for i, rid in enumerate(order)}
         if t.vector_cols:
             # vector (tag) columns: match ops evaluate per element; an
             # index over the vector makes `@` an exact element lookup
@@ -2182,7 +2352,9 @@ class ConformanceRunner:
                 )
                 if lex is not None and (lex.pat or lex.dat):
                     args["sortby"] = f"{m.group(1)},_id"
-        rank = None if explicit_sort else self._natural_rank(t, args)
+        rank = geo_rank
+        if rank is None and not explicit_sort:
+            rank = self._natural_rank(t, args)
         if rank is None and not explicit_sort and query is not None:
             rank = self._or_branch_rank(table, t, args)
         entries = _split_output_columns(args["output_columns"])
@@ -3047,6 +3219,86 @@ class ConformanceRunner:
             return v["_key"]
         return v
 
+    # -- suggest dataset (plugins/suggest/suggest.c) ----------------------
+
+    @staticmethod
+    def _suggest_rows(payload: str) -> list[dict]:
+        rows = json.JSONDecoder().raw_decode((payload or "").strip())[0]
+        if rows and isinstance(rows[0], list) and rows[0] and all(
+            isinstance(x, str) for x in rows[0]
+        ):
+            header = rows[0]
+            rows = [
+                dict(zip(header, r))
+                for r in rows[1:]
+                if isinstance(r, list) and len(r) == len(header)
+            ]
+        return [r for r in rows if isinstance(r, dict)]
+
+    def _suggest_load(self, argv, payload) -> "int | None":
+        """Route ``load`` into a suggest dataset; None → not ours."""
+        _pos, kw = self._kw(argv)
+        table = kw.get("table", "")
+        if table == "configuration" and "configuration" not in self.tables:
+            rows = self._suggest_rows(payload)
+            return max(
+                ds.load_configuration(rows)
+                for ds in self.suggest_datasets.values()
+            )
+        for prefix, kind in (("item_", "items"), ("event_", "events")):
+            if table.startswith(prefix):
+                ds = self.suggest_datasets.get(table[len(prefix):])
+                if ds is None:
+                    continue
+                rows = self._suggest_rows(payload)
+                if kind == "items":
+                    return ds.load_items(rows)
+                if "suggest_preparer" not in kw.get("each", ""):
+                    raise Unsupported(
+                        f"event load without suggest_preparer: {kw}"
+                    )
+                return ds.learn_events(rows)
+        return None
+
+    def suggest_cmd(self, argv) -> _Resp:
+        """The ``suggest`` command (command_suggest, suggest.c:547-629)."""
+        pos, kw = self._kw(argv)
+        vars_ = [
+            "types", "table", "column", "query", "sortby", "output_columns",
+            "offset", "limit", "frequency_threshold",
+            "conditional_probability_threshold", "prefix_search",
+            "similar_search",
+        ]
+        for i, v in enumerate(pos):
+            if i < len(vars_) and vars_[i] not in kw:
+                kw[vars_[i]] = v
+        table = kw.get("table", "")
+        if not table.startswith("item_"):
+            return _Resp("ERROR")
+        ds = self.suggest_datasets.get(table[len("item_"):])
+        if ds is None:
+            return _Resp("ERROR")
+
+        def mode(s):
+            s = (s or "").lower()
+            return s if s in ("yes", "no") else "auto"
+
+        if kw.get("sortby") or kw.get("output_columns"):
+            raise Unsupported("suggest custom sortby/output_columns")
+        body = ds.run(
+            types=kw.get("types", ""),
+            query=kw.get("query", ""),
+            frequency_threshold=int(kw.get("frequency_threshold") or 100),
+            conditional_probability_threshold=float(
+                kw.get("conditional_probability_threshold") or 0.2
+            ),
+            prefix_search=mode(kw.get("prefix_search")),
+            similar_search=mode(kw.get("similar_search")),
+            limit=int(kw.get("limit") or 10),
+            offset=int(kw.get("offset") or 0),
+        )
+        return _Resp(body)
+
     def run(self, script_text: str) -> dict[str, object]:
         """Execute a script; → {command_line: comparable result}.  A
         ``select`` yields its result-table tuples; every other supported
@@ -3068,6 +3320,16 @@ class ConformanceRunner:
                     INCLUDE_BASE, argv[1]
                 )
                 continue  # directive: no recorded response
+            if name == "#suggest-create-dataset":
+                from .suggest_dataset import SuggestDataset
+
+                self.suggest_datasets[argv[1]] = SuggestDataset(argv[1])
+                continue  # directive: no recorded response
+            if name == "load" and self.suggest_datasets:
+                routed = self._suggest_load(argv, payload)
+                if routed is not None:
+                    out[raw] = _Resp(routed)
+                    continue
             if name == "table_create":
                 ok = self.table_create(argv)
                 out[raw] = _Resp(True if ok is not False else "ERROR")
@@ -3118,6 +3380,8 @@ class ConformanceRunner:
                     out[raw] = self.range_filter_cmd(argv)
                 except _SELECT_ERRORS:
                     out[raw] = _Resp("ERROR")
+            elif name == "suggest":
+                out[raw] = self.suggest_cmd(argv)
             elif name in ("register", "plugin_register"):
                 out[raw] = self.register_cmd(argv)
             elif name == "dump":

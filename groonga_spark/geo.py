@@ -282,3 +282,224 @@ def tokyo_to_wgs84(lat_msec: int, lng_msec: int) -> tuple[int, int]:
     wy = jy - jy * 0.00010695 + jx * 0.000017464 + 0.0046017
     wx = jx - jy * 0.000046038 - jx * 0.000083043 + 0.010040
     return degree2msec(wy), degree2msec(wx)
+
+
+# ---------------------------------------------------------------------------
+# geo-index mesh walk (grn_geo_select_in_circle emission order)
+# ---------------------------------------------------------------------------
+#
+# The reference's geo index is a PAT trie keyed on the 64-bit Morton
+# interleave of (lat, lng) (grn_gton, lib/grn.h:657-675).  in_circle over
+# an index walks a covering set of Morton-prefix meshes
+# (grn_geo_get_meshes_for_circle, lib/geo.c:346-525) in REVERSE build
+# order, scans each mesh's key range through the trie in ascending key
+# order, and inserts verified hits into the result hash as it goes
+# (grn_geo_select_in_circle, lib/geo.c:843-990) — so a select without
+# --sortby outputs records in that mesh-walk order, not id order.  The
+# helpers below are driver-side pure Python (the conformance runner's
+# fixtures are tiny); the scalable scan path stays in Column expressions.
+
+_M64 = (1 << 64) - 1
+
+
+def _spread32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
+def gton(lat_msec: int, lng_msec: int) -> int:
+    """64-bit big-endian Morton key of a geo point (grn_gton,
+    lib/grn.h:657-675): latitude bits ride one position above the
+    longitude bits; int32 coordinates wrap through uint32."""
+    return (_spread32(lat_msec) << 1) | _spread32(lng_msec)
+
+
+def _diff_bit(key1: int, key2: int) -> int:
+    """Index (from the MSB, 0-based) of the first differing bit of two
+    Morton keys; 64 when equal (compute_diff_bit, lib/geo.c:63-82)."""
+    x = key1 ^ key2
+    return 64 if x == 0 else 64 - x.bit_length()
+
+
+def _key_min_max(key: int, diff_bit: int) -> tuple[int, int]:
+    """Smallest/largest Morton keys sharing the top ``diff_bit`` bits
+    (compute_min_and_max_key, lib/geo.c:84-111)."""
+    if diff_bit >= 64:
+        return key, key
+    low = (1 << (64 - diff_bit)) - 1
+    return key & (_M64 ^ low), key | low
+
+
+def _ntog(key: int) -> tuple[int, int]:
+    """Inverse of :func:`gton` (grn_ntog, lib/grn.h:677-693); coordinates
+    come back as SIGNED int32s."""
+    def compact(v: int) -> int:
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+        return v
+
+    lat, lng = compact(key >> 1), compact(key)
+    if lat >= 1 << 31:
+        lat -= 1 << 32
+    if lng >= 1 << 31:
+        lng -= 1 << 32
+    return lat, lng
+
+
+def _point_min_max(
+    point: tuple[int, int], diff_bit: int
+) -> tuple[tuple[int, int], tuple[int, int]]:
+    """compute_min_and_max (lib/geo.c:113-132) on geo points."""
+    kmin, kmax = _key_min_max(gton(*point), diff_bit)
+    return _ntog(kmin), _ntog(kmax)
+
+
+def meshes_for_circle(
+    base_point: tuple[int, int],
+    d_far: float,
+    diff_bit: int,
+    include_base_point_mesh: bool,
+) -> list[tuple[tuple[int, int], int]]:
+    """Covering meshes for a circle as (mesh_key_point, key_size_bits)
+    in the reference's build order (grn_geo_get_meshes_for_circle,
+    lib/geo.c:346-525): up to 4 base meshes at ``diff_bit`` plus up to 84
+    sub-meshes at ``diff_bit + 2`` whose nearest point lies within
+    ``d_far``."""
+    blat, blng = base_point
+    (min_lat, min_lng), (max_lat, max_lng) = _point_min_max(
+        base_point, diff_bit - 2
+    )
+    lat_diff = (max_lat - min_lat + 1) // 2
+    lng_diff = (max_lng - min_lng + 1) // 2
+    base_lat = min_lat + lat_diff
+    base_lng = min_lng + lng_diff
+    if blat >= base_lat:
+        position = "rt" if blng >= base_lng else "lt"
+    else:
+        position = "rb" if blng >= base_lng else "lb"
+
+    meshes: list[tuple[tuple[int, int], int]] = []
+
+    def add(lat_d: int, lng_d: int, key_size: int) -> None:
+        meshes.append(((base_lat + lat_d, base_lng + lng_d), key_size))
+
+    if include_base_point_mesh or position != "lt":
+        add(0, -lng_diff, diff_bit)
+    if include_base_point_mesh or position != "rt":
+        add(0, 0, diff_bit)
+    if include_base_point_mesh or position != "rb":
+        add(-lat_diff, 0, diff_bit)
+    if include_base_point_mesh or position != "lb":
+        add(-lat_diff, -lng_diff, diff_bit)
+
+    half_lat = (lat_diff + 1) // 2
+    half_lng = (lng_diff + 1) // 2
+    for i in range(-5, 5):
+        lat_min = half_lat * i
+        lat_max = half_lat * (i + 1) - 1
+        for j in range(-5, 5):
+            if -3 < i < 2 and -3 < j < 2:
+                continue  # the 4 base meshes already cover this block
+            lng_min = half_lng * j
+            lng_max = half_lng * (j + 1) - 1
+            if blat <= base_lat + lat_min:
+                lat = base_lat + lat_min
+            elif base_lat + lat_max < blat:
+                lat = base_lat + lat_max
+            else:
+                lat = blat
+            if blng <= base_lng + lng_min:
+                lng = base_lng + lng_min
+            elif base_lng + lng_max < blng:
+                lng = base_lng + lng_max
+            else:
+                lng = blng
+            d = distance_py((blat, blng), (lat, lng), "rectangle")
+            if d < d_far:
+                meshes.append(((lat, lng), diff_bit + 2))
+    return meshes
+
+
+def rad2int(rad: float) -> int:
+    """GRN_GEO_RAD2INT (lib/grn_geo.h:52) — C cast truncates toward 0."""
+    return int((RESOLUTION * 180 / math.pi) * rad)
+
+
+def in_circle_select_order(
+    points: list[tuple[int, tuple[int, int]]],
+    center: tuple[int, int],
+    radius,
+    approx: str = "rectangle",
+    domain: str = "wgs84",
+) -> list[int]:
+    """Record ids of ``points`` (``[(rid, (lat, lng)), …]``) inside the
+    circle, in grn_geo_select_in_circle's emission order
+    (lib/geo.c:843-990): covering meshes iterated in reverse build order,
+    each mesh's members in ascending Morton-key (PAT cursor) order,
+    verified against the true distance."""
+    if isinstance(radius, tuple):
+        on_circle = radius
+        d = distance_py(center, on_circle, approx, domain)
+    else:
+        d = float(radius)
+        on_circle = (center[0] + rad2int(d / RADIUS), center[1])
+    d_far = distance_py(center, on_circle, "rectangle")
+    diff_bit = _diff_bit(gton(*center), gton(*on_circle))
+    if diff_bit % 2 == 1:
+        diff_bit -= 1
+    keyed = [(gton(*p), rid, p) for rid, p in points]
+    out: list[int] = []
+    seen: set[int] = set()
+    for mesh_point, key_size in reversed(
+        meshes_for_circle(center, d_far, diff_bit, True)
+    ):
+        kmin, kmax = _key_min_max(gton(*mesh_point), key_size)
+        for _k, rid, p in sorted(kv for kv in keyed if kmin <= kv[0] <= kmax):
+            if rid not in seen and distance_py(p, center, approx, domain) <= d:
+                seen.add(rid)
+                out.append(rid)
+    return out
+
+
+def validate_rectangle(
+    top_left: tuple[int, int],
+    bottom_right: tuple[int, int],
+    process_name: str,
+) -> None:
+    """Corner bounds check of the index path (in_rectangle_data_validate,
+    lib/geo.c:1085-1177): latitudes must lie strictly inside
+    ±MAX_LATITUDE, longitudes strictly inside ±MAX_LONGITUDE.  Raises
+    :class:`GeoParseError` with the reference's message shape."""
+    for label, (lat, lng) in (
+        ("top left", top_left),
+        ("bottom right", bottom_right),
+    ):
+        if lat >= MAX_LATITUDE:
+            raise GeoParseError(
+                f"{process_name}: {label} point's latitude is too big: "
+                f"<{MAX_LATITUDE}>(max:{lat})"
+            )
+        if lat <= -MAX_LATITUDE:
+            raise GeoParseError(
+                f"{process_name}: {label} point's latitude is too small: "
+                f"<{-MAX_LATITUDE}>(min:{lat})"
+            )
+        if lng >= MAX_LONGITUDE:
+            raise GeoParseError(
+                f"{process_name}: {label} point's longitude is too big: "
+                f"<{MAX_LONGITUDE}>(max:{lng})"
+            )
+        if lng <= -MAX_LONGITUDE:
+            raise GeoParseError(
+                f"{process_name}: {label} point's longitude is too small: "
+                f"<{-MAX_LONGITUDE}>(min:{lng})"
+            )

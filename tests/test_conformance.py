@@ -21,6 +21,17 @@ SUITE = "/root/reference/test/command/suite"
 # directories swept; each entry is (glob under SUITE,)
 DIRS = [
     "select/query",
+    # geo selector semantics (index-only errors, corner validation,
+    # mesh-walk emission order, --each, vector geo load)
+    "select/filter/geo_in_circle/column",
+    "select/filter/geo_in_rectangle/invalid",
+    "select/output/geo_point",
+    "select/sort/geo",
+    "load/each",
+    "load/index/online/vector",
+    "geo",
+    # suggest dataset: learner + complete/correct/suggest
+    "suggest",
 ]
 
 pytestmark = pytest.mark.skipif(
