@@ -1506,7 +1506,9 @@ class ConformanceRunner:
                 known = {str(x.get("_key", "")) for x in ref.rows}
                 for key in vals:
                     if key not in (None, "") and str(key) not in known:
-                        self._ingest(ref_name, [{"_key": key}])
+                        self._ingest(
+                            ref_name, [{"_key": key, "__auto__": True}]
+                        )
                         known.add(str(key))
             # loading an unknown key into a reference column auto-adds it
             # to the referenced table (grn table key auto-registration)
@@ -1520,7 +1522,10 @@ class ConformanceRunner:
                 if ref.key_normalize and isinstance(key, str):
                     key = _norm_key(key)
                 if str(key) not in {str(x.get("_key", "")) for x in ref.rows}:
-                    self._ingest(ref_name, [{"_key": key}])
+                    # __auto__: dump skips an index-carrying table whose
+                    # records are all auto-registered (dump_records,
+                    # proc.c:3051 have_index_column && !have_data_column)
+                    self._ingest(ref_name, [{"_key": key, "__auto__": True}])
         # indexing auto-registers source values as LEXICON keys: tokens of
         # the lexicon's tokenizer, or the whole (normalized) value for an
         # untokenized index (grn_ii update path —
@@ -1776,6 +1781,7 @@ class ConformanceRunner:
             columns[tgt] = {"value": expr, "cast": cast} if cast else expr
         filt = kw.pop("filter", None)
         nested_scores = None  # (key_col, {key: score}) applied post-fetch
+        forced_rank = None  # _id → rank forced by an accessor walk
         if filt and "QueryExpanderTSV" in filt:
             # query("cols", "q", "QueryExpanderTSV") — the TSV plugin
             # (plugins/query_expanders/tsv.c): each query word that is a
@@ -1825,11 +1831,82 @@ class ConformanceRunner:
                 rt_name = t.vector_ref_cols.get(a) or t.ref_cols.get(a)
                 rt = self.tables.get(rt_name or "")
                 if rt is not None and b in rt.index_cols:
-                    # index-column accessor hop: the reference's result
-                    # order comes from index-internal set iteration we
-                    # don't reproduce
-                    raise Unsupported("sub_filter over an index accessor")
-                if rt is not None and (
+                    # index-column accessor hop (users.files_author_index):
+                    # the expr runs on the index's SOURCE table, matches
+                    # map through the indexed column back to rt, then out
+                    # through the outer reference; emission order follows
+                    # the inner cursor (grn_accessor_resolve walks the
+                    # result set in insertion order, db.c:2964-3022)
+                    st_name, sc = rt.index_cols[b]
+                    fin = self.tables[st_name]
+                    if not fin.loaded:
+                        self._ingest(st_name, [])
+                    inner_expr = inner.replace('\\"', '"')
+                    if any(
+                        fin.types.get(n) == "Time" for n, _ in fin.columns
+                    ):
+                        inner_expr = _TIME_LIT_RE.sub(
+                            lambda m: repr(_parse_time(m.group(1))),
+                            inner_expr,
+                        )
+                    fres = self.ctx.select(
+                        st_name, filter=inner_expr,
+                        output_columns="_key", offset=0, limit=-1,
+                        id_col="_id",
+                    )
+                    matched = {
+                        str(r["_key"]) for r in fres["records"].collect()
+                    }
+                    fin_rows = [
+                        r for r in fin.rows
+                        if str(r.get("_key", "")) in matched
+                    ]
+                    pm = re.fullmatch(
+                        r'\s*_key\s*@\^\s*"(?:[^"\\]|\\.)*"\s*', inner_expr
+                    )
+                    if pm and fin.pat:
+                        # _key @^ runs the pat prefix cursor: DESCENDING
+                        # key order (same rule as _natural_rank's _key:^)
+                        fin_rows.sort(
+                            key=lambda r: str(r.get("_key", "")),
+                            reverse=True,
+                        )
+                    else:
+                        fin_rows.sort(key=lambda r: r["_id"])
+                    mid_order: list[str] = []
+                    for r in fin_rows:
+                        v = r.get(sc)
+                        for x in v if isinstance(v, list) else [v]:
+                            if x not in (None, "") and str(x) not in mid_order:
+                                mid_order.append(str(x))
+                    keyc = "_key" if t.keyed else "_id"
+                    outer_order: list[str] = []
+                    for mk in mid_order:
+                        for r in sorted(t.rows, key=lambda x: x["_id"]):
+                            ov = r.get(a)
+                            elems = ov if isinstance(ov, list) else [ov]
+                            if mk in [str(x) for x in elems]:
+                                k = str(r.get(keyc))
+                                if k not in outer_order:
+                                    outer_order.append(k)
+                    if outer_order:
+                        vals = ", ".join(
+                            json.dumps(r.get(keyc))
+                            for r in t.rows
+                            if str(r.get(keyc)) in set(outer_order)
+                        )
+                        cond = f"in_values({keyc}, {vals})"
+                        pos = {k: i for i, k in enumerate(outer_order)}
+                        forced_rank = {
+                            r["_id"]: pos[str(r.get(keyc))]
+                            for r in t.rows
+                            if str(r.get(keyc)) in pos
+                        }
+                    else:
+                        cond = "1 == 2"
+                    filt = filt[: m2.start()] + cond + filt[m2.end():]
+                    m2 = None
+                if m2 is not None and rt is not None and (
                     b in rt.ref_cols or b in rt.vector_ref_cols
                 ):
                     fin_name = rt.ref_cols.get(b) or rt.vector_ref_cols[b]
@@ -2140,8 +2217,46 @@ class ConformanceRunner:
             c for c in t.indexed_cols
             if c not in t.vector_cols and c not in t.ref_cols
         ]
+        ref_query_cols: list[str] = []
         if query is not None and t.indexed_cols and not scalar_indexed:
-            raise Unsupported("--query over a vector index")
+            # only ref/vector indexes exist: a colop-only query still
+            # evaluates (the reference resolves `tag:...` through the
+            # reference column's value; our scan path reads the stored
+            # struct's _key as text) — anything needing a fulltext match
+            # stays unsupported
+            from .query.parser import (
+                And as _QAnd,
+                ColumnOp as _QCol,
+                Not as _QNot,
+                Or as _QOr,
+                parse_query_ex as _pq,
+            )
+
+            def _colop_only(n) -> bool:
+                if isinstance(n, _QCol):
+                    return True
+                if isinstance(n, (_QAnd, _QOr)):
+                    return all(_colop_only(c) for c in n.children)
+                if isinstance(n, _QNot):
+                    return _colop_only(n.positive) and _colop_only(n.negative)
+                return False
+
+            try:
+                _qa, _pr = _pq(query, flags=kw.get("query_flags"))
+            except QueryParseError:
+                _qa = None
+            if _qa is None or not _colop_only(_qa):
+                raise Unsupported("--query over a vector index")
+            ref_query_cols = [
+                c
+                for c in {m.group(1) for m in re.finditer(r"([A-Za-z_]\w*):", query)}
+                if c in t.ref_cols
+            ]
+            if ref_query_cols:
+                cols = dict(args.get("columns") or {})
+                for c in ref_query_cols:
+                    cols[c] = f"{c}._key"
+                args["columns"] = cols
         if (
             query is not None
             and not scalar_indexed
@@ -2210,7 +2325,7 @@ class ConformanceRunner:
             strings = [n for n, ty in t.columns if ty == "string"]
             args["text_cols"] = strings or key_scan
             args["tokenizer"] = "bigram"
-            args["scan_columns"] = strings + key_scan
+            args["scan_columns"] = strings + key_scan + ref_query_cols
         # *N/*S in --filter must error on columns with no index (they are
         # index-only searches); scan_columns can't serve as that guard —
         # _key rides there for trie colop semantics even when indexed
@@ -2352,7 +2467,7 @@ class ConformanceRunner:
                 )
                 if lex is not None and (lex.pat or lex.dat):
                     args["sortby"] = f"{m.group(1)},_id"
-        rank = geo_rank
+        rank = geo_rank if geo_rank is not None else forced_rank
         if rank is None and not explicit_sort:
             rank = self._natural_rank(t, args)
         if rank is None and not explicit_sort and query is not None:
@@ -2701,6 +2816,28 @@ class ConformanceRunner:
             m = re.fullmatch(r"_(sum|max|min|avg)", e)
             if m:
                 return agg(st, m.group(1))
+            if len(keys) == 1 and keys[0] in t.ref_cols:
+                # drilldown on a reference column: the group records ARE
+                # referenced-table records, so their data columns output
+                # directly (grn_select_drilldown result table keyed by the
+                # range table, proc.c:705-783)
+                ref = self.tables[t.ref_cols[keys[0]]]
+                if e in ref.types:
+                    row = next(
+                        (
+                            x for x in ref.rows
+                            if str(x.get("_key", "")) == str(g[0])
+                        ),
+                        None,
+                    )
+                    dflt = {"string": "", "long": 0, "double": 0.0,
+                            "boolean": False}
+                    ty = dict(ref.columns).get(e, "string")
+                    fallback = [] if ty.startswith("array") else dflt.get(ty, "")
+                    if row is None:
+                        return fallback
+                    v = row.get(e)
+                    return fallback if v is None else v
             raise Unsupported(f"drilldown output column {e!r}")
 
         ordered = list(order)
@@ -2741,6 +2878,7 @@ class ConformanceRunner:
         (``Lexicon.idx.title`` / ``Lexicon.idx[0]``), and ``* weight``."""
         out: list[str] = []
         scorers: set[str] = set()
+        caps: dict[str, float] = {}  # per-column tf_at_most caps
         self._mc_lexicon = None  # Lexicon named explicitly in the spec
         for e in (x.strip() for x in spec.split("||")):
             w = None
@@ -2750,10 +2888,11 @@ class ConformanceRunner:
             sm = re.fullmatch(
                 r"scorer_(\w+)\(\s*([^,()]+?)\s*(?:,\s*([\d.]+)\s*)?\)", e
             )
+            cols_of_entry: list[str] = []
             if sm:
                 fn, inner, arg = sm.groups()
                 if fn == "tf_at_most" and arg is not None:
-                    scorers.add(f"tf_at_most:{float(arg)}")
+                    scorers.add("tf_at_most")
                 elif fn == "tf_idf":
                     scorers.add("tf_idf")
                 else:
@@ -2761,9 +2900,21 @@ class ConformanceRunner:
                 e = inner.strip()
             for c in self._expand_mc_spec(e, t):
                 out.append(f"{c} * {w}" if w else c)
+                cols_of_entry.append(c)
+            if sm and sm.group(1) == "tf_at_most":
+                for c in cols_of_entry:
+                    caps[c.split(".")[-1]] = float(sm.group(3))
         if len(scorers) > 1:
             raise Unsupported("mixed match_columns scorers")
-        return " || ".join(out), (scorers.pop() if scorers else None)
+        scorer = scorers.pop() if scorers else None
+        if scorer == "tf_at_most":
+            # per-section caps ride by column name; the engine resolves
+            # them to sections (scorer_tf_at_most applies per
+            # match_columns entry — match_columns/scorer/tf_at_most/*)
+            scorer = "tf_at_most:" + ",".join(
+                f"{c}={v}" for c, v in caps.items()
+            )
+        return " || ".join(out), scorer
 
     def _expand_mc_spec(self, e: str, t: _Table) -> list[str]:
         if e in t.types or e == "_key":
@@ -2811,27 +2962,39 @@ class ConformanceRunner:
             ast_to_query, parse_query, parse_query_ex,
         )
 
-        if spec.startswith("QueryExpander"):
-            raise Unsupported(f"query expander plugin {spec}")
-        tname, _, col = spec.partition(".")
-        src = self.tables.get(tname)
-        if src is None or all(n != col for n, _ in src.columns):
-            raise QueryParseError(
-                f"nonexistent query expansion column: <{spec}>"
-            )
-        mapping: dict[str, object] = {}
-        for r in src.rows:
-            k = str(r.get("_key", ""))
-            if src.key_normalize:
-                k = _norm_key(k)
-            v = r.get(col)
-            if v not in (None, "", []):
-                mapping[k] = v
+        if spec == "QueryExpanderTSV":
+            # the TSV plugin (plugins/query_expanders/tsv.c): the synonyms
+            # file rides in via #@copy-path; each row is key TAB snippet…
+            tsv = self._tsv_synonyms()
+            if tsv is None:
+                raise Unsupported("QueryExpanderTSV without a synonyms file")
+            mapping: dict[str, object] = dict(tsv)
 
-        def lookup(text: str):
-            if src.key_normalize:
-                return mapping.get(_norm_key(text))
-            return mapping.get(text)
+            def lookup(text: str):
+                return mapping.get(text)
+
+        elif spec.startswith("QueryExpander"):
+            raise Unsupported(f"query expander plugin {spec}")
+        else:
+            tname, _, col = spec.partition(".")
+            src = self.tables.get(tname)
+            if src is None or all(n != col for n, _ in src.columns):
+                raise QueryParseError(
+                    f"nonexistent query expansion column: <{spec}>"
+                )
+            mapping = {}
+            for r in src.rows:
+                k = str(r.get("_key", ""))
+                if src.key_normalize:
+                    k = _norm_key(k)
+                v = r.get(col)
+                if v not in (None, "", []):
+                    mapping[k] = v
+
+            def lookup(text: str):
+                if src.key_normalize:
+                    return mapping.get(_norm_key(text))
+                return mapping.get(text)
 
         def sub_ast(v, quoted_word=False):
             # a vector value ORs its element snippets (vector/* fixtures);
@@ -3382,6 +3545,29 @@ class ConformanceRunner:
                     out[raw] = _Resp("ERROR")
             elif name == "suggest":
                 out[raw] = self.suggest_cmd(argv)
+            elif name == "tokenizer_list":
+                # registration order (lib/tokenizers.c:783-828 + the
+                # mecab plugin grntest loads first)
+                out[raw] = _Resp([
+                    {"name": n} for n in (
+                        "TokenMecab", "TokenDelimit", "TokenUnigram",
+                        "TokenBigram", "TokenTrigram",
+                        "TokenBigramSplitSymbol",
+                        "TokenBigramSplitSymbolAlpha",
+                        "TokenBigramSplitSymbolAlphaDigit",
+                        "TokenBigramIgnoreBlank",
+                        "TokenBigramIgnoreBlankSplitSymbol",
+                        "TokenBigramIgnoreBlankSplitSymbolAlpha",
+                        "TokenBigramIgnoreBlankSplitSymbolAlphaDigit",
+                        "TokenDelimitNull", "TokenRegexp",
+                    )
+                ])
+            elif name == "normalizer_list":
+                # lib/normalizer.c:1177-1191 registration order
+                out[raw] = _Resp([
+                    {"name": "NormalizerAuto"},
+                    {"name": "NormalizerNFKC51"},
+                ])
             elif name in ("register", "plugin_register"):
                 out[raw] = self.register_cmd(argv)
             elif name == "dump":
@@ -3509,7 +3695,7 @@ class ConformanceRunner:
 
     _KNOWN_PLUGINS = (
         "sharding", "token_filters/stem", "token_filters/stop_word",
-        "query_expanders/tsv",
+        "query_expanders/tsv", "functions/vector", "suggest/suggest",
     )
 
     def register_cmd(self, argv) -> _Resp:

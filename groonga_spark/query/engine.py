@@ -837,9 +837,34 @@ class SearchEngine:
             v = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
             return w_col * F.greatest(v, F.lit(1.0))
         if scorer.startswith("tf_at_most:"):
-            # scorer_tf_at_most(max) (scorers.c:54-88): min(tf, cap)
-            cap = float(scorer.split(":", 1)[1])
-            return w_col * F.least(F.col("tf").cast("double"), F.lit(cap))
+            # scorer_tf_at_most(max) (scorers.c:54-88): min(tf, cap).
+            # The cap is uniform ("tf_at_most:3.0") or per match_columns
+            # entry by column name ("tf_at_most:title=3.0,body=7.0") —
+            # the reference binds one scorer per section search
+            # (grn_select match_columns, ii.c:6410-6426)
+            spec = scorer.split(":", 1)[1]
+            tf_d = F.col("tf").cast("double")
+            if "=" not in spec:
+                return w_col * F.least(tf_d, F.lit(float(spec)))
+            col_caps = dict(
+                (kv.split("=")[0], float(kv.split("=")[1]))
+                for kv in spec.split(",")
+                if kv
+            )
+            sid_caps = {
+                sid: col_caps[c]
+                for sid, c in idx.stats.sections.items()
+                if c in col_caps
+            }
+            capped = None
+            for sid, cap in sid_caps.items():
+                cond = F.col("sid") == sid
+                v = F.least(tf_d, F.lit(cap))
+                capped = (
+                    F.when(cond, v) if capped is None else capped.when(cond, v)
+                )
+            capped = tf_d if capped is None else capped.otherwise(tf_d)
+            return w_col * capped
         if scorer == "tf":
             # Groonga's DEFAULT scorer (grn_ii_similar_search/grn_ii_select
             # accumulate 1 per occurrence × weight, ii.c): score = tf·w —
