@@ -341,6 +341,18 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
             continue
         if not line.strip() or line.lstrip().startswith("#"):
             continue
+        murl = re.match(r"/d/(\w+)(?:\.json)?\?(\S*)$", line.strip())
+        if murl:
+            # HTTP URL command form (lib/proc.c grn_document_root):
+            # /d/<cmd>.json?k=v&k2=v2 — jsonp via the callback param
+            # (response/jsonp)
+            from urllib.parse import parse_qsl, unquote_plus
+
+            argv = [murl.group(1)]
+            for k, v in parse_qsl(murl.group(2)):
+                argv += [f"--{k}", unquote_plus(v)]
+            out.append((line.rstrip(), argv, None))
+            continue
         if not _CMD_RE.match(line):
             raise Unsupported(f"unparseable line {line!r}")
         argv = unesc_tokens(line)
@@ -936,15 +948,19 @@ class ConformanceRunner:
             t.key_declared = True
         t.tokenizer_raw = kw.get("default_tokenizer")
         norm = kw.get("normalizer")
+        raw_norm = norm
         if norm == "NormalizerNFKC51":
-            raise Unsupported("normalizer NormalizerNFKC51")
+            # NFKC51 = plain NFKC (Unicode 5.1) — same ASCII behavior as
+            # NormalizerAuto's LUT (lowercase, blank fold); served by the
+            # Auto implementation, dumped under its own name
+            norm = "NormalizerAuto"
         if norm is not None and norm != "NormalizerAuto":
             # an unregistered normalizer name is silently DROPPED — the
             # table creates fine without it (column_create/index/source/
             # multi_column/trailing_space: --normalizer NomralizerAuto)
             norm = None
             t.key_normalize = "KEY_NORMALIZE" in flags
-        t.normalizer_raw = norm or (
+        t.normalizer_raw = (raw_norm if norm else None) or (
             "NormalizerAuto" if "KEY_NORMALIZE" in flags else None
         )
         if t.keyed and len(pos) > 3:
@@ -1450,8 +1466,17 @@ class ConformanceRunner:
                     and n not in geo_cols
                 ):
                     r[n] = _cast_load_value(r[n], ty)
-            for v in r.values():
+            for n, v in r.items():
                 if isinstance(v, int) and not -(1 << 63) <= v < (1 << 63):
+                    # a UInt64 column genuinely holds [2^63, 2^64): keep
+                    # the true value in the row mirror (Python ints are
+                    # wide); the Spark frame stores the wrapped two's-
+                    # complement (cell() below)
+                    if (
+                        t.types.get(n) == "UInt64"
+                        and 0 <= v < (1 << 64)
+                    ):
+                        continue
                     raise Unsupported(f"integer beyond Int64 range: {v}")
         if t.sis:
             # KEY_WITH_SIS: inserting a key also registers every proper
@@ -1612,6 +1637,8 @@ class ConformanceRunner:
                 return self._ref_struct(self.tables[t.ref_cols[n]], v)
             if isinstance(v, dict):
                 return list(v)  # weight vector: the frame carries values
+            if isinstance(v, int) and v >= (1 << 63):
+                return v - (1 << 64)  # UInt64 top half → wrapped long
             return v
 
         data = [
@@ -1749,6 +1776,19 @@ class ConformanceRunner:
                 raise Unsupported(f"scorer {scorer_script!r}")
             tgt, op, rhs = m.groups()
             rhs = rhs.strip()
+            # unary inverse of a UInt64 value beyond Int64 max errors the
+            # whole select (grn_obj_cast via expr exec — select/filter/
+            # arithmetic_operation/unary_minus/uint64_over_int64_max)
+            for mneg in re.finditer(r"-\s*([A-Za-z_]\w*)", rhs):
+                cname = mneg.group(1)
+                if t.types.get(cname) == "UInt64":
+                    for r0 in t.rows:
+                        v0 = r0.get(cname)
+                        if isinstance(v0, int) and v0 >= (1 << 63):
+                            raise QueryParseError(
+                                "too large UInt64 value to inverse "
+                                f"sign: <{v0}>"
+                            )
             if tgt == "_score":
                 if query is not None:
                     # would shadow the engine's score column pre-join
@@ -2378,6 +2418,7 @@ class ConformanceRunner:
         out_type = kw.pop("output_type", "json")
         if out_type not in ("json", "xml"):
             raise Unsupported(f"output_type {out_type}")
+        kw.pop("callback", None)  # jsonp wrapper — verified in run_fixture
         if kw.pop("command_version", "1") not in ("1", "2"):
             raise Unsupported("command_version 3 (object output)")
         if kw:
@@ -2965,6 +3006,14 @@ class ConformanceRunner:
         if spec == "QueryExpanderTSV":
             # the TSV plugin (plugins/query_expanders/tsv.c): the synonyms
             # file rides in via #@copy-path; each row is key TAB snippet…
+            if "query_expanders/tsv" not in self.plugins:
+                # unregistered (or plugin_unregister'd) proc name falls
+                # through to column lookup → rc -22
+                # (plugin_unregister/existence)
+                raise QueryParseError(
+                    "nonexistent query expansion column: "
+                    "<QueryExpanderTSV>"
+                )
             tsv = self._tsv_synonyms()
             if tsv is None:
                 raise Unsupported("QueryExpanderTSV without a synonyms file")
@@ -3104,14 +3153,27 @@ class ConformanceRunner:
         operand ADDs to the set — grn_table_select), so output order is
         branch order, ids ascending within a branch, first occurrence wins
         (query_expander/*/not_recursive: rroonga-branch doc precedes the
-        groonga-branch docs)."""
-        from .query.parser import Or, ast_to_query, parse_query_ex
+        groonga-branch docs).
+
+        One twist from scan_info_build's put_logical_op (expr.c:3608-3669):
+        when the FIRST complex operand (a parenthesised AND / AND-NOT
+        group, ndifops > 0) is OR-merged into a so-far-simple prefix, the
+        scan infos are ROTATED so the group's select runs first and the
+        prefix is OR'd in afterwards — ``a OR (b c)`` emits the (b AND c)
+        docs before the a docs (plugin_register/existence: expansion
+        ``((rroonga) OR ((Ruby groonga)))`` lists doc 2 before doc 1).
+        Later complex operands go through the res-stack PUSH/POP branch
+        instead and append normally.  This applies even with no index at
+        all: grn_table_select runs one sequential pass per scan info
+        (expr.c:5394), so pure-scan ORs with a complex child follow the
+        same rotated branch order."""
+        from .query.parser import And, Not, Or, ast_to_query, parse_query_ex
 
         scalar_indexed = [
             c for c in t.indexed_cols
             if c not in t.vector_cols and c not in t.ref_cols
         ]
-        if not scalar_indexed:
+        if args.get("query") is None:
             return None
         try:
             ast, _prag = parse_query_ex(
@@ -3121,23 +3183,38 @@ class ConformanceRunner:
             return None
         if not isinstance(ast, Or):
             return None
-        if self._ast_all_scan(ast, t, set(args.get("scan_columns") or ())):
-            return None
-        rank: dict[int, int] = {}
-        for child in ast.children:
+        has_complex = any(
+            isinstance(c, (And, Not)) for c in ast.children
+        )
+        if not has_complex:
+            # simple-term-only OR: branch order only applies on the
+            # posting-driven path; pure scans stay in table-cursor (id)
+            # order (no deletes ever happen, so slot order is plain
+            # insertion order — keep the prior cheap rule)
+            if not scalar_indexed:
+                return None
+            if self._ast_all_scan(
+                ast, t, set(args.get("scan_columns") or ())
+            ):
+                return None
+        # keep the dynamic columns that BACK match columns (flattened
+        # nested references like owner.name → __nm0) — dropping them
+        # breaks the branch select and loses branch ordering
+        # (index/nested/match_columns/*/or)
+        mc_cols = {
+            k: v
+            for k, v in (args.get("columns") or {}).items()
+            if k in (args.get("text_cols") or ())
+        }
+
+        def atom_ids(node) -> "list[int] | None":
+            """ids matching one scan-info atom, in insertion order (doc-id
+            ascending: posting lists are id-sorted, scans are cursor
+            order)."""
             try:
-                q = ast_to_query(child)
+                q = ast_to_query(node)
             except QueryParseError:
                 return None
-            # keep the dynamic columns that BACK match columns (flattened
-            # nested references like owner.name → __nm0) — dropping them
-            # breaks the branch select and loses branch ordering
-            # (index/nested/match_columns/*/or)
-            mc_cols = {
-                k: v
-                for k, v in (args.get("columns") or {}).items()
-                if k in (args.get("text_cols") or ())
-            }
             sub = dict(
                 args,
                 query=q,
@@ -3152,10 +3229,132 @@ class ConformanceRunner:
                 rows = self.ctx.select(table, **sub)["records"].collect()
             except _SELECT_ERRORS:
                 return None
-            for r in rows:
-                if r["_id"] not in rank:
-                    rank[r["_id"]] = len(rank)
-        return rank
+            return [r["_id"] for r in rows]
+
+        GROUP = (And, Not)
+
+        def expand(node) -> "list[tuple[str, object]] | None":
+            """One operand's scan-info steps [(logical_op, atom)] —
+            None for shapes the simulation doesn't model (nested
+            groups); the caller then falls back to legacy branch order."""
+            if isinstance(node, And):
+                steps = []
+                for k, ch in enumerate(node.children):
+                    if isinstance(ch, (And, Or, Not)):
+                        return None
+                    steps.append(("OR" if k == 0 else "AND", ch))
+                return steps
+            if isinstance(node, Not):
+                if isinstance(node.negative, (And, Or, Not)):
+                    return None
+                if isinstance(node.positive, Or):
+                    return None
+                pos = expand(node.positive)
+                if pos is None:
+                    return None
+                return pos + [("AND_NOT", node.negative)]
+            if isinstance(node, Or):
+                return None
+            return [("OR", node)]
+
+        # assemble top-level execution order per put_logical_op: the
+        # FIRST group merged into a so-far-simple prefix rotates to the
+        # front; a group merged after any earlier group goes through the
+        # res-stack (PUSH/POP) and its result is OR-inserted afterwards
+        program: "list[tuple[str, list]] | None" = []
+        seen_complex = False
+        for i, child in enumerate(ast.children):
+            steps = expand(child)
+            if steps is None:
+                program = None
+                break
+            if isinstance(child, GROUP) and i == 0:
+                program.append(("inline", steps))
+                seen_complex = True
+            elif isinstance(child, GROUP) and not seen_complex:
+                program.insert(0, ("inline", steps))  # rotation
+                seen_complex = True
+            elif isinstance(child, GROUP):
+                program.append(("merge", steps))
+            else:
+                program.append(("inline", steps))
+
+        if program is None:
+            # legacy branch-append rule (first occurrence wins)
+            if not scalar_indexed or self._ast_all_scan(
+                ast, t, set(args.get("scan_columns") or ())
+            ):
+                return None
+            rank: dict[int, int] = {}
+            for child in ast.children:
+                ids = atom_ids(child)
+                if ids is None:
+                    return None
+                for _id in ids:
+                    if _id not in rank:
+                        rank[_id] = len(rank)
+            return rank
+
+        def run(prog) -> "list[int] | None":
+            """Simulate the result grn_hash: slot-indexed entries with a
+            LIFO garbage list (hash.c:801-822 pushes freed slots on the
+            head; allocation reuses the head), iterated slot-ascending."""
+            slots: list = []
+            pos: dict = {}
+            garbage: list = []
+
+            def insert(_id):
+                if _id in pos:
+                    return
+                if garbage:
+                    s = garbage.pop()
+                    slots[s] = _id
+                else:
+                    s = len(slots)
+                    slots.append(None)
+                    slots[s] = _id
+                pos[_id] = s
+
+            def delete(_id):
+                s = pos.pop(_id)
+                slots[s] = None
+                garbage.append(s)
+
+            for kind, steps in prog:
+                if kind == "merge":
+                    sub = run([("inline", steps)])
+                    if sub is None:
+                        return None
+                    for _id in sub:
+                        insert(_id)
+                    continue
+                for lop, atom in steps:
+                    ids = atom_ids(atom)
+                    if ids is None:
+                        return None
+                    if lop == "OR":
+                        for _id in ids:
+                            insert(_id)
+                    elif lop == "AND":
+                        keep = set(ids)
+                        # setoperation iterates the hash cursor (slot
+                        # order), so slots free low-to-high → LIFO pop
+                        # reuses the highest freed slot first
+                        for _id in [
+                            x for x in slots
+                            if x is not None and x not in keep
+                        ]:
+                            delete(_id)
+                    else:  # AND_NOT
+                        for _id in ids:
+                            if _id in pos:
+                                delete(_id)
+            return [x for x in slots if x is not None]
+
+        order = run(program)
+        if order is None:
+            return None
+        return {v: i for i, v in enumerate(order)}
 
     def _natural_rank(self, t: _Table, args: dict) -> "dict[int, int] | None":
         """_id → output rank for selects WITHOUT --sortby whose natural
@@ -3570,6 +3769,16 @@ class ConformanceRunner:
                 ])
             elif name in ("register", "plugin_register"):
                 out[raw] = self.register_cmd(argv)
+            elif name == "plugin_unregister":
+                mod = argv[1] if len(argv) > 1 else ""
+                if mod in self.plugins:
+                    self.plugins.remove(mod)
+                out[raw] = _Resp(True)
+            elif name == "request_cancel":
+                # no in-flight requests in a replay: always not-canceled
+                # (lib/proc.c request_canceler_cancel)
+                rid = argv[1] if len(argv) > 1 else ""
+                out[raw] = _Resp({"id": rid, "canceled": False})
             elif name == "dump":
                 out[raw] = self.dump_cmd(argv)
             elif name == "logical_count":
@@ -3826,9 +4035,9 @@ class ConformanceRunner:
             for f in flags.replace("|", " ").split()
         ):
             return _Resp("ERROR")
+        if normalizer == "NormalizerNFKC51":
+            normalizer = "NormalizerAuto"  # same ASCII behavior
         if normalizer and normalizer not in ("NONE", "NormalizerAuto"):
-            if normalizer == "NormalizerNFKC51":
-                raise Unsupported("normalizer NormalizerNFKC51")
             # a tokenizer name or an unregistered Normalizer* both error
             return _Resp("ERROR")
         n = {"unigram": 1, "trigram": 3}.get(key, 2)
@@ -4670,6 +4879,25 @@ def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
                 else:
                     ok = rc_ok and ours.body == theirs
             results.append((cmd, ours.body, theirs, ok))
+            continue
+        if isinstance(resp, tuple) and resp and resp[0] == "#text":
+            # jsonp: the recorded body is `callback(<response>);` — check
+            # the wrapper uses OUR parsed callback name, then compare the
+            # inner response structurally (response/jsonp)
+            mcb = re.search(r"[?&]callback=(\w+)", cmd)
+            mtx = re.match(
+                r"(\w+)\((.*)\);\s*$", resp[1].strip(), re.DOTALL
+            )
+            if mcb and mtx and mcb.group(1) == mtx.group(1):
+                try:
+                    inner = json.loads(mtx.group(2))
+                except ValueError:
+                    inner = None
+                if inner is not None:
+                    theirs = select_result(inner)
+                    results.append((cmd, ours, theirs, ours == theirs))
+                    continue
+            results.append((cmd, ours, resp[1], False))
             continue
         theirs = select_result(resp)
         results.append((cmd, ours, theirs, ours == theirs))

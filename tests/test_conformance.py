@@ -32,6 +32,17 @@ DIRS = [
     "geo",
     # suggest dataset: learner + complete/correct/suggest
     "suggest",
+    # OR scan-info rotation + slot-reuse ordering, plugin_unregister
+    "plugin_register",
+    "plugin_unregister",
+    "select/query_expander/proc",
+    # jsonp URL command form, request_cancel, NFKC51 aliasing,
+    # UInt64-beyond-Int64 inverse error
+    "response",
+    "request_cancel",
+    "table_create/normalizer",
+    "truncate/table",
+    "select/filter/arithmetic_operation/unary_minus",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -14,6 +14,14 @@ With no args, sweeps every directory under the suite root.  Produces
 The sweep never counts an Unsupported script as a pass: fixtures are
 bucketed pass / fail / skip(reason), and the scoreboard reports all
 three so the parity claim is auditable fixture-by-fixture.
+
+``--resume`` reloads CONFORMANCE.json and re-runs only fixtures whose
+recorded status is error/fail (or that have no record), keeping prior
+pass/skip rows — the cheap way to recover a sweep whose JVM died
+mid-run.  The runner also recycles the SparkSession every
+``RECYCLE_EVERY`` fixtures (a 1200+-fixture sweep accretes JVM state —
+the round-2 full sweep died of it) and restarts it on Py4J/connection
+errors, retrying the fixture once on a fresh session.
 """
 
 from __future__ import annotations
@@ -45,24 +53,62 @@ def fixtures(dirs: list[str]) -> list[str]:
     return out
 
 
+RECYCLE_EVERY = int(os.environ.get("CONF_RECYCLE_EVERY", "200"))
+
+
+def _session_dead(exc: Exception) -> bool:
+    """True when the error means the JVM/gateway is gone (not a fixture
+    bug): retrying on the same session can only error again."""
+    name = type(exc).__name__
+    text = f"{name}: {exc}"
+    return any(
+        s in text
+        for s in (
+            "ConnectionRefused",
+            "Connection refused",
+            "Java gateway process",
+            "Py4JNetworkError",
+            "Answer from Java side is empty",
+            "defaultParallelism",  # dead-gateway symptom seen in r2 sweep
+        )
+    )
+
+
 def main() -> None:
     from groonga_spark.conformance import Unsupported, run_fixture, parse_script
     from groonga_spark.session import get_spark
 
-    dirs = sys.argv[1:] or sorted(
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    dirs = args or sorted(
         os.path.basename(p.rstrip("/"))
         for p in glob.glob(f"{SUITE}/*/")
     )
     paths = fixtures(dirs)
-    print(f"sweeping {len(paths)} fixtures from {len(dirs)} dirs", flush=True)
+    prior: dict[str, dict] = {}
+    if resume and os.path.exists(f"{REPO}/CONFORMANCE.json"):
+        with open(f"{REPO}/CONFORMANCE.json") as f:
+            prior = json.load(f).get("detail", {})
+    print(f"sweeping {len(paths)} fixtures from {len(dirs)} dirs"
+          + (f" (resume: {len(prior)} prior rows)" if resume else ""),
+          flush=True)
 
-    spark = get_spark("conformance_sweep", cores=8, shuffle_partitions=8)
+    def fresh_spark():
+        return get_spark(
+            "conformance_sweep", cores=8, shuffle_partitions=8
+        )
+
+    spark = fresh_spark()
+    n_since_recycle = 0
     work = "/tmp/conf_sweep_db"
 
     detail: dict[str, dict] = {}
     t0 = time.time()
     for i, tpath in enumerate(paths):
         rel = tpath[len(SUITE) + 1 : -5]
+        if resume and prior.get(rel, {}).get("status") in ("pass", "skip"):
+            detail[rel] = prior[rel]
+            continue
         with open(tpath) as f:
             test_text = f.read()
         try:
@@ -75,20 +121,45 @@ def main() -> None:
             continue
         with open(tpath[:-5] + ".expected") as f:
             expected_text = f.read()
+        if n_since_recycle >= RECYCLE_EVERY:
+            print(f"[{i}] recycling SparkSession", flush=True)
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = fresh_spark()
+            n_since_recycle = 0
         t1 = time.time()
-        try:
-            results = run_fixture(
-                spark, f"{work}/db{i}", test_text, expected_text
-            )
-        except Unsupported as e:
-            detail[rel] = {"status": "skip", "reason": str(e)[:200]}
-            continue
-        except Exception as e:  # noqa: BLE001
-            detail[rel] = {
-                "status": "error",
-                "reason": repr(e)[:300],
-                "trace": traceback.format_exc().splitlines()[-3:],
-            }
+        results = None
+        for attempt in (0, 1):
+            try:
+                results = run_fixture(
+                    spark, f"{work}/db{i}_{attempt}", test_text,
+                    expected_text,
+                )
+                break
+            except Unsupported as e:
+                detail[rel] = {"status": "skip", "reason": str(e)[:200]}
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 0 and _session_dead(e):
+                    print(f"[{i}] session died ({type(e).__name__}); "
+                          "restarting", flush=True)
+                    try:
+                        spark.stop()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    spark = fresh_spark()
+                    n_since_recycle = 0
+                    continue
+                detail[rel] = {
+                    "status": "error",
+                    "reason": repr(e)[:300],
+                    "trace": traceback.format_exc().splitlines()[-3:],
+                }
+                break
+        n_since_recycle += 1
+        if results is None:
             continue
         n_pass = sum(1 for *_x, ok in results if ok)
         fails = [
