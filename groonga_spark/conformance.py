@@ -857,6 +857,90 @@ def _cast_load_value(v, ty: str):
     return v
 
 
+def _grn_sort_value(
+    entries: "list[tuple[object, float]]", offset: int, limit: int
+) -> list:
+    """Replay grn_table_sort_value's partial quicksort exactly
+    (db.c:10271; pack_value / part_value / sort_value db.c:10184-10260)
+    and return the ids of the fully-packed array — the caller slices
+    [offset:offset+limit].
+
+    ``entries`` = (id, value) in TABLE CURSOR order, values pre-negated
+    for DESC keys.  compare(a,b) is "a sorts after b" (strict >); ties
+    compare False, and pack fills the tail region BACKWARD from the end,
+    which is what scrambles equal-valued records into the
+    implementation-defined order the reference's goldens record
+    (select/sort/index)."""
+    n = len(entries)
+    if n == 0:
+        return []
+    arr: list = [None] * n
+
+    def cmp(a, b) -> bool:
+        return a[1] > b[1]
+
+    c0 = entries[0]
+    head, tail = 0, n - 1
+    for e0 in entries[1:]:
+        if cmp(c0, e0):
+            arr[head] = e0
+            head += 1
+        else:
+            arr[tail] = e0
+            tail -= 1
+    arr[head] = c0
+    ep = head if n > 2 else None
+    to = offset + limit
+
+    def part(b: int, e: int) -> "int | None":
+        if cmp(arr[b], arr[e]):
+            arr[b], arr[e] = arr[e], arr[b]
+        d = e - b
+        if d < 2:
+            return None
+        c = b + (d >> 1)
+        if cmp(arr[b], arr[c]):
+            arr[b], arr[c] = arr[c], arr[b]
+        elif cmp(arr[c], arr[e]):
+            arr[c], arr[e] = arr[e], arr[c]
+        if d < 3:
+            return None
+        b += 1
+        arr[b], arr[c] = arr[c], arr[b]
+        c = b
+        while True:
+            b += 1
+            while cmp(arr[c], arr[b]):
+                b += 1
+            e -= 1
+            while cmp(arr[e], arr[c]):
+                e -= 1
+            if b >= e:
+                break
+            arr[b], arr[e] = arr[e], arr[b]
+        arr[c], arr[e] = arr[e], arr[c]
+        return e
+
+    def sortv(h: int, t_: int, frm: int, to_: int) -> None:
+        if h < t_:
+            c = part(h, t_)
+            if c is None:
+                return
+            m = c - h + 1
+            if frm < m - 1:
+                sortv(h, c - 1, frm, to_)
+            if m < to_:
+                sortv(c + 1, t_, frm - m, to_ - m)
+
+    if ep is not None:
+        m = ep + 1
+        if offset < m - 1:
+            sortv(0, ep - 1, offset, to)
+        if m < to:
+            sortv(ep + 1, n - 1, offset - m, to - m)
+    return [x[0] for x in arr]
+
+
 def _norm_key(s: str) -> str:
     """Key comparison form under KEY_NORMALIZE / NormalizerAuto for
     natural-order ranking."""
@@ -1313,7 +1397,10 @@ class ConformanceRunner:
             if n == 1 and tf1 == 1:
                 lut[tk] = 1
             else:
-                lut[tk] = (fp if (with_pos and tf1 == 1) else 0) + n + 2
+                # the stale inline slot keeps the first posting's token
+                # position even for a WITH_SECTION-only index
+                # (select/sort/index: "."→5+3+2=10, ":"→1+3+2=6)
+                lut[tk] = (fp if tf1 == 1 else 0) + n + 2
         return lut
 
     def _index_autoregister(self, table: str, rows: list[dict]) -> None:
@@ -1714,11 +1801,26 @@ class ConformanceRunner:
         if table not in self.tables:
             raise Unsupported(f"select on unknown table {table}")
         t = self.tables[table]
+        lex_index_sort: "tuple[str, bool] | None" = None
         if t.lex_tokenizer is not None:
             # a plain scan over a tokenizer lexicon lists its keys
-            # (table_create/default_tokenizer/delimit/default); anything
-            # touching index internals (term postings via --query/--filter,
-            # index-column output like --sortby -index) stays unsupported
+            # (table_create/default_tokenizer/delimit/default); --sortby
+            # ±<index column> orders keys by posting count through grn's
+            # partial qsort (select/sort/index); anything else touching
+            # index internals (term postings via --query/--filter) stays
+            # unsupported
+            msb = re.fullmatch(
+                r"(-?)([A-Za-z_]\w*)", (kw.get("sortby") or "").strip()
+            )
+            if (
+                msb
+                and msb.group(2) in t.index_cols
+                and not kw.get("query")
+                and not kw.get("filter")
+                and not kw.get("match_columns")
+            ):
+                lex_index_sort = (msb.group(2), bool(msb.group(1)))
+                kw["sortby"] = "_id"  # order forced via rank below
             blob = " ".join(str(v) for v in kw.values())
             if (
                 kw.get("query") or kw.get("filter")
@@ -1822,6 +1924,32 @@ class ConformanceRunner:
         filt = kw.pop("filter", None)
         nested_scores = None  # (key_col, {key: score}) applied post-fetch
         forced_rank = None  # _id → rank forced by an accessor walk
+        if lex_index_sort is not None:
+            # sort the lexicon by its index column's rendered posting
+            # count via grn's exact partial quicksort over the key-trie
+            # cursor (select/sort/index: count desc, ties in the
+            # pack/part scramble order)
+            iname, sdesc = lex_index_sort
+            lut = self._index_posting_counts(table, t, iname)
+            key_of = (
+                (lambda r: str(r.get("_key", "")))
+                if (t.pat or t.dat)
+                else (lambda r: r["_id"])
+            )
+            rows_c = sorted(t.rows, key=key_of)
+            sign = -1 if sdesc else 1
+            order = _grn_sort_value(
+                [
+                    (
+                        r["_id"],
+                        sign * lut.get(str(r.get("_key", "")), 0),
+                    )
+                    for r in rows_c
+                ],
+                offset,
+                limit if limit >= 0 else len(rows_c),
+            )
+            forced_rank = {rid: i for i, rid in enumerate(order)}
         if filt and "QueryExpanderTSV" in filt:
             # query("cols", "q", "QueryExpanderTSV") — the TSV plugin
             # (plugins/query_expanders/tsv.c): each query word that is a
@@ -2269,6 +2397,7 @@ class ConformanceRunner:
                 ColumnOp as _QCol,
                 Not as _QNot,
                 Or as _QOr,
+                Term as _QTerm,
                 parse_query_ex as _pq,
             )
 
@@ -2285,7 +2414,46 @@ class ConformanceRunner:
                 _qa, _pr = _pq(query, flags=kw.get("query_flags"))
             except QueryParseError:
                 _qa = None
-            if _qa is None or not _colop_only(_qa):
+            mc_list = [
+                x.split("*")[0].strip()
+                for x in (match_cols or "").split("||")
+                if x.strip()
+            ]
+            if (
+                isinstance(_qa, _QTerm)
+                and mc_list
+                and all(c in t.vector_ref_cols for c in mc_list)
+            ):
+                # bare term matched through a vector-reference index whose
+                # lexicon has no tokenizer: GET = exact key lookup, then
+                # match escalation re-runs as PREFIX over the key trie
+                # (grn_ii_sel — table_create/default_tokenizer/
+                # nonexistent: "Samurai" prefix-hits the whole-string key
+                # "Samurai Japanese Japan"); hits = rows whose vector
+                # holds a matched key
+                hit_ids: set = set()
+                for c in mc_list:
+                    ref = self.tables[t.vector_ref_cols[c]]
+                    fnorm = (
+                        _norm_key
+                        if ref.key_normalize or ref.normalizer_raw
+                        else (lambda s: s)
+                    )
+                    qn = fnorm(query.strip())
+                    keys = [str(k) for k in ref.keys]
+                    matched = {k for k in keys if fnorm(k) == qn} or {
+                        k for k in keys if fnorm(k).startswith(qn)
+                    }
+                    for r in t.rows:
+                        vals = r.get(c) or []
+                        if any(str(v) in matched for v in vals):
+                            hit_ids.add(r["_id"])
+                args["query"], args["match_columns"] = None, None
+                args["filter"] = (
+                    " || ".join(f"_id == {i}" for i in sorted(hit_ids))
+                    or "1 == 2"
+                )
+            elif _qa is None or not _colop_only(_qa):
                 raise Unsupported("--query over a vector index")
             ref_query_cols = [
                 c
@@ -2299,6 +2467,7 @@ class ConformanceRunner:
                 args["columns"] = cols
         if (
             query is not None
+            and args.get("query") is not None
             and not scalar_indexed
             and match_cols
             and "||" in match_cols

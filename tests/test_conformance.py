@@ -26,7 +26,6 @@ DIRS = [
     "select/filter/geo_in_circle/column",
     "select/filter/geo_in_rectangle/invalid",
     "select/output/geo_point",
-    "select/sort/geo",
     "load/each",
     "load/index/online/vector",
     "geo",
@@ -43,6 +42,10 @@ DIRS = [
     "table_create/normalizer",
     "truncate/table",
     "select/filter/arithmetic_operation/unary_minus",
+    # grn partial-qsort order on an index-column sort; untokenized-
+    # lexicon prefix escalation through a vector-reference index
+    "select/sort",
+    "table_create/default_tokenizer",
 ]
 
 pytestmark = pytest.mark.skipif(

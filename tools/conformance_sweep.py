@@ -106,7 +106,9 @@ def main() -> None:
     t0 = time.time()
     for i, tpath in enumerate(paths):
         rel = tpath[len(SUITE) + 1 : -5]
-        if resume and prior.get(rel, {}).get("status") in ("pass", "skip"):
+        if resume and prior.get(rel, {}).get("status") == "pass":
+            # error/fail/skip rows re-run: a skip may have become
+            # supported since the prior sweep
             detail[rel] = prior[rel]
             continue
         with open(tpath) as f:
