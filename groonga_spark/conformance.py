@@ -346,11 +346,12 @@ def parse_script(text: str) -> list[tuple[str, list[str], str | None]]:
             # HTTP URL command form (lib/proc.c grn_document_root):
             # /d/<cmd>.json?k=v&k2=v2 — jsonp via the callback param
             # (response/jsonp)
-            from urllib.parse import parse_qsl, unquote_plus
+            from urllib.parse import parse_qsl
 
             argv = [murl.group(1)]
-            for k, v in parse_qsl(murl.group(2)):
-                argv += [f"--{k}", unquote_plus(v)]
+            # parse_qsl already percent/plus-decodes values
+            for k, v in parse_qsl(murl.group(2), keep_blank_values=True):
+                argv += [f"--{k}", v]
             out.append((line.rstrip(), argv, None))
             continue
         if not _CMD_RE.match(line):
@@ -1349,7 +1350,6 @@ class ConformanceRunner:
         if st is None:
             return {}
         excluded = self.trunc_index_ids.get((tname, iname), set())
-        with_pos = "WITH_POSITION" in fl
         apply_stem = "TokenFilterStem" in t.token_filters
         from .tokenize import tokenize as _tok_pc
         if apply_stem:
@@ -1882,6 +1882,13 @@ class ConformanceRunner:
             # whole select (grn_obj_cast via expr exec — select/filter/
             # arithmetic_operation/unary_minus/uint64_over_int64_max)
             for mneg in re.finditer(r"-\s*([A-Za-z_]\w*)", rhs):
+                # unary positions only: start of expression, after an
+                # opening paren, or after another operator — `a - b` is
+                # binary subtraction, which grn casts without the
+                # inverse-sign error
+                prev = rhs[: mneg.start()].rstrip()[-1:]
+                if prev and prev not in "(=+-*/%&|^<>,!":
+                    continue
                 cname = mneg.group(1)
                 if t.types.get(cname) == "UInt64":
                     for r0 in t.rows:
@@ -1938,6 +1945,11 @@ class ConformanceRunner:
             )
             rows_c = sorted(t.rows, key=key_of)
             sign = -1 if sdesc else 1
+            # grn_normalize_offset_and_limit before grn_table_sort:
+            # negative values wrap against the table size
+            n_rows = len(rows_c)
+            s_off = offset + n_rows if offset < 0 else offset
+            s_lim = n_rows + limit + 1 if limit < 0 else limit
             order = _grn_sort_value(
                 [
                     (
@@ -1946,8 +1958,8 @@ class ConformanceRunner:
                     )
                     for r in rows_c
                 ],
-                offset,
-                limit if limit >= 0 else len(rows_c),
+                max(0, s_off),
+                max(0, s_lim),
             )
             forced_rank = {rid: i for i, rid in enumerate(order)}
         if filt and "QueryExpanderTSV" in filt:
@@ -2449,9 +2461,14 @@ class ConformanceRunner:
                         if any(str(v) in matched for v in vals):
                             hit_ids.add(r["_id"])
                 args["query"], args["match_columns"] = None, None
-                args["filter"] = (
+                cond = (
                     " || ".join(f"_id == {i}" for i in sorted(hit_ids))
                     or "1 == 2"
+                )
+                # grn ANDs --query matches with --filter
+                prev_f = args.get("filter")
+                args["filter"] = (
+                    f"({prev_f}) && ({cond})" if prev_f else cond
                 )
             elif _qa is None or not _colop_only(_qa):
                 raise Unsupported("--query over a vector index")
@@ -5036,6 +5053,27 @@ def run_fixture(spark, db_path: str, test_text: str, expected_text: str):
             continue
         if isinstance(ours, _Resp):
             if isinstance(resp, tuple) and resp and resp[0] == "#text":
+                mcb = re.search(r"[?&]callback=(\w+)", cmd)
+                mtx = re.match(
+                    r"(\w+)\((.*)\);\s*$", resp[1].strip(), re.DOTALL
+                )
+                if mcb and mtx and mcb.group(1) == mtx.group(1):
+                    # jsonp-wrapped non-select (or errored) response:
+                    # unwrap and compare the inner rc/body
+                    try:
+                        inner = json.loads(mtx.group(2))
+                    except ValueError:
+                        inner = None
+                    if inner is not None:
+                        rc_ok = inner[0][0] == 0
+                        if ours.body == "ERROR":
+                            ok = not rc_ok
+                        else:
+                            ok = rc_ok and ours.body == (
+                                inner[1] if len(inner) > 1 else True
+                            )
+                        results.append((cmd, ours.body, inner, ok))
+                        continue
                 # raw-text response (dump): compare normalized text
                 theirs = resp[1]
                 ok = isinstance(ours.body, str) and ours.body.strip() == theirs.strip()

@@ -16,9 +16,10 @@ bucketed pass / fail / skip(reason), and the scoreboard reports all
 three so the parity claim is auditable fixture-by-fixture.
 
 ``--resume`` reloads CONFORMANCE.json and re-runs only fixtures whose
-recorded status is error/fail (or that have no record), keeping prior
-pass/skip rows — the cheap way to recover a sweep whose JVM died
-mid-run.  The runner also recycles the SparkSession every
+recorded status is NOT pass (error/fail/skip, or no record) — skips
+re-run because a skip may have become supported; rows outside the swept
+dirs are kept verbatim.  The cheap way to recover a sweep whose JVM
+died mid-run, or to recheck one directory.  The runner also recycles the SparkSession every
 ``RECYCLE_EVERY`` fixtures (a 1200+-fixture sweep accretes JVM state —
 the round-2 full sweep died of it) and restarts it on Py4J/connection
 errors, retrying the fixture once on a fresh session.
@@ -102,7 +103,15 @@ def main() -> None:
     n_since_recycle = 0
     work = "/tmp/conf_sweep_db"
 
-    detail: dict[str, dict] = {}
+    # resume keeps prior rows for fixtures OUTSIDE the swept dirs too, so
+    # a scoped `--resume <dir>` rechecks one area without dropping the
+    # rest of the scoreboard
+    swept = {p[len(SUITE) + 1 : -5] for p in paths}
+    detail: dict[str, dict] = (
+        {rel: row for rel, row in prior.items() if rel not in swept}
+        if resume
+        else {}
+    )
     t0 = time.time()
     for i, tpath in enumerate(paths):
         rel = tpath[len(SUITE) + 1 : -5]
@@ -195,7 +204,7 @@ def main() -> None:
 
     out = {
         "totals": dict(totals),
-        "n_fixtures": len(paths),
+        "n_fixtures": len(detail),
         "per_dir": {k: dict(v) for k, v in sorted(per_dir.items())},
         "detail": detail,
     }
@@ -211,7 +220,7 @@ def main() -> None:
         "compared response matches; **skip** = script uses features outside",
         "the engine's declared scope (reason recorded in CONFORMANCE.json).",
         "",
-        f"Totals over {len(paths)} fixtures: "
+        f"Totals over {len(detail)} fixtures: "
         f"**{totals.get('pass',0)} pass**, {totals.get('fail',0)} fail, "
         f"{totals.get('error',0)} error, {totals.get('skip',0)} skip.",
         "",
