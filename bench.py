@@ -203,6 +203,85 @@ def run_scaling(sf_dir: str, corpus_docs: int) -> None:
     )
 
 
+QSCALE_QUERIES = {
+    # top-k BM25 over the synthetic source-code corpus (code tokenizer);
+    # terms come from the corpus vocabulary, the phrase is PLANTED
+    "q_single": "index",
+    "q_and": "merge sort",
+    "q_or": "filter OR union",
+    "q_not": "query -token",
+    "q_phrase": '"merge sort partition"',
+    "q_near": "*N5 merge partition",
+    "q_prefix": "sc*",
+}
+
+
+def run_qscale(cores: int) -> None:
+    """Top-k BM25 query latency vs corpus size, one session: build the
+    corpus index at each size in ``SPARK_GRAFT_QSCALE_SIZES`` (default
+    ``100000,1000000``) and time the same query set against each.  The
+    point is the GROWTH rate: with block-max pruning, the broadcast query
+    path, and top-k short-circuits, latency should grow far slower than
+    the corpus (the 100 TB query story), and this prints the measured
+    ratio per query so BASELINE.md can cite it.
+    """
+    from groonga_spark.corpus import corpus_df
+    from groonga_spark.query.engine import SearchEngine
+    from groonga_spark.session import get_spark
+
+    sizes = [
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_QSCALE_SIZES", "100000,1000000"
+        ).split(",")
+    ]
+    spark = get_spark("groonga_spark_qscale", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    per_size: dict[str, dict] = {}
+    for n in sizes:
+        corpus = corpus_df(spark, n, n_partitions=max(cores, 8)).persist()
+        corpus.count()
+        t0 = time.perf_counter()
+        eng = SearchEngine.build(corpus, ["content"], tokenizer="code")
+        eng.index.persist()
+        build_s = time.perf_counter() - t0
+        lat: dict[str, float] = {}
+        eng.select(QSCALE_QUERIES["q_single"], k=10).count()  # warmup
+        for name, q in QSCALE_QUERIES.items():
+            t0 = time.perf_counter()
+            eng.select(q, k=10, escalate=False).count()
+            lat[name] = round(time.perf_counter() - t0, 3)
+        per_size[str(n)] = {
+            "build_sec": round(build_s, 3),
+            "files_per_sec": round(n / build_s, 1),
+            "query_sec": lat,
+        }
+        eng.index.unpersist()
+        corpus.unpersist()
+    lo, hi = str(sizes[0]), str(sizes[-1])
+    growth = {
+        name: round(
+            per_size[hi]["query_sec"][name] / per_size[lo]["query_sec"][name], 2
+        )
+        for name in QSCALE_QUERIES
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "top-k BM25 query latency vs corpus size",
+                "value": round(
+                    sum(growth.values()) / len(growth), 3
+                ),
+                "unit": f"mean latency ratio at {sizes[-1] // sizes[0]}x docs",
+                "cores": cores,
+                "sizes": sizes,
+                "per_size": per_size,
+                "latency_ratio": growth,
+            }
+        )
+    )
+
+
 def run_ceiling() -> None:
     """Measure the SANDBOX's parallel-scaling ceiling with plain python
     processes (no Spark, no shared state): each process runs the tokenize
@@ -252,6 +331,9 @@ def main() -> None:
         return
     if "--ceiling" in sys.argv:
         run_ceiling()
+        return
+    if "--qscale" in sys.argv:
+        run_qscale(cores)
         return
     print(json.dumps(run_bench(sf_dir, cores, corpus_docs)))
 

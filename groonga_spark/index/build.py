@@ -126,6 +126,12 @@ class InvertedIndex:
         self.doclens.count()
         return self
 
+    def unpersist(self) -> "InvertedIndex":
+        self.dictionary.unpersist()
+        self.postings.unpersist()
+        self.doclens.unpersist()
+        return self
+
 
 def _tokenize_udf(mode: str, token_filters: tuple = ()):
     ret = StructType(

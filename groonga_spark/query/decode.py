@@ -88,10 +88,13 @@ def make_decode_udf(with_pos: bool):
     return F.pandas_udf(fn, _DECODED_SCHEMA)
 
 
-def decoded_postings(blocks_df, with_pos: bool):
+def decoded_postings(blocks_df, with_pos: bool, with_block: bool = False):
     """blocks_df: (term, df, block struct fields...) → exploded
     (term, df, doc_id, sid, tf, dl[, positions]) — the explode and field
-    projection stay JVM-side."""
+    projection stay JVM-side.  ``with_block=True`` carries the block's
+    ``first_doc_id`` through as ``_blk`` so a later pass can semi-join
+    back to exactly the blocks a row set came from (the two-phase
+    positional decode in ``SearchEngine._scored_term_doc``)."""
     udf = make_decode_udf(with_pos)
     d = blocks_df.withColumn(
         "d",
@@ -111,7 +114,10 @@ def decoded_postings(blocks_df, with_pos: bool):
             "transform(d.doc_ids, (x, i) -> struct(x as doc_id, d.sids[i] as sid,"
             " d.tfs[i] as tf, d.dls[i] as dl))"
         )
-    out = d.select("term", "df", F.explode(F.expr(row_expr)).alias("p")).select(
-        "term", "df", "p.*"
+    keep = ["term", "df"] + (
+        [F.col("first_doc_id").alias("_blk")] if with_block else []
+    )
+    out = d.select(*keep, F.explode(F.expr(row_expr)).alias("p")).select(
+        "term", "df", *(["_blk"] if with_block else []), "p.*"
     )
     return out

@@ -62,6 +62,13 @@ class _Atom:
 
 
 MAX_BROADCAST_DOCS = 500_000  # (doc_id, score) rows ≈ 16 B each → ≤ 8 MB
+# phrase/NEAR positional decode goes two-phase (tf-only scoring decode +
+# a positions decode restricted to candidate blocks) once the positional
+# tokens' summed df crosses this; below it the candidate shuffles cost
+# more than just decoding the position arrays (measured: 3-token phrase
+# of head terms at 1M docs: 27.5 s single-phase → ~5 s two-phase; at
+# ≤100k docs single-phase wins by the fixed ~1.5 s of extra stages)
+POS_TWO_PHASE_CUTOFF = 200_000
 
 
 class SearchEngine:
@@ -499,7 +506,10 @@ class SearchEngine:
             n_hits = term_meta.get(plan.tokens[0], 0)
         else:
             term_doc, pos_rows = self._scored_term_doc(
-                all_terms, term_meta, weights, need_pos, scorer
+                all_terms, term_meta, weights, need_pos, scorer,
+                pos_groups=[
+                    a.tokens for a in atoms if a.kind in ("phrase", "near")
+                ],
             )
             result = self._eval(plan, term_doc, pos_rows, term_meta)
             if adjuster:
@@ -635,7 +645,8 @@ class SearchEngine:
         a = _Atom(tokens=tokens, offsets=offs, kind="phrase" if len(tokens) > 1 else "term")
         weights = {sid: 1.0 for sid in self.index.stats.sections}
         term_doc, pos_rows = self._scored_term_doc(
-            sorted(set(tokens)), term_meta, weights, need_pos=len(tokens) > 1
+            sorted(set(tokens)), term_meta, weights, need_pos=len(tokens) > 1,
+            pos_groups=[tokens],
         )
         cand = self._eval_atom(a, term_doc, pos_rows).select("doc_id")
         return (
@@ -812,16 +823,77 @@ class SearchEngine:
         ).select("term", "df", "b.*")
         return blocks
 
-    def _scored_term_doc(self, terms, term_meta, weights, need_pos, scorer="bm25"):
+    def _scored_term_doc(
+        self, terms, term_meta, weights, need_pos, scorer="bm25", pos_groups=None
+    ):
         """decoded rows → (term, doc_id) score contributions; optionally the
-        per-(term, doc, sid) position arrays for phrase/NEAR checks."""
+        per-(term, doc, sid) position arrays for phrase/NEAR checks.
+
+        ``pos_groups`` (a list of token lists, one per positional atom)
+        turns the positional decode into TWO phases: a tf-only decode
+        scores every posting cheaply, then positions are decoded only for
+        blocks holding a CANDIDATE — a (doc, sid) containing every token
+        of some group.  Every phrase/NEAR consumer inner-joins its tokens'
+        rows on (doc_id, sid), so dropping non-candidates is exact; what
+        it saves is decoding + Arrow-shipping the position arrays of every
+        posting of a frequent term (at 1M docs a three-token phrase of
+        head terms was 5.7× slower than its AND query through the
+        single-phase path; candidate blocks are found by an equi
+        semi-join on (term, _blk=first_doc_id) — no range join needed)."""
         idx = self.index
         blocks = self._filtered_blocks(terms, term_meta)
-        rows = decoded_postings(blocks, with_pos=need_pos)
+        # two-phase only pays when the positional tokens' postings are
+        # big — below the cutoff the extra candidate shuffles cost more
+        # than decoding the (small) position arrays outright.  Unknown
+        # df (empty term_meta — the colop fast path) stays single-phase:
+        # conformance-scale tables would eat the fixed overhead per query.
+        two_phase = bool(need_pos and pos_groups) and (
+            sum(
+                term_meta.get(t, 0)
+                for t in {t for g in pos_groups for t in g}
+            )
+            > POS_TWO_PHASE_CUTOFF
+        )
+        rows = decoded_postings(blocks, with_pos=need_pos and not two_phase,
+                                with_block=bool(two_phase))
         contrib = self._contrib_col(rows, weights, scorer)
         scored = rows.withColumn("contrib", contrib).filter(F.col("contrib").isNotNull())
+        if two_phase:
+            # term_doc, the per-group presence sets, AND the candidate
+            # aggregation all branch off this frame — cache it for the
+            # query's duration so the tf decode runs once, not per branch
+            scored = self._persist(scored)
         term_doc = scored.groupBy("term", "doc_id").agg(F.sum("contrib").alias("score"))
-        pos_rows = scored.select("term", "doc_id", "sid", "positions") if need_pos else None
+        if not need_pos:
+            return term_doc, None
+        if not two_phase:
+            pos_rows = scored.select("term", "doc_id", "sid", "positions")
+            return term_doc, pos_rows
+        # -- phase 2: positions for candidate blocks only ------------------
+        cand_blk = None
+        for g in pos_groups:
+            gset = sorted(set(g))
+            pres = scored.filter(F.col("term").isin(gset)).select(
+                "term", "doc_id", "sid", "_blk"
+            )
+            cand = (
+                pres.groupBy("doc_id", "sid")
+                .agg(F.countDistinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(gset))
+                .select("doc_id", "sid")
+            )
+            blk = pres.join(cand, ["doc_id", "sid"], "left_semi").select(
+                "term", "_blk"
+            ).distinct()
+            cand_blk = blk if cand_blk is None else cand_blk.unionByName(blk)
+        pos_blocks = blocks.join(
+            cand_blk.distinct().withColumnRenamed("_blk", "first_doc_id"),
+            ["term", "first_doc_id"],
+            "left_semi",
+        )
+        pos_rows = decoded_postings(pos_blocks, with_pos=True).select(
+            "term", "doc_id", "sid", "positions"
+        )
         return term_doc, pos_rows
 
     def _contrib_col(self, rows, weights, scorer="bm25"):
@@ -1069,7 +1141,8 @@ class SearchEngine:
                     frame = self._prefix_expansion_frame(terms[0], weights)
                     return frame if frame is not None else self._empty_frame()
                 term_doc, pos_rows = self._scored_term_doc(
-                    sorted(set(terms)), {}, weights, need_pos=len(terms) > 1
+                    sorted(set(terms)), {}, weights, need_pos=len(terms) > 1,
+                    pos_groups=[terms],
                 )
                 kind = "phrase" if len(terms) > 1 else "term"
                 a = _Atom(tokens=terms, offsets=offs, kind=kind)
