@@ -69,6 +69,16 @@ MAX_BROADCAST_DOCS = 500_000  # (doc_id, score) rows ≈ 16 B each → ≤ 8 MB
 # of head terms at 1M docs: 27.5 s single-phase → ~5 s two-phase; at
 # ≤100k docs single-phase wins by the fixed ~1.5 s of extra stages)
 POS_TWO_PHASE_CUTOFF = 200_000
+# anchor-driven block prune (the distributed analogue of the reference's
+# rid-bound cursor skip, grn_ii_cursor_set_min ii.c:4144-4172, applied
+# across terms): when every matching doc provably contains some rare
+# "anchor" term, the other terms' posting BLOCKS are pruned to the doc-id
+# grid cells the anchor's docs occupy before any decode.  Gates: the
+# non-anchor postings must be big enough to beat the two extra metadata
+# stages, and the anchor must be selective enough to prune anything.
+ANCHOR_PRUNE_CUTOFF = 200_000  # non-anchor summed df must exceed this
+ANCHOR_PRUNE_RATIO = 4  # anchor df ≤ rest/RATIO, else nothing to prune
+ANCHOR_PRUNE_GRID = 1024  # doc ids per grid cell
 
 
 class SearchEngine:
@@ -505,11 +515,27 @@ class SearchEngine:
             )
             n_hits = term_meta.get(plan.tokens[0], 0)
         else:
+            anchor = None
+            if prune and len(all_terms) > 1:
+                req = _required_tokens(plan) & set(all_terms)
+                if req:
+                    cand = min(req, key=lambda t: (term_meta.get(t, 0), t))
+                    a_df = term_meta.get(cand, 0)
+                    rest = sum(
+                        term_meta.get(t, 0) for t in all_terms if t != cand
+                    )
+                    if (
+                        rest > ANCHOR_PRUNE_CUTOFF
+                        and a_df * ANCHOR_PRUNE_RATIO <= rest
+                        and a_df <= MAX_BROADCAST_DOCS
+                    ):
+                        anchor = cand
             term_doc, pos_rows = self._scored_term_doc(
                 all_terms, term_meta, weights, need_pos, scorer,
                 pos_groups=[
                     a.tokens for a in atoms if a.kind in ("phrase", "near")
                 ],
+                anchor=anchor,
             )
             result = self._eval(plan, term_doc, pos_rows, term_meta)
             if adjuster:
@@ -823,8 +849,57 @@ class SearchEngine:
         ).select("term", "df", "b.*")
         return blocks
 
+    def _anchor_pruned_blocks(self, blocks, anchor: str):
+        """Prune every non-anchor term's blocks to the doc-id grid cells
+        occupied by the ANCHOR term's postings.
+
+        Sound whenever the anchor token is required in every matching doc
+        (see ``_required_tokens``): result docs are then a subset of the
+        anchor's docs, every posting of a doc in an anchor cell survives
+        the prune (a block containing the doc overlaps its cell), so each
+        sub-frame's membership AND score are exact for candidate docs —
+        this is an exact rewrite, not a top-k bound.  Spark shape: the
+        anchor decode is df_anchor rows, the cell set broadcasts (gated by
+        MAX_BROADCAST_DOCS), the explode runs over block METADATA only
+        (df/128 rows per term), and the kept-block semi-join never touches
+        posting bytes.  Reference analogue: grn_ii_cursor_set_min's
+        chunk-level rid skip (ii.c:4144-4172) driven by the rarest
+        token_info's cursor (token_info_skip, ii.c:~5950)."""
+        G = ANCHOR_PRUNE_GRID
+        ablocks = blocks.filter(F.col("term") == anchor)
+        cells = (
+            decoded_postings(ablocks, with_pos=False)
+            .select((F.col("doc_id") / G).cast("long").alias("_cell"))
+            .distinct()
+        )
+        others = blocks.filter(F.col("term") != anchor)
+        keep = (
+            others.select(
+                "term",
+                "first_doc_id",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_doc_id") / G).cast("long"),
+                        (F.col("last_doc_id") / G).cast("long"),
+                    )
+                ).alias("_cell"),
+            )
+            .join(F.broadcast(cells), "_cell", "left_semi")
+            .select("term", "first_doc_id")
+            .distinct()
+        )
+        pruned = others.join(keep, ["term", "first_doc_id"], "left_semi")
+        return ablocks.unionByName(pruned)
+
     def _scored_term_doc(
-        self, terms, term_meta, weights, need_pos, scorer="bm25", pos_groups=None
+        self,
+        terms,
+        term_meta,
+        weights,
+        need_pos,
+        scorer="bm25",
+        pos_groups=None,
+        anchor=None,
     ):
         """decoded rows → (term, doc_id) score contributions; optionally the
         per-(term, doc, sid) position arrays for phrase/NEAR checks.
@@ -842,6 +917,8 @@ class SearchEngine:
         semi-join on (term, _blk=first_doc_id) — no range join needed)."""
         idx = self.index
         blocks = self._filtered_blocks(terms, term_meta)
+        if anchor is not None and anchor in terms and len(terms) > 1:
+            blocks = self._anchor_pruned_blocks(blocks, anchor)
         # two-phase only pays when the positional tokens' postings are
         # big — below the cutoff the extra candidate shuffles cost more
         # than decoding the (small) position arrays outright.  Unknown
@@ -1508,6 +1585,30 @@ class SearchEngine:
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
+
+
+def _required_tokens(node) -> set:
+    """Tokens provably present in EVERY doc matching ``node`` (the sound
+    anchor candidates for ``_anchor_pruned_blocks``).  term/phrase/NEAR
+    atoms require all their tokens (NEAR inner-joins every token's
+    positions); prefix/colop/AllRecords require none; And unions, Or
+    intersects, Not requires whatever its positive side requires."""
+    if isinstance(node, _Atom):
+        return set(node.tokens) if node.kind in ("term", "phrase", "near") else set()
+    if isinstance(node, qp.And):
+        req: set = set()
+        for c in node.children:
+            req |= _required_tokens(c)
+        return req
+    if isinstance(node, qp.Or):
+        sets = [_required_tokens(c) for c in node.children]
+        req = sets[0]
+        for s in sets[1:]:
+            req &= s
+        return req
+    if isinstance(node, qp.Not):
+        return _required_tokens(node.positive)
+    return set()
 
 
 def _est_df(node) -> int:
