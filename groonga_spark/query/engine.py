@@ -76,9 +76,29 @@ POS_TWO_PHASE_CUTOFF = 200_000
 # grid cells the anchor's docs occupy before any decode.  Gates: the
 # non-anchor postings must be big enough to beat the two extra metadata
 # stages, and the anchor must be selective enough to prune anything.
-ANCHOR_PRUNE_CUTOFF = 200_000  # non-anchor summed df must exceed this
+ANCHOR_PRUNE_CUTOFF = 2_000_000  # non-anchor summed df must exceed this
 ANCHOR_PRUNE_RATIO = 4  # anchor df ≤ rest/RATIO, else nothing to prune
-ANCHOR_PRUNE_GRID = 1024  # doc ids per grid cell
+ANCHOR_PRUNE_GRID = 64  # min doc ids per grid cell (widens with n_docs)
+# anchor must occupy ≤ 1/COVERAGE of the grid cells, else blocks survive
+# the semi-join anyway and the prune is pure overhead (measured: a df=20k
+# anchor over 1M docs touches ~100% of 1024-wide cells and the "prune"
+# made the query 2.8x slower; see BASELINE.md anchor A/B)
+ANCHOR_PRUNE_COVERAGE = 4
+# only positional plans (phrase/NEAR) benefit: they push the non-anchor
+# postings through the (doc, sid) candidate-join shuffles, which the prune
+# shrinks by orders of magnitude.  Flat AND/OR decode is vectorized numpy
+# (~10M postings/s/core) — measured at 1M AND 4M docs, pruning it never
+# recovered the two extra stage barriers (0.5-0.85x), while NEAR at 4M
+# docs won 2.4x.  See BASELINE.md anchor A/B.
+ANCHOR_PRUNE_POS_ONLY = True
+
+
+def _anchor_grid(n_docs: int) -> int:
+    """Grid cell width: fine enough that one anchor doc keeps ~one block
+    of a dense term (block spans shrink as df grows), coarse enough that
+    the metadata explode stays ≤ ~n_docs/GRID + n_blocks rows (the >> 26
+    term caps it at ~64M cells however big the corpus)."""
+    return max(ANCHOR_PRUNE_GRID, n_docs >> 26)
 
 
 class SearchEngine:
@@ -516,7 +536,11 @@ class SearchEngine:
             n_hits = term_meta.get(plan.tokens[0], 0)
         else:
             anchor = None
-            if prune and len(all_terms) > 1:
+            if (
+                prune
+                and len(all_terms) > 1
+                and (need_pos or not ANCHOR_PRUNE_POS_ONLY)
+            ):
                 req = _required_tokens(plan) & set(all_terms)
                 if req:
                     cand = min(req, key=lambda t: (term_meta.get(t, 0), t))
@@ -524,10 +548,14 @@ class SearchEngine:
                     rest = sum(
                         term_meta.get(t, 0) for t in all_terms if t != cand
                     )
+                    n_cells = max(
+                        1, idx.stats.n_docs // _anchor_grid(idx.stats.n_docs)
+                    )
                     if (
                         rest > ANCHOR_PRUNE_CUTOFF
                         and a_df * ANCHOR_PRUNE_RATIO <= rest
                         and a_df <= MAX_BROADCAST_DOCS
+                        and a_df * ANCHOR_PRUNE_COVERAGE <= n_cells
                     ):
                         anchor = cand
             term_doc, pos_rows = self._scored_term_doc(
@@ -864,8 +892,17 @@ class SearchEngine:
         (df/128 rows per term), and the kept-block semi-join never touches
         posting bytes.  Reference analogue: grn_ii_cursor_set_min's
         chunk-level rid skip (ii.c:4144-4172) driven by the rarest
-        token_info's cursor (token_info_skip, ii.c:~5950)."""
-        G = ANCHOR_PRUNE_GRID
+        token_info's cursor (token_info_skip, ii.c:~5950).
+
+        The kept-block set is tiny — (term, first_doc_id) pairs, bounded by
+        Σ_t (df_t/512 + df_anchor) under the coverage gate — and the scored
+        frame is referenced by several downstream branches (per-atom eval,
+        positional candidate sets, n_hits), so ``keep`` goes through
+        :meth:`_persist`: the whole anchor subtree (anchor decode → cells →
+        metadata explode → semi-join) materializes exactly ONCE per query.
+        Leaving it in the lineage re-ran it per branch — measured 2.2-2.8x
+        slower than no prune at 1M docs before this."""
+        G = _anchor_grid(self.index.stats.n_docs)
         ablocks = blocks.filter(F.col("term") == anchor)
         cells = (
             decoded_postings(ablocks, with_pos=False)
@@ -888,7 +925,8 @@ class SearchEngine:
             .select("term", "first_doc_id")
             .distinct()
         )
-        pruned = others.join(keep, ["term", "first_doc_id"], "left_semi")
+        keep = self._persist(keep)
+        pruned = others.join(F.broadcast(keep), ["term", "first_doc_id"], "left_semi")
         return ablocks.unionByName(pruned)
 
     def _scored_term_doc(

@@ -28,6 +28,8 @@ def _rows(df):
 def _force(monkeypatch):
     monkeypatch.setattr(eng_mod, "ANCHOR_PRUNE_CUTOFF", -1)
     monkeypatch.setattr(eng_mod, "ANCHOR_PRUNE_RATIO", 0)
+    monkeypatch.setattr(eng_mod, "ANCHOR_PRUNE_COVERAGE", 0)
+    monkeypatch.setattr(eng_mod, "ANCHOR_PRUNE_POS_ONLY", False)
 
 
 QUERIES = [

@@ -92,6 +92,30 @@ def main() -> None:
     )
     out.append("```\n" + grab(lr) + "```\n")
 
+    out.append("## Anchor-driven block prune (gates forced at toy scale)\n")
+    out.append(
+        "Check: the kept-block set is an `InMemoryTableScan` (persisted "
+        "once per query — the anchor decode subtree is NOT re-executed "
+        "per branch) feeding `BroadcastHashJoin ... LeftSemi` joins over "
+        "block METADATA, and those semi-joins sit UPSTREAM of the Python "
+        "posting decode (`MapInPandas`) — posting bytes of pruned blocks "
+        "are never decoded. Production gates (`ANCHOR_PRUNE_*`) restrict "
+        "this to positional plans with a big prunable side (the measured "
+        "break-even; see BASELINE.md anchor A/B).\n"
+    )
+    from groonga_spark.query import engine as eng_mod
+    from groonga_spark.query.engine import SearchEngine
+
+    eng_mod.ANCHOR_PRUNE_CUTOFF = -1
+    eng_mod.ANCHOR_PRUNE_RATIO = 0
+    eng_mod.ANCHOR_PRUNE_COVERAGE = 0
+    se = SearchEngine.build(corpus, ["content"], tokenizer="code")
+    out.append(
+        "```\n"
+        + grab(se.select('"merge sort"', k=10, escalate=False))
+        + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
