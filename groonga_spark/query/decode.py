@@ -37,7 +37,16 @@ _DECODED_SCHEMA = StructType(
 )
 
 
-def _decode_one(first_doc, n, enc, doc_b, sid_b, tf_b, dl_b, pos_b, with_pos):
+def _decode_one(
+    first_doc, n, enc, doc_b, sid_b, tf_b, dl_b, pos_b, with_pos, cand=None
+):
+    """``cand`` (optional int64 array of candidate doc ids) masks the
+    OUTPUT of the decode: the delta/varbyte streams are sequential so
+    every posting must be decoded, but non-candidate rows are dropped
+    before the position cumsum loop and before Arrow serialization —
+    for a spread candidate set over head terms this cuts the shipped
+    position arrays (and the per-posting Python loop) from every posting
+    in the block to just the candidates."""
     n = int(n)
     deltas = (
         encoding.pfor_decode(doc_b, n) if (enc & 1) else encoding.vb_decode(doc_b, n)
@@ -53,30 +62,49 @@ def _decode_one(first_doc, n, enc, doc_b, sid_b, tf_b, dl_b, pos_b, with_pos):
     if with_pos:
         total = int(tfs.sum())
         gaps = encoding.vb_decode(pos_b, total).astype(np.int64)
+        if cand is not None:
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            keep = np.nonzero(np.isin(doc_ids, cand))[0]
+            poss = [
+                np.cumsum(gaps[offs[i] : offs[i + 1]]).tolist()
+                for i in keep.tolist()
+            ]
+            return doc_ids[keep], sids[keep], tfs[keep], dls[keep], poss
         poss = []
         off = 0
         for t in tfs.tolist():
             poss.append(np.cumsum(gaps[off : off + t]).tolist())
             off += t
+    elif cand is not None:
+        keep = np.isin(doc_ids, cand)
+        return doc_ids[keep], sids[keep], tfs[keep], dls[keep], None
     return doc_ids, sids, tfs, dls, poss
 
 
-def make_decode_udf(with_pos: bool):
+def make_decode_udf(with_pos: bool, with_cand: bool = False):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"doc_ids": [], "sids": [], "tfs": [], "dls": [], "poss": []}
-            for first_doc, n, enc, db, sb, tb, lb, pb in zip(
-                pdf["first_doc_id"],
-                pdf["n"],
-                pdf["enc"],
-                pdf["doc_deltas"],
-                pdf["sids"],
-                pdf["tfs"],
-                pdf["dls"],
-                pdf["pos_deltas"],
+            cands = pdf["_cand"] if with_cand else None
+            for i, (first_doc, n, enc, db, sb, tb, lb, pb) in enumerate(
+                zip(
+                    pdf["first_doc_id"],
+                    pdf["n"],
+                    pdf["enc"],
+                    pdf["doc_deltas"],
+                    pdf["sids"],
+                    pdf["tfs"],
+                    pdf["dls"],
+                    pdf["pos_deltas"],
+                )
             ):
+                cand = (
+                    np.asarray(cands.iloc[i], dtype=np.int64)
+                    if with_cand
+                    else None
+                )
                 doc_ids, sids, tfs, dls, poss = _decode_one(
-                    first_doc, n, enc, db, sb, tb, lb, pb, with_pos
+                    first_doc, n, enc, db, sb, tb, lb, pb, with_pos, cand
                 )
                 rows["doc_ids"].append(doc_ids.tolist())
                 rows["sids"].append(sids.tolist())
@@ -88,22 +116,28 @@ def make_decode_udf(with_pos: bool):
     return F.pandas_udf(fn, _DECODED_SCHEMA)
 
 
-def decoded_postings(blocks_df, with_pos: bool, with_block: bool = False):
+def decoded_postings(
+    blocks_df,
+    with_pos: bool,
+    with_block: bool = False,
+    cand_col: str | None = None,
+):
     """blocks_df: (term, df, block struct fields...) → exploded
     (term, df, doc_id, sid, tf, dl[, positions]) — the explode and field
     projection stay JVM-side.  ``with_block=True`` carries the block's
     ``first_doc_id`` through as ``_blk`` so a later pass can semi-join
     back to exactly the blocks a row set came from (the two-phase
-    positional decode in ``SearchEngine._scored_term_doc``)."""
-    udf = make_decode_udf(with_pos)
-    d = blocks_df.withColumn(
-        "d",
-        udf(
-            F.struct(
-                "first_doc_id", "n", "enc", "doc_deltas", "sids", "tfs", "dls", "pos_deltas"
-            )
-        ),
-    )
+    positional decode in ``SearchEngine._scored_term_doc``).
+    ``cand_col`` names an array<long> column of candidate doc ids for the
+    block: only those rows are emitted (mask applied INSIDE the UDF,
+    before position materialization and Arrow transfer)."""
+    udf = make_decode_udf(with_pos, with_cand=cand_col is not None)
+    struct_cols = [
+        "first_doc_id", "n", "enc", "doc_deltas", "sids", "tfs", "dls", "pos_deltas"
+    ]
+    if cand_col is not None:
+        struct_cols.append(F.col(cand_col).alias("_cand"))
+    d = blocks_df.withColumn("d", udf(F.struct(*struct_cols)))
     if with_pos:
         row_expr = (
             "transform(d.doc_ids, (x, i) -> struct(x as doc_id, d.sids[i] as sid,"

@@ -91,6 +91,11 @@ ANCHOR_PRUNE_COVERAGE = 4
 # recovered the two extra stage barriers (0.5-0.85x), while NEAR at 4M
 # docs won 2.4x.  See BASELINE.md anchor A/B.
 ANCHOR_PRUNE_POS_ONLY = True
+# phase-2 positional decode: mask rows to candidate doc ids INSIDE the
+# decode UDF (ship per-block candidate arrays in, emit only candidates'
+# positions) instead of decoding every posting of every candidate block
+# and dropping non-candidates JVM-side after the Arrow transfer
+POS_CAND_MASK = True
 
 
 def _anchor_grid(n_docs: int) -> int:
@@ -984,8 +989,18 @@ class SearchEngine:
         if not two_phase:
             pos_rows = scored.select("term", "doc_id", "sid", "positions")
             return term_doc, pos_rows
-        # -- phase 2: positions for candidate blocks only ------------------
-        cand_blk = None
+        # -- phase 2: positions for candidate (doc, sid)s only -------------
+        # candidate PAIRS (term, block, doc) rather than just blocks: a
+        # spread candidate set over a head term touches nearly every block
+        # (at 1M docs a 20k-doc candidate set hits ~97% of a df-660k
+        # term's blocks), so block-level pruning alone re-decodes and
+        # Arrow-ships almost all position arrays only for the downstream
+        # join to drop them.  Instead each kept block carries its
+        # candidate doc ids (array ≤ block size) INTO the decode UDF,
+        # which masks rows before materializing positions — the shipped
+        # rows drop from every posting of every kept block to exactly the
+        # candidates.
+        cand_pairs = None
         for g in pos_groups:
             gset = sorted(set(g))
             pres = scored.filter(F.col("term").isin(gset)).select(
@@ -997,18 +1012,34 @@ class SearchEngine:
                 .filter(F.col("_nt") == len(gset))
                 .select("doc_id", "sid")
             )
-            blk = pres.join(cand, ["doc_id", "sid"], "left_semi").select(
-                "term", "_blk"
-            ).distinct()
-            cand_blk = blk if cand_blk is None else cand_blk.unionByName(blk)
-        pos_blocks = blocks.join(
-            cand_blk.distinct().withColumnRenamed("_blk", "first_doc_id"),
-            ["term", "first_doc_id"],
-            "left_semi",
-        )
-        pos_rows = decoded_postings(pos_blocks, with_pos=True).select(
-            "term", "doc_id", "sid", "positions"
-        )
+            pairs = pres.join(cand, ["doc_id", "sid"], "left_semi").select(
+                "term", "_blk", "doc_id"
+            )
+            cand_pairs = (
+                pairs if cand_pairs is None else cand_pairs.unionByName(pairs)
+            )
+        if POS_CAND_MASK:
+            cand_docs = (
+                cand_pairs.groupBy("term", "_blk")
+                .agg(F.collect_set("doc_id").alias("_cand"))
+                .withColumnRenamed("_blk", "first_doc_id")
+            )
+            pos_blocks = blocks.join(cand_docs, ["term", "first_doc_id"])
+            pos_rows = decoded_postings(
+                pos_blocks, with_pos=True, cand_col="_cand"
+            ).select("term", "doc_id", "sid", "positions")
+        else:
+            blkset = (
+                cand_pairs.select("term", "_blk")
+                .distinct()
+                .withColumnRenamed("_blk", "first_doc_id")
+            )
+            pos_blocks = blocks.join(
+                blkset, ["term", "first_doc_id"], "left_semi"
+            )
+            pos_rows = decoded_postings(pos_blocks, with_pos=True).select(
+                "term", "doc_id", "sid", "positions"
+            )
         return term_doc, pos_rows
 
     def _contrib_col(self, rows, weights, scorer="bm25"):
