@@ -115,6 +115,11 @@ class InvertedIndex:
     # queries skip them)
     token_filters: tuple = ()
     stopwords: frozenset = frozenset()
+    # modulus of the pbucket column (salted_tf); lets the query engine
+    # compute a term's bucket driver-side (hashutil.term_pbucket) and
+    # attach a literal pbucket filter = directory-level partition pruning
+    # on a checkpoint-loaded index
+    n_pbuckets: int = DEFAULT_N_PBUCKETS
 
     def persist(self) -> "InvertedIndex":
         self.dictionary = self.dictionary.persist()
@@ -651,4 +656,5 @@ def build_index(
         tokenizer=tokenizer,
         token_filters=tuple(token_filters),
         stopwords=frozenset(stopwords),
+        n_pbuckets=n_pbuckets,
     )

@@ -218,6 +218,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         tokenizer=meta["tokenizer"],
         token_filters=tuple(meta.get("token_filters", [])),
         stopwords=frozenset(meta.get("stopwords", [])),
+        n_pbuckets=int(meta.get("n_pbuckets", DEFAULT_N_PBUCKETS)),
     )
 
 
@@ -236,6 +237,7 @@ def write_index(index: InvertedIndex, path: str):
                 "section_tokens": index.stats.section_tokens,
                 "sections": index.stats.sections,
                 "tokenizer": index.tokenizer,
+                "n_pbuckets": index.n_pbuckets,
                 "token_filters": list(index.token_filters),
                 "stopwords": sorted(index.stopwords),
             },

@@ -186,4 +186,5 @@ def apply_update(
         tokenizer=tok,
         token_filters=index.token_filters,
         stopwords=index.stopwords,
+        n_pbuckets=n_pbuckets,
     )

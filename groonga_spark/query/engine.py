@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, IntegerType
 
 from .. import scoring
+from ..hashutil import term_pbucket
 from ..index.build import InvertedIndex
 from ..tokenize import tokenize_batch
 from . import parser as qp
@@ -109,7 +110,6 @@ def _anchor_grid(n_docs: int) -> int:
 class SearchEngine:
     def __init__(self, index: InvertedIndex):
         self.index = index
-        self._n_pbuckets = None
         self.docs: DataFrame | None = None
         self.id_col: str = "doc_id"
         # set by select_with_count: the FULL scored (doc_id, score) frame of
@@ -872,11 +872,33 @@ class SearchEngine:
 
     # -- decoded + scored rows --------------------------------------------
     def _filtered_blocks(self, terms: list[str], term_meta: dict[str, int]):
+        """Posting blocks of ``terms``, pruned two ways before any decode:
+
+        1. a LITERAL ``pbucket IN (...)`` filter computed driver-side
+           (hashutil replicates Spark's xxhash64, verified in
+           tests/test_hashutil.py) — on a checkpoint-loaded index the
+           postings parquet is *written* partitionBy("pbucket"), so this
+           is directory-level partition pruning: ≤len(terms)/n_pbuckets of
+           the index files are listed or read per query, the property that
+           matters at 10^12 files.  On the in-memory cached index it
+           skips cached batches via their min/max stats instead.
+        2. the broadcast semi-join on the exact term strings.
+
+        Reference analogue: grn_ii term lookup goes straight to the
+        term's buffer via the lexicon's record id (ii.c grn_ii_cursor_open)
+        — it never scans other terms' postings; pbucket pruning is the
+        closest distributed equivalent."""
         idx = self.index
+        npb = idx.n_pbuckets
+        posts = idx.postings
+        if npb and "pbucket" in posts.columns:
+            buckets = sorted({term_pbucket(t, npb) for t in terms})
+            if len(buckets) < npb:
+                posts = posts.filter(F.col("pbucket").isin(buckets))
         tiny = idx.dictionary.sparkSession.createDataFrame(
             [(t,) for t in terms], "term string"
         )
-        posts = idx.postings.join(F.broadcast(tiny), "term")
+        posts = posts.join(F.broadcast(tiny), "term")
         blocks = posts.select(
             "term", "df", F.explode("blocks").alias("b")
         ).select("term", "df", "b.*")
