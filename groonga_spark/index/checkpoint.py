@@ -33,6 +33,22 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _write_dictionary(dictionary: DataFrame, path: str) -> None:
+    """Write the term dictionary range-sorted by ``term``: each output
+    file covers a contiguous term range and rows inside are sorted, so
+    parquet footer min/max statistics turn every exact / prefix lookup
+    (``term IN (...)``, ``term LIKE 'pfx%'`` — the engine's pushed
+    predicates) into a row-group-pruned point read instead of a full
+    dictionary scan.  The PAT lexicon gives Groonga the same property via
+    key order (lib/pat.c); range-sorted parquet is the columnar analogue."""
+    (
+        dictionary.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
 from .build import (
     DEFAULT_N_PBUCKETS,
     DEFAULT_POSTINGS_PER_BUCKET,
@@ -103,7 +119,7 @@ def build_index_checkpointed(
         doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
         doclens = spark.read.parquet(os.path.join(path, "doclens"))
         dictionary = make_dictionary(tf)
-        dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+        _write_dictionary(dictionary, os.path.join(path, "dictionary"))
         dictionary = spark.read.parquet(os.path.join(path, "dictionary"))
         tf2 = salted_tf(tf, doclens, dictionary, postings_per_bucket, n_pbuckets)
         tf2.write.mode("overwrite").partitionBy("pbucket").parquet(os.path.join(path, "tf"))
@@ -225,7 +241,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
 def write_index(index: InvertedIndex, path: str):
     """Persist an in-memory-built index (non-checkpointed path)."""
     os.makedirs(path, exist_ok=True)
-    index.dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+    _write_dictionary(index.dictionary, os.path.join(path, "dictionary"))
     index.postings.write.mode("overwrite").partitionBy("pbucket").parquet(
         os.path.join(path, "postings")
     )

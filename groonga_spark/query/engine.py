@@ -38,7 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, IntegerType
 
@@ -1650,25 +1650,51 @@ class SearchEngine:
         single matched section, so the weighted block bound is sound."""
         (sec_weight,) = weights.values()
         blocks = self._filtered_blocks([term], term_meta)
-        # unpartitioned window over BLOCK METADATA only (≈ df/128 rows for
-        # ONE term — thousands of rows for a 100M-doc term, never postings);
-        # the single-partition funnel is bounded by that metadata size
-        w = Window.orderBy(F.desc("max_score"), F.asc("first_doc_id"))
-        blocks = blocks.withColumn("_cum", F.sum("n").over(w))
-        phase1 = blocks.filter(F.col("_cum") - F.col("n") < k).drop("_cum")
+        # phase-1 block pick runs on METADATA ONLY: TakeOrderedAndProject
+        # over (first_doc_id, n, max_score) — a distributed partial sort of
+        # 3 small columns, never the encoded byte columns.  Since every
+        # block holds >= 1 posting, the k highest-max_score blocks cover
+        # >= k postings; the driver trims that list to the covering prefix
+        # (usually a single 128-posting block for k=10).  The previous
+        # shape ran an unpartitioned Window over FULL block rows — at a
+        # 100M-doc term that funnels ~800k rows *with their posting bytes*
+        # through one partition, twice (both phases filtered the windowed
+        # frame).
+        cand = (
+            blocks.select("first_doc_id", "n", "max_score")
+            .orderBy(F.desc("max_score"), F.asc("first_doc_id"))
+            .limit(k)
+            .collect()
+        )
+        sel: list[int] = []
+        cum = 0
+        for r in cand:
+            sel.append(int(r["first_doc_id"]))
+            cum += int(r["n"])
+            if cum >= k:
+                break
+        phase1 = blocks.filter(F.col("first_doc_id").isin(sel))
         rows1 = decoded_postings(phase1, with_pos=False)
         scored1 = rows1.withColumn("contrib", self._contrib_col(rows1, weights))
         td1 = scored1.filter(F.col("contrib").isNotNull()).groupBy("doc_id").agg(
             F.sum("contrib").alias("score")
         )
+        if len(sel) == len(cand) and len(cand) < k:
+            # limit(k) returned every block the term has and none were
+            # trimmed — phase 1 already decoded the whole posting list
+            return td1
         top1 = td1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        # theta is a TRUE lower bound on the final k-th score even though
+        # phase-1 doc scores can be partial (a doc's sections may span
+        # unselected blocks): partial <= full, so >= k docs have full
+        # score >= theta
         if len(top1) < k:
             theta = float("-inf")
         else:
             theta = top1[-1]["score"]
         surv = blocks.filter(
             F.col("max_score") * F.lit(float(sec_weight)) >= F.lit(theta)
-        ).drop("_cum")
+        )
         rows2 = decoded_postings(surv, with_pos=False)
         scored2 = rows2.withColumn("contrib", self._contrib_col(rows2, weights))
         return (
