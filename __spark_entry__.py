@@ -117,6 +117,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_match_or(spark, sf):
         return _topk(_engine(spark, sf), "filter OR slow", 10)
 
+    def ft_wand_or(spark, sf):
+        # the same top-k as ft_match_or, but computed through the
+        # block-max WAND pruning path (engine._wand_or_topk) — the df
+        # cutoff is forced off so the prune fires at test scale.  The
+        # driver-side phases run eagerly inside select(), so the gate is
+        # restored before returning the (already planned) frame.
+        from groonga_spark.query import engine as eng_mod
+
+        eng = _engine(spark, sf)
+        old = eng_mod.WAND_OR_CUTOFF
+        eng_mod.WAND_OR_CUTOFF = -1
+        try:
+            return _topk(eng, "filter OR slow", 10)
+        finally:
+            eng_mod.WAND_OR_CUTOFF = old
+
+    def ft_batch(spark, sf):
+        # one shared decode answers a whole query set (select_batch):
+        # per-query results must be rank-identical to sequential selects
+        res = _engine(spark, sf).select_batch(
+            {"and1": "filter query", "or1": "filter OR slow", "t1": "spark"},
+            k=10,
+        )
+        return res.orderBy(
+            "query_id", F.desc("score"), F.asc("doc_id")
+        ).select("query_id", "doc_id", F.round("score", 4).alias("score"))
+
     def ft_match_not(spark, sf):
         return _topk(_engine(spark, sf), "query -slow", 10)
 
@@ -1108,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_match_single=ft_match_single,
         ft_match_and=ft_match_and,
         ft_match_or=ft_match_or,
+        ft_wand_or=ft_wand_or,
+        ft_batch=ft_batch,
         ft_match_not=ft_match_not,
         ft_phrase=ft_phrase,
         ft_prefix=ft_prefix,
@@ -1283,6 +1312,27 @@ ORDER BY sum(s) DESC, doc_id LIMIT 10"""
     o["ft_match_or"] = f"""{_CTE}
 SELECT doc_id, round(sum(s), 4) AS score FROM bm WHERE term IN ('filter', 'slow')
 GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10"""
+
+    # block-max WAND path must produce the identical disjunctive top-k
+    o["ft_wand_or"] = o["ft_match_or"]
+
+    # batched query-set API: per-query top-10, identical to sequential selects
+    o["ft_batch"] = f"""{_CTE}
+SELECT query_id, doc_id, score FROM (
+  SELECT * FROM (
+    SELECT 'and1' AS query_id, doc_id, round(sum(s), 4) AS score, sum(s) AS s0
+    FROM bm WHERE term IN ('filter', 'query') GROUP BY doc_id
+    HAVING count(DISTINCT term) = 2 ORDER BY sum(s) DESC, doc_id LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'or1' AS query_id, doc_id, round(sum(s), 4) AS score, sum(s) AS s0
+    FROM bm WHERE term IN ('filter', 'slow') GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 't1' AS query_id, doc_id, round(s, 4) AS score, s AS s0
+    FROM bm WHERE term = 'spark' ORDER BY s DESC, doc_id LIMIT 10)
+) ORDER BY query_id, s0 DESC, doc_id"""
 
     o["ft_match_not"] = f"""{_CTE}
 SELECT doc_id, round(s, 4) AS score FROM bm WHERE term = 'query'

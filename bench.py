@@ -40,6 +40,8 @@ HEADLINE = [
     "ft_match_single",
     "ft_match_and",
     "ft_match_or",
+    "ft_wand_or",
+    "ft_batch",
     "ft_match_not",
     "ft_phrase",
     "ft_prefix",

@@ -97,6 +97,36 @@ ANCHOR_PRUNE_POS_ONLY = True
 # positions) instead of decoding every posting of every candidate block
 # and dropping non-candidates JVM-side after the Arrow transfer
 POS_CAND_MASK = True
+# block-max WAND for disjunctive (pure-OR) top-k: phase 1 decodes each
+# term's covering blocks to fix θ (a true lower bound on the k-th score),
+# then blocks are pruned two ways before the full decode — the classic
+# WAND bound (block's own max + every other term's global max < θ) and a
+# BMW-style per-doc-grid-cell upper bound Σ_t max_t(cell).  Same economics
+# as the anchor prune: the extra stages (θ decode job + two metadata
+# aggregations ≈ 5-6 s fixed on this host) must be repaid by skipped
+# decode volume.  Measured at 1M AND 4M docs (wand_ab_{1m,4m}.json):
+# flat-OR decode is vectorized numpy and the prune LOSES ~2x at both
+# scales — the break-even extrapolates to ~50M summed df (decode ~12x
+# the 4M point), beyond locally testable scale, hence the high default.
+# The path stays continuously verified (tests/test_wand_or.py + the
+# forced-on driver entry ft_wand_or).
+WAND_OR_CUTOFF = 50_000_000  # summed df must exceed this
+# the cell refinement broadcasts the kept (term, block) pairs — bounded by
+# the terms' block-metadata row count (Σ df / postings-per-block); skip the
+# refinement (level-1 bound still applies) beyond this many metadata rows
+WAND_CELL_MAX_META = 2_000_000
+
+
+def _theta_slack(theta: float) -> float:
+    """Loosen a top-k pruning threshold by a hair before comparing it to
+    block max_score bounds: θ comes from SPARK-evaluated BM25 expressions
+    while max_score was computed by numpy at build time — same formula,
+    different libm/evaluation order, so the 'bound ≥ score' invariant can
+    miss by an ulp and silently drop the very block that produced θ
+    (caught by test_wand_or: 'merge OR qzqzqz' k=1 returned 0 rows).
+    θ is a lower bound anyway; shaving 1e-9 relative only weakens the
+    prune, never the guarantee."""
+    return theta - max(abs(theta) * 1e-9, 1e-12)
 
 
 def _anchor_grid(n_docs: int) -> int:
@@ -382,6 +412,129 @@ class SearchEngine:
         )
         return out
 
+    def select_batch(
+        self,
+        queries: "dict[str, str]",
+        k: int = 10,
+        scorer: str = "bm25",
+    ) -> DataFrame:
+        """Answer a whole query SET in one pass: (query_id, doc_id, score)
+        top-k per query, rank-identical per query to :meth:`select` with
+        ``escalate=False``.
+
+        The reference serves requests one at a time off a queue
+        (lib/com.c); at cluster scale the equivalent workload is an
+        offline query-set evaluation where per-query job overhead
+        dominates — Q sequential selects cost Q × (decode + shuffle +
+        top-k) jobs.  This path runs ONE shared tf decode over the union
+        of every query's terms, joins the broadcast (query_id, term)
+        map, and takes per-query top-k in a single window — ~3 stages
+        for the whole set.
+
+        Flat plans only (a bare term, AND of terms, OR of terms, each
+        term a single token); anything else — phrase/NEAR atoms, NOT,
+        prefix, column operators, pragmas, n-gram multi-token atoms —
+        falls back to a per-query :meth:`select` and is unioned in, so
+        the result is always complete.  AND duplicates a term's
+        contribution per occurrence (matching _eval's inner-join sum)
+        via a multiplicity column, and requires every distinct term
+        present (count == n_req)."""
+        idx = self.index
+        spark = idx.dictionary.sparkSession
+        weights = self._resolve_weights(None)
+
+        qmap_rows: list[tuple[str, str, int, int, bool]] = []
+        fallback: list[str] = []
+        batch_tokens: set[str] = set()
+        for qid, query in queries.items():
+            try:
+                ast, prag = qp.parse_query_ex(query)
+            except Exception:
+                fallback.append(qid)
+                continue
+            if (
+                prag.mode is not None
+                or prag.weights is not None
+                or prag.escalation_threshold is not None
+            ):
+                fallback.append(qid)
+                continue
+            atoms: list[_Atom] = []
+            plan = self._compile_atoms(ast, atoms)
+            if isinstance(plan, _Atom):
+                children, is_and = [plan], True
+            elif isinstance(plan, (qp.And, qp.Or)):
+                children, is_and = list(plan.children), isinstance(plan, qp.And)
+            else:
+                fallback.append(qid)
+                continue
+            if not all(
+                isinstance(c, _Atom) and c.kind == "term" and len(c.tokens) == 1
+                for c in children
+            ):
+                fallback.append(qid)
+                continue
+            toks = [c.tokens[0] for c in children]
+            n_req = len(set(toks))
+            for t in set(toks):
+                qmap_rows.append((qid, t, toks.count(t), n_req, is_and))
+            batch_tokens.update(toks)
+
+        parts: list[DataFrame] = []
+        if qmap_rows:
+            term_meta: dict[str, int] = {}
+            rows = (
+                idx.dictionary.filter(F.col("term").isin(sorted(batch_tokens)))
+                .select("term", "df")
+                .collect()
+            )
+            term_meta.update({r["term"]: int(r["df"]) for r in rows})
+            live = sorted(t for t in batch_tokens if term_meta.get(t, 0) > 0)
+            if live:
+                term_doc, _ = self._scored_term_doc(
+                    live, term_meta, weights, need_pos=False, scorer=scorer
+                )
+                qmap = spark.createDataFrame(
+                    qmap_rows,
+                    "query_id string, term string, _mult int, _nreq int, _is_and boolean",
+                )
+                per_q = (
+                    term_doc.join(F.broadcast(qmap), "term")
+                    .groupBy("query_id", "doc_id")
+                    .agg(
+                        F.sum(F.col("score") * F.col("_mult")).alias("score"),
+                        F.count("*").alias("_nt"),
+                        F.first("_nreq").alias("_nreq"),
+                        F.first("_is_and").alias("_is_and"),
+                    )
+                    .filter(~F.col("_is_and") | (F.col("_nt") == F.col("_nreq")))
+                )
+                from pyspark.sql import Window as _W
+
+                rw = _W.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+                parts.append(
+                    per_q.withColumn("_rn", F.row_number().over(rw))
+                    .filter(F.col("_rn") <= k)
+                    .select("query_id", "doc_id", "score")
+                )
+        for qid in fallback:
+            one = self.select(queries[qid], k=k, escalate=False, scorer=scorer)
+            parts.append(
+                one.select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+            )
+        if not parts:
+            return spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def select_with_count(
         self,
         query: str,
@@ -539,6 +692,37 @@ class SearchEngine:
                 self._single_term_topk(plan.tokens[0], term_meta, weights, k)
             )
             n_hits = term_meta.get(plan.tokens[0], 0)
+        elif (
+            prune
+            and not need_full
+            and not count_hits
+            and (not escalate or escalation_threshold == 0)
+            and scorer == "bm25"
+            and adjuster is None
+            and isinstance(plan, qp.Or)
+            and all(
+                isinstance(c, _Atom) and c.kind == "term" and len(c.tokens) == 1
+                for c in plan.children
+            )
+            and len({c.tokens[0] for c in plan.children}) == len(plan.children)
+            and not need_pos
+            and len(weights) == 1
+            and next(iter(weights.values())) > 0
+            and len(idx.stats.sections) == 1
+            and sum(term_meta.get(t, 0) for t in all_terms) > WAND_OR_CUTOFF
+        ):
+            # disjunctive top-k → block-max WAND (the north-star pruning;
+            # sound here for the same single-section reason as above, and
+            # only when every matching doc of a union branch scores once —
+            # duplicate branch tokens would double-count in _eval's
+            # full_outer score-sum, so those fall through).  Escalation is
+            # moot: some term has df ≥ 1, so hits ≥ 1 > threshold 0.
+            result = self._persist(
+                self._wand_or_topk(
+                    [c.tokens[0] for c in plan.children], term_meta, weights, k
+                )
+            )
+            n_hits = -1  # pruned frame is a candidate superset — never count it
         else:
             anchor = None
             if (
@@ -586,7 +770,7 @@ class SearchEngine:
             .limit(k)
             .select("doc_id", "score")
         )
-        if escalate and n_hits <= escalation_threshold:
+        if escalate and 0 <= n_hits <= escalation_threshold:
             return self._escalated(
                 _strip_pragmas(query),
                 match_columns,
@@ -1691,7 +1875,7 @@ class SearchEngine:
         if len(top1) < k:
             theta = float("-inf")
         else:
-            theta = top1[-1]["score"]
+            theta = _theta_slack(float(top1[-1]["score"]))
         surv = blocks.filter(
             F.col("max_score") * F.lit(float(sec_weight)) >= F.lit(theta)
         )
@@ -1702,6 +1886,135 @@ class SearchEngine:
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
+
+    # -- block-max WAND (disjunctive OR top-k) -------------------------------
+    def _wand_or_topk(self, tokens, term_meta, weights, k: int) -> DataFrame:
+        """Block-Max WAND over a pure term disjunction (the reference keeps
+        per-chunk skip metadata, chunk_info ii.c:2491-2495; published BMW
+        generalizes it with per-block score bounds — our blocks carry
+        max_score, a BM25 bound, from the build).
+
+        Phase 1 decodes each term's covering prefix of highest-max_score
+        blocks (metadata-only per-term pick; ≤ k·n_terms rows reach the
+        driver) and takes the k-th best PARTIAL doc score as θ — partial ≤
+        full, so ≥ k docs have full score ≥ θ and θ lower-bounds the true
+        k-th score.  Phase 2 prunes blocks two ways before the real decode:
+
+        * **WAND bound** (driver-side, zero extra jobs): a block of term t
+          is kept iff ``w·max_score + Σ_{u≠t} w·gmax_u ≥ θ`` — any doc
+          whose full score reaches θ has, for EACH of its blocks, a
+          contribution ≥ θ − (other terms' global best), so all its blocks
+          survive.
+        * **BMW cell bound** (two metadata-only aggregations): per doc-grid
+          cell, ``UB(cell) = w·Σ_t max(max_score of t's surviving blocks
+          overlapping the cell)`` upper-bounds every resident doc's full
+          score (each doc's blocks survive level 1, see above, so the
+          per-term max is over a superset containing its own block).  Cells
+          with UB < θ are dropped; a block is kept iff it overlaps a kept
+          cell.  Skipped when the terms' block-metadata row count exceeds
+          WAND_CELL_MAX_META (the kept-pair broadcast bound).
+
+        Docs losing any block to the prune have true score < θ ≤ true k-th
+        score and computed partial ≤ true, so they can never displace a
+        top-k doc — the caller's ``orderBy(score desc, doc_id).limit(k)``
+        over this frame is rank-identical to the unpruned evaluation (ties
+        kept: both bounds use ≥).  Requires the single-section guarantee
+        (one posting per (term, doc) → per-block max bounds the per-term
+        contribution)."""
+        from pyspark.sql import Window as _W
+
+        (sec_weight,) = weights.values()
+        w = float(sec_weight)
+        blocks = self._filtered_blocks(tokens, term_meta)
+        meta = blocks.select("term", "first_doc_id", "last_doc_id", "n", "max_score")
+        rw = _W.partitionBy("term").orderBy(
+            F.desc("max_score"), F.asc("first_doc_id")
+        )
+        cand = (
+            meta.withColumn("_rn", F.row_number().over(rw))
+            .filter(F.col("_rn") <= k)
+            .select("term", "first_doc_id", "n", "max_score", "_rn")
+            .collect()
+        )
+        by_term: dict = {}
+        for r in cand:
+            by_term.setdefault(r["term"], []).append(r)
+        sel: list[tuple[str, int]] = []
+        gmax: dict[str, float] = {}
+        for t, rs in by_term.items():
+            rs.sort(key=lambda r: r["_rn"])
+            gmax[t] = float(rs[0]["max_score"])
+            cum = 0
+            for r in rs:
+                sel.append((t, int(r["first_doc_id"])))
+                cum += int(r["n"])
+                if cum >= k:
+                    break
+        spark = self.index.dictionary.sparkSession
+        sel_df = spark.createDataFrame(sel, "term string, first_doc_id long")
+        phase1 = blocks.join(
+            F.broadcast(sel_df), ["term", "first_doc_id"], "left_semi"
+        )
+
+        def _score(frame):
+            rows = decoded_postings(frame, with_pos=False)
+            scored = rows.withColumn("contrib", self._contrib_col(rows, weights))
+            return (
+                scored.filter(F.col("contrib").isNotNull())
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("score"))
+            )
+
+        top1 = (
+            _score(phase1)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        if len(top1) < k:
+            # θ would be -inf — nothing prunable, decode the union
+            return _score(blocks)
+        theta = _theta_slack(float(top1[-1]["score"]))
+        sum_gmax = sum(gmax.values())
+        lvl1 = None
+        for t in tokens:
+            need = theta / w - (sum_gmax - gmax.get(t, 0.0))
+            c = (F.col("term") == t) & (F.col("max_score") >= F.lit(need))
+            lvl1 = c if lvl1 is None else (lvl1 | c)
+        surv = blocks.filter(lvl1)
+        from ..index.build import BLOCK_SIZE
+
+        est_meta = sum(term_meta.get(t, 0) for t in tokens) // BLOCK_SIZE
+        if est_meta <= WAND_CELL_MAX_META:
+            G = _anchor_grid(self.index.stats.n_docs)
+            mc = surv.select(
+                "term",
+                "first_doc_id",
+                "max_score",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_doc_id") / G).cast("long"),
+                        (F.col("last_doc_id") / G).cast("long"),
+                    )
+                ).alias("_cell"),
+            )
+            ub_cells = (
+                mc.groupBy("_cell", "term")
+                .agg(F.max("max_score").alias("_m"))
+                .groupBy("_cell")
+                .agg(F.sum("_m").alias("_ub"))
+                .filter(F.col("_ub") * F.lit(w) >= F.lit(theta))
+                .select("_cell")
+            )
+            keep = (
+                mc.join(ub_cells, "_cell", "left_semi")
+                .select("term", "first_doc_id")
+                .distinct()
+            )
+            surv = surv.join(
+                F.broadcast(keep), ["term", "first_doc_id"], "left_semi"
+            )
+        return _score(surv)
 
 
 def _required_tokens(node) -> set:

@@ -1,0 +1,71 @@
+"""select_batch answers a query SET through one shared decode + one
+broadcast (query_id, term) join + one per-query window — it must be
+rank-identical per query to sequential select(escalate=False) calls,
+including the fallback union for plan shapes the batch path can't fuse
+(phrase, NOT, prefix, pragmas)."""
+
+import pytest
+
+from groonga_spark.query import engine as eng_mod
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    from groonga_spark.query.engine import SearchEngine
+
+    e = SearchEngine.build(corpus, ["content"], tokenizer="code")
+    e.index.persist()
+    return e
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+QUERIES = {
+    "t_single": "merge",
+    "t_and": "merge sort",
+    "t_or": "merge OR sort",
+    "t_dup_and": "merge merge",  # duplicate term doubles the contribution
+    "t_and_dead": "merge qzqzqz",  # AND with a zero-df term → 0 hits
+    "t_or_dead": "merge OR qzqzqz",
+    "t_phrase": '"merge sort"',  # fallback shapes
+    "t_not": "merge -sort",
+    "t_prefix": "sc*",
+}
+
+
+def test_batch_identity(engine):
+    res = engine.select_batch(QUERIES, k=20)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid, q in QUERIES.items():
+        want = _rows(engine.select(q, k=20, escalate=False))
+        have = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert have == sorted(want, key=lambda x: (-x[1], x[0])), qid
+        if qid != "t_and_dead":
+            assert want, qid  # every other query must actually match
+
+
+def test_batch_fuses_flat_plans(engine, monkeypatch):
+    # the six flat queries must NOT go through per-query select(); only
+    # the three fallback shapes may
+    calls = []
+    orig = eng_mod.SearchEngine.select
+
+    def spy(self, query, *a, **kw):
+        calls.append(query)
+        return orig(self, query, *a, **kw)
+
+    monkeypatch.setattr(eng_mod.SearchEngine, "select", spy)
+    engine.select_batch(QUERIES, k=5).collect()
+    assert sorted(calls) == sorted(
+        [QUERIES["t_phrase"], QUERIES["t_not"], QUERIES["t_prefix"]]
+    )
+
+
+def test_batch_empty_set(engine):
+    assert engine.select_batch({}, k=5).count() == 0

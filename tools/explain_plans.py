@@ -116,6 +116,40 @@ def main() -> None:
         + "```\n"
     )
 
+    out.append("## Block-max WAND, phase-2 survivors (gates forced)\n")
+    out.append(
+        "Check: the surviving-block filter (the driver-side WAND bound "
+        "literals + the BMW cell semi-join over block metadata) sits "
+        "UPSTREAM of the Python decode (`MapInPandas`); the θ phase ran "
+        "at plan-build time (driver collects), so the final frame is one "
+        "decode of survivors → hash agg → TakeOrderedAndProject.\n"
+    )
+    eng_mod.WAND_OR_CUTOFF = -1
+    out.append(
+        "```\n"
+        + grab(se.select("merge OR sort", k=10, escalate=False))
+        + "```\n"
+    )
+
+    out.append("## Batched query-set serving (select_batch)\n")
+    out.append(
+        "Check: ONE posting decode (`MapInPandas`) is shared by every "
+        "query in the set — the (query_id, term) map joins it via "
+        "`BroadcastHashJoin`, and the per-query top-k is a single window "
+        "(`RunningWindowFunction`/`Window` over query_id) — ~3 stages for "
+        "the whole set instead of Q independent jobs.\n"
+    )
+    out.append(
+        "```\n"
+        + grab(
+            se.select_batch(
+                {"a": "merge sort", "b": "merge OR sort", "c": "partition"},
+                k=10,
+            )
+        )
+        + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
