@@ -117,6 +117,15 @@ WAND_OR_CUTOFF = 50_000_000  # summed df must exceed this
 WAND_CELL_MAX_META = 2_000_000
 
 
+# below this df the single-term two-phase block-max costs MORE than it
+# saves: its two driver collects (block pick + θ) are ~1-2 s of extra jobs
+# while decoding 200k postings is ~0.06 s of marginal vectorized work (the
+# measured ~0.3 s/M-postings decode rate, BASELINE.md WAND A/B).  Small
+# terms decode outright in one job; the pruning machinery is for the head
+# of the df distribution, where it is the 100 TB story.
+SINGLE_TERM_PRUNE_CUTOFF = 200_000
+
+
 def _theta_slack(theta: float) -> float:
     """Loosen a top-k pruning threshold by a hair before comparing it to
     block max_score bounds: θ comes from SPARK-evaluated BM25 expressions
@@ -1834,6 +1843,16 @@ class SearchEngine:
         single matched section, so the weighted block bound is sound."""
         (sec_weight,) = weights.values()
         blocks = self._filtered_blocks([term], term_meta)
+        if term_meta.get(term, 0) <= SINGLE_TERM_PRUNE_CUTOFF:
+            # small term: the two driver collects below cost more than
+            # decoding every posting — one job, no pruning
+            rows = decoded_postings(blocks, with_pos=False)
+            scored = rows.withColumn("contrib", self._contrib_col(rows, weights))
+            return (
+                scored.filter(F.col("contrib").isNotNull())
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("score"))
+            )
         # phase-1 block pick runs on METADATA ONLY: TakeOrderedAndProject
         # over (first_doc_id, n, max_score) — a distributed partial sort of
         # 3 small columns, never the encoded byte columns.  Since every
