@@ -440,13 +440,15 @@ class SearchEngine:
         map, and takes per-query top-k in a single window — ~3 stages
         for the whole set.
 
-        Flat plans only (a bare term, AND of terms, OR of terms, each
-        term a single token); anything else — phrase/NEAR atoms, NOT,
-        prefix, column operators, pragmas, n-gram multi-token atoms —
-        falls back to a per-query :meth:`select` and is unioned in, so
-        the result is always complete.  AND duplicates a term's
-        contribution per occurrence (matching _eval's inner-join sum)
-        via a multiplicity column, and requires every distinct term
+        Fused plans: a bare term, AND of terms, OR of terms (each term a
+        single token), and a single phrase atom (the phrase tokens join
+        the SAME shared decode, positions included, and each phrase's
+        consecutive-position check is one more branch of the single
+        action).  Anything else — NEAR, NOT, prefix, column operators,
+        pragmas — falls back to a per-query :meth:`select` and is
+        unioned in, so the result is always complete.  AND duplicates a
+        term's contribution per occurrence (matching _eval's inner-join
+        sum) via a multiplicity column, and requires every distinct term
         present (count == n_req)."""
         idx = self.index
         spark = idx.dictionary.sparkSession
@@ -454,6 +456,7 @@ class SearchEngine:
 
         qmap_rows: list[tuple[str, str, int, int, bool]] = []
         fallback: list[str] = []
+        phrase_atoms: dict[str, _Atom] = {}
         batch_tokens: set[str] = set()
         for qid, query in queries.items():
             try:
@@ -470,6 +473,10 @@ class SearchEngine:
                 continue
             atoms: list[_Atom] = []
             plan = self._compile_atoms(ast, atoms)
+            if isinstance(plan, _Atom) and plan.kind == "phrase":
+                phrase_atoms[qid] = plan
+                batch_tokens.update(plan.tokens)
+                continue
             if isinstance(plan, _Atom):
                 children, is_and = [plan], True
             elif isinstance(plan, (qp.And, qp.Or)):
@@ -490,7 +497,15 @@ class SearchEngine:
             batch_tokens.update(toks)
 
         parts: list[DataFrame] = []
-        if qmap_rows:
+        # fallbacks FIRST: each select() clears the engine's persisted-frame
+        # cache, which would unpersist the shared decode built below
+        for qid in fallback:
+            one = self.select(queries[qid], k=k, escalate=False, scorer=scorer)
+            parts.append(
+                one.select(F.lit(qid).alias("query_id"), "doc_id", "score")
+            )
+
+        if qmap_rows or phrase_atoms:
             term_meta: dict[str, int] = {}
             rows = (
                 idx.dictionary.filter(F.col("term").isin(sorted(batch_tokens)))
@@ -498,11 +513,43 @@ class SearchEngine:
                 .collect()
             )
             term_meta.update({r["term"]: int(r["df"]) for r in rows})
-            live = sorted(t for t in batch_tokens if term_meta.get(t, 0) > 0)
-            if live:
-                term_doc, _ = self._scored_term_doc(
-                    live, term_meta, weights, need_pos=False, scorer=scorer
+            pos_tokens = sorted(
+                {
+                    t
+                    for a in phrase_atoms.values()
+                    for t in a.tokens
+                    if term_meta.get(t, 0) > 0
+                }
+            )
+            flat_tokens = sorted(
+                t
+                for t in batch_tokens
+                if term_meta.get(t, 0) > 0 and t not in pos_tokens
+            )
+            td_parts: list[DataFrame] = []
+            pos_rows = None
+            if pos_tokens:
+                self._cur_weights, self._cur_scorer = weights, scorer
+                td_p, pos_rows = self._scored_term_doc(
+                    pos_tokens,
+                    term_meta,
+                    weights,
+                    need_pos=True,
+                    scorer=scorer,
+                    pos_groups=[a.tokens for a in phrase_atoms.values()],
                 )
+                td_parts.append(td_p)
+            if flat_tokens:
+                td_f, _ = self._scored_term_doc(
+                    flat_tokens, term_meta, weights, need_pos=False, scorer=scorer
+                )
+                td_parts.append(td_f)
+            term_doc = None
+            if td_parts:
+                term_doc = td_parts[0]
+                for p in td_parts[1:]:
+                    term_doc = term_doc.unionByName(p)
+            if qmap_rows and term_doc is not None:
                 qmap = spark.createDataFrame(
                     qmap_rows,
                     "query_id string, term string, _mult int, _nreq int, _is_and boolean",
@@ -528,13 +575,15 @@ class SearchEngine:
                     .filter(F.col("_rn") <= k)
                     .select("query_id", "doc_id", "score")
                 )
-        for qid in fallback:
-            one = self.select(queries[qid], k=k, escalate=False, scorer=scorer)
-            parts.append(
-                one.select(
-                    F.lit(qid).alias("query_id"), "doc_id", "score"
+            for qid, a in phrase_atoms.items():
+                if any(term_meta.get(t, 0) == 0 for t in a.tokens):
+                    continue  # a dead gram → the phrase matches nothing
+                sc = self._eval_phrase(a, term_doc, pos_rows)
+                parts.append(
+                    sc.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .select(F.lit(qid).alias("query_id"), "doc_id", "score")
                 )
-            )
         if not parts:
             return spark.createDataFrame(
                 [], "query_id string, doc_id long, score double"

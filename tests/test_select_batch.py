@@ -29,8 +29,10 @@ QUERIES = {
     "t_dup_and": "merge merge",  # duplicate term doubles the contribution
     "t_and_dead": "merge qzqzqz",  # AND with a zero-df term → 0 hits
     "t_or_dead": "merge OR qzqzqz",
-    "t_phrase": '"merge sort"',  # fallback shapes
-    "t_not": "merge -sort",
+    "t_phrase": '"merge sort"',  # fused via the shared positional decode
+    "t_phrase2": '"sort partition"',
+    "t_phrase_dead": '"merge qzqzqz"',  # dead gram → 0 hits, no fallback
+    "t_not": "merge -sort",  # fallback shapes
     "t_prefix": "sc*",
 }
 
@@ -46,13 +48,13 @@ def test_batch_identity(engine):
         want = _rows(engine.select(q, k=20, escalate=False))
         have = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
         assert have == sorted(want, key=lambda x: (-x[1], x[0])), qid
-        if qid != "t_and_dead":
+        if qid not in ("t_and_dead", "t_phrase_dead"):
             assert want, qid  # every other query must actually match
 
 
 def test_batch_fuses_flat_plans(engine, monkeypatch):
-    # the six flat queries must NOT go through per-query select(); only
-    # the three fallback shapes may
+    # flat and phrase queries must NOT go through per-query select();
+    # only the two fallback shapes may
     calls = []
     orig = eng_mod.SearchEngine.select
 
@@ -62,9 +64,7 @@ def test_batch_fuses_flat_plans(engine, monkeypatch):
 
     monkeypatch.setattr(eng_mod.SearchEngine, "select", spy)
     engine.select_batch(QUERIES, k=5).collect()
-    assert sorted(calls) == sorted(
-        [QUERIES["t_phrase"], QUERIES["t_not"], QUERIES["t_prefix"]]
-    )
+    assert sorted(calls) == sorted([QUERIES["t_not"], QUERIES["t_prefix"]])
 
 
 def test_batch_empty_set(engine):
