@@ -440,23 +440,46 @@ class SearchEngine:
         map, and takes per-query top-k in a single window — ~3 stages
         for the whole set.
 
-        Fused plans: a bare term, AND of terms, OR of terms (each term a
-        single token), and a single phrase atom (the phrase tokens join
-        the SAME shared decode, positions included, and each phrase's
-        consecutive-position check is one more branch of the single
-        action).  Anything else — NEAR, NOT, prefix, column operators,
-        pragmas — falls back to a per-query :meth:`select` and is
-        unioned in, so the result is always complete.  AND duplicates a
-        term's contribution per occurrence (matching _eval's inner-join
-        sum) via a multiplicity column, and requires every distinct term
-        present (count == n_req)."""
+        Fused plans, two tiers sharing ONE decode:
+
+        * **flat** — a bare term / AND of terms / OR of terms (each a
+          single token): one broadcast (query_id, term) map join + one
+          per-query window top-k for the whole tier.  AND duplicates a
+          term's contribution per occurrence (matching _eval's
+          inner-join sum) via a multiplicity column, and requires every
+          distinct term present (count == n_req).
+        * **tree** — any And/Or/Not tree whose leaves are term, prefix,
+          phrase, or NEAR atoms: evaluated per query by the same
+          :meth:`_eval` planner :meth:`select` uses, but against the
+          SHARED term_doc / position frames (every atom filters by its
+          own tokens, so sharing is exact).  Phrase/NEAR tokens join
+          the shared positional decode; prefix expansions resolve once
+          per distinct prefix across the set.
+
+        Anything else — column operators, ``*S``/``*T`` modes, pragma
+        overrides — falls back to a per-query :meth:`select` and is
+        unioned in, so the result is always complete."""
         idx = self.index
         spark = idx.dictionary.sparkSession
         weights = self._resolve_weights(None)
+        self._tfidf_mode = scorer == "tf_idf"
+        if self._tfidf_mode:
+            scorer = "tf"
+
+        def _tree_fusable(node) -> bool:
+            if isinstance(node, _Atom):
+                return node.kind in ("term", "prefix", "phrase", "near")
+            if isinstance(node, (qp.And, qp.Or)):
+                return all(_tree_fusable(c) for c in node.children)
+            if isinstance(node, qp.Not):
+                return _tree_fusable(node.positive) and _tree_fusable(
+                    node.negative
+                )
+            return False
 
         qmap_rows: list[tuple[str, str, int, int, bool]] = []
         fallback: list[str] = []
-        phrase_atoms: dict[str, _Atom] = {}
+        fused: "dict[str, tuple]" = {}  # qid -> (plan, atoms)
         batch_tokens: set[str] = set()
         for qid, query in queries.items():
             try:
@@ -473,28 +496,33 @@ class SearchEngine:
                 continue
             atoms: list[_Atom] = []
             plan = self._compile_atoms(ast, atoms)
-            if isinstance(plan, _Atom) and plan.kind == "phrase":
-                phrase_atoms[qid] = plan
-                batch_tokens.update(plan.tokens)
-                continue
-            if isinstance(plan, _Atom):
-                children, is_and = [plan], True
-            elif isinstance(plan, (qp.And, qp.Or)):
-                children, is_and = list(plan.children), isinstance(plan, qp.And)
+            flat_children = None
+            if (
+                isinstance(plan, _Atom)
+                and plan.kind == "term"
+                and len(plan.tokens) == 1
+            ):
+                flat_children, is_and = [plan], True
+            elif isinstance(plan, (qp.And, qp.Or)) and all(
+                isinstance(c, _Atom) and c.kind == "term" and len(c.tokens) == 1
+                for c in plan.children
+            ):
+                flat_children, is_and = list(plan.children), isinstance(plan, qp.And)
+            if flat_children is not None and not self._tfidf_mode:
+                # (tf_idf's record-level idf scale is applied per-atom by
+                # _eval_atom — route those through the tree tier instead)
+                toks = [c.tokens[0] for c in flat_children]
+                n_req = len(set(toks))
+                for t in set(toks):
+                    qmap_rows.append((qid, t, toks.count(t), n_req, is_and))
+                batch_tokens.update(toks)
+            elif _tree_fusable(plan):
+                fused[qid] = (plan, atoms)
+                batch_tokens.update(
+                    t for a in atoms if a.kind != "prefix" for t in a.tokens
+                )
             else:
                 fallback.append(qid)
-                continue
-            if not all(
-                isinstance(c, _Atom) and c.kind == "term" and len(c.tokens) == 1
-                for c in children
-            ):
-                fallback.append(qid)
-                continue
-            toks = [c.tokens[0] for c in children]
-            n_req = len(set(toks))
-            for t in set(toks):
-                qmap_rows.append((qid, t, toks.count(t), n_req, is_and))
-            batch_tokens.update(toks)
 
         parts: list[DataFrame] = []
         # fallbacks FIRST: each select() clears the engine's persisted-frame
@@ -505,38 +533,68 @@ class SearchEngine:
                 one.select(F.lit(qid).alias("query_id"), "doc_id", "score")
             )
 
-        if qmap_rows or phrase_atoms:
+        if qmap_rows or fused:
+            # prefix expansions resolve ONCE per distinct prefix across the
+            # whole set (each is a tiny ordered dictionary-range collect)
             term_meta: dict[str, int] = {}
-            rows = (
-                idx.dictionary.filter(F.col("term").isin(sorted(batch_tokens)))
-                .select("term", "df")
-                .collect()
-            )
-            term_meta.update({r["term"]: int(r["df"]) for r in rows})
+            pfx_cache: "dict[str, list]" = {}
+            for _qid, (_plan, atoms) in fused.items():
+                for a in atoms:
+                    if a.kind != "prefix":
+                        continue
+                    pfx = a.tokens[0]
+                    if pfx not in pfx_cache:
+                        pfx_cache[pfx] = (
+                            idx.dictionary.filter(F.col("term").startswith(pfx))
+                            .select("term", "df")
+                            .orderBy(F.desc("df"))
+                            .limit(MAX_EXPANSIONS)
+                            .collect()
+                        )
+                    rows = pfx_cache[pfx]
+                    a.expansions = [r["term"] for r in rows]
+                    term_meta.update({r["term"]: int(r["df"]) for r in rows})
+                    a.est_df = sum(int(r["df"]) for r in rows)
+                    batch_tokens.update(a.expansions)
+            exact = sorted(t for t in batch_tokens if t not in term_meta)
+            if exact:
+                rows = (
+                    idx.dictionary.filter(F.col("term").isin(exact))
+                    .select("term", "df")
+                    .collect()
+                )
+                term_meta.update({r["term"]: int(r["df"]) for r in rows})
+            pos_groups = [
+                a.tokens
+                for _qid, (_plan, atoms) in fused.items()
+                for a in atoms
+                if a.kind in ("phrase", "near")
+            ]
+            for _qid, (_plan, atoms) in fused.items():
+                for a in atoms:
+                    if a.kind != "prefix":
+                        a.est_df = min(
+                            (term_meta.get(t, 0) for t in a.tokens), default=0
+                        )
             pos_tokens = sorted(
-                {
-                    t
-                    for a in phrase_atoms.values()
-                    for t in a.tokens
-                    if term_meta.get(t, 0) > 0
-                }
+                {t for g in pos_groups for t in g if term_meta.get(t, 0) > 0}
             )
             flat_tokens = sorted(
                 t
                 for t in batch_tokens
                 if term_meta.get(t, 0) > 0 and t not in pos_tokens
             )
+            self._cur_weights, self._cur_scorer = weights, scorer
             td_parts: list[DataFrame] = []
             pos_rows = None
             if pos_tokens:
-                self._cur_weights, self._cur_scorer = weights, scorer
                 td_p, pos_rows = self._scored_term_doc(
                     pos_tokens,
                     term_meta,
                     weights,
                     need_pos=True,
                     scorer=scorer,
-                    pos_groups=[a.tokens for a in phrase_atoms.values()],
+                    pos_groups=pos_groups,
                 )
                 td_parts.append(td_p)
             if flat_tokens:
@@ -544,12 +602,21 @@ class SearchEngine:
                     flat_tokens, term_meta, weights, need_pos=False, scorer=scorer
                 )
                 td_parts.append(td_f)
-            term_doc = None
+            if pos_rows is None and pos_groups:
+                # every positional token is dead — phrase/NEAR branches
+                # still evaluate (to no hits) against an empty frame
+                pos_rows = spark.createDataFrame(
+                    [], "term string, doc_id long, sid int, positions array<int>"
+                )
             if td_parts:
                 term_doc = td_parts[0]
                 for p in td_parts[1:]:
                     term_doc = term_doc.unionByName(p)
-            if qmap_rows and term_doc is not None:
+            else:
+                term_doc = spark.createDataFrame(
+                    [], "term string, doc_id long, score double"
+                )
+            if qmap_rows:
                 qmap = spark.createDataFrame(
                     qmap_rows,
                     "query_id string, term string, _mult int, _nreq int, _is_and boolean",
@@ -575,10 +642,8 @@ class SearchEngine:
                     .filter(F.col("_rn") <= k)
                     .select("query_id", "doc_id", "score")
                 )
-            for qid, a in phrase_atoms.items():
-                if any(term_meta.get(t, 0) == 0 for t in a.tokens):
-                    continue  # a dead gram → the phrase matches nothing
-                sc = self._eval_phrase(a, term_doc, pos_rows)
+            for qid, (plan, _atoms) in fused.items():
+                sc = self._eval(plan, term_doc, pos_rows, term_meta)
                 parts.append(
                     sc.orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)

@@ -1,8 +1,9 @@
-"""select_batch answers a query SET through one shared decode + one
-broadcast (query_id, term) join + one per-query window — it must be
-rank-identical per query to sequential select(escalate=False) calls,
-including the fallback union for plan shapes the batch path can't fuse
-(phrase, NOT, prefix, pragmas)."""
+"""select_batch answers a query SET through one shared decode: flat
+plans via one broadcast (query_id, term) join + one per-query window,
+And/Or/Not trees over term/prefix/phrase/NEAR atoms via _eval against
+the shared frames — rank-identical per query to sequential
+select(escalate=False) calls, including the fallback union for shapes
+the batch path can't fuse (column operators, *S/*T modes, pragmas)."""
 
 import pytest
 
@@ -32,8 +33,12 @@ QUERIES = {
     "t_phrase": '"merge sort"',  # fused via the shared positional decode
     "t_phrase2": '"sort partition"',
     "t_phrase_dead": '"merge qzqzqz"',  # dead gram → 0 hits, no fallback
-    "t_not": "merge -sort",  # fallback shapes
-    "t_prefix": "sc*",
+    "t_not": "merge -sort",  # tree tier: Not
+    "t_prefix": "sc*",  # tree tier: prefix expansion
+    "t_mixed": 'merge "sort partition"',  # tree tier: And(term, phrase)
+    "t_mixed_or": 'qzqzqz OR "merge sort"',  # Or with a dead term branch
+    "t_near": "*N5 merge partition",  # tree tier: NEAR atom
+    "t_colop": "content:@merge",  # fallback: column operator
 }
 
 
@@ -52,9 +57,9 @@ def test_batch_identity(engine):
             assert want, qid  # every other query must actually match
 
 
-def test_batch_fuses_flat_plans(engine, monkeypatch):
-    # flat and phrase queries must NOT go through per-query select();
-    # only the two fallback shapes may
+def test_batch_fuses_flat_and_tree_plans(engine, monkeypatch):
+    # flat, phrase, NOT, prefix, mixed, and NEAR queries must NOT go
+    # through per-query select(); only the colop fallback may
     calls = []
     orig = eng_mod.SearchEngine.select
 
@@ -64,7 +69,21 @@ def test_batch_fuses_flat_plans(engine, monkeypatch):
 
     monkeypatch.setattr(eng_mod.SearchEngine, "select", spy)
     engine.select_batch(QUERIES, k=5).collect()
-    assert sorted(calls) == sorted([QUERIES["t_not"], QUERIES["t_prefix"]])
+    assert sorted(calls) == sorted([QUERIES["t_colop"]])
+
+
+def test_batch_tfidf_identity(engine):
+    sub = {k: QUERIES[k] for k in ("t_single", "t_and", "t_or", "t_phrase")}
+    res = engine.select_batch(sub, k=10, scorer="tf_idf")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid, q in sub.items():
+        want = _rows(engine.select(q, k=10, escalate=False, scorer="tf_idf"))
+        have = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert have == sorted(want, key=lambda x: (-x[1], x[0])), qid
 
 
 def test_batch_empty_set(engine):
