@@ -135,9 +135,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_batch(spark, sf):
         # one shared decode answers a whole query set (select_batch):
-        # per-query results must be rank-identical to sequential selects
+        # per-query results must be rank-identical to sequential selects.
+        # and1/or1/t1 take the flat (query-map join) tier; not1/ph1 take
+        # the tree tier (_eval over the shared frames)
         res = _engine(spark, sf).select_batch(
-            {"and1": "filter query", "or1": "filter OR slow", "t1": "spark"},
+            {
+                "and1": "filter query",
+                "or1": "filter OR slow",
+                "t1": "spark",
+                "not1": "query -slow",
+                "ph1": '"key order"',
+            },
             k=10,
         )
         return res.orderBy(
@@ -1332,6 +1340,21 @@ SELECT query_id, doc_id, score FROM (
   SELECT * FROM (
     SELECT 't1' AS query_id, doc_id, round(s, 4) AS score, s AS s0
     FROM bm WHERE term = 'spark' ORDER BY s DESC, doc_id LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'not1' AS query_id, doc_id, round(s, 4) AS score, s AS s0
+    FROM bm WHERE term = 'query'
+    AND doc_id NOT IN (SELECT doc_id FROM bm WHERE term = 'slow')
+    ORDER BY s DESC, doc_id LIMIT 10)
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'ph1' AS query_id, b.doc_id, round(sum(b.s), 4) AS score,
+           sum(b.s) AS s0
+    FROM bm b JOIN documents d ON b.doc_id = d.doc_id
+    WHERE b.term IN ('key', 'order')
+      AND (' ' || d.text || ' ') LIKE '% key order %'
+    GROUP BY b.doc_id HAVING count(DISTINCT b.term) = 2
+    ORDER BY sum(b.s) DESC, b.doc_id LIMIT 10)
 ) ORDER BY query_id, s0 DESC, doc_id"""
 
     o["ft_match_not"] = f"""{_CTE}
