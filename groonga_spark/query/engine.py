@@ -111,6 +111,16 @@ POS_CAND_MASK = True
 # The path stays continuously verified (tests/test_wand_or.py + the
 # forced-on driver entry ft_wand_or).
 WAND_OR_CUTOFF = 50_000_000  # summed df must exceed this
+
+# select_batch: with this many or more fused tree queries, eagerly
+# localCheckpoint the shared decode frames before building the per-query
+# branches — every branch otherwise embeds the full decode lineage, and at
+# Q branches the union's logical plan is Q× the decode subtree (a 32-tree
+# batch OOM'd an 8g driver just RENDERING its plan string).  On a real
+# cluster prefer a reliable checkpoint dir (localCheckpoint doesn't survive
+# executor loss); locally the eager materialization is the shared decode
+# job we want to run once anyway.
+BATCH_TREE_CKPT_MIN = 4
 # the cell refinement broadcasts the kept (term, block) pairs — bounded by
 # the terms' block-metadata row count (Σ df / postings-per-block); skip the
 # refinement (level-1 bound still applies) beyond this many metadata rows
@@ -616,6 +626,12 @@ class SearchEngine:
                 term_doc = spark.createDataFrame(
                     [], "term string, doc_id long, score double"
                 )
+            if len(fused) >= BATCH_TREE_CKPT_MIN:
+                # truncate lineage so each tree branch scans a compact
+                # materialized RDD instead of re-embedding the decode plan
+                term_doc = term_doc.localCheckpoint()
+                if pos_rows is not None:
+                    pos_rows = pos_rows.localCheckpoint()
             if qmap_rows:
                 qmap = spark.createDataFrame(
                     qmap_rows,

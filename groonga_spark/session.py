@@ -35,6 +35,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # plan STRINGS (UI/event-listener explain) are O(plan size) heap
+        # allocations on the driver — a query-set union over dozens of
+        # branches can otherwise OOM the driver just rendering its plan
+        .config("spark.sql.maxPlanStringLength", "2000000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -38,15 +38,38 @@ terms = [
     r["term"]
     for r in dic.filter(F.col("df") >= 20).orderBy(F.desc("df")).limit(64).collect()
 ]
+MIX = os.environ.get("BATCH_MIX", "flat")  # flat | tree
+
 queries: dict[str, str] = {}
-for i in range(N_Q):
-    a, b = terms[i % len(terms)], terms[(i * 7 + 3) % len(terms)]
-    if i % 3 == 0:
-        queries[f"q{i}"] = a
-    elif i % 3 == 1:
-        queries[f"q{i}"] = f"{a} {b}" if a != b else a
-    else:
-        queries[f"q{i}"] = f"{a} OR {b}" if a != b else a
+if MIX == "tree":
+    # positional / tree shapes: phrase, NOT, prefix, NEAR.  Phrases come
+    # from ADJACENT token pairs of real docs so they actually match.
+    pairs: list[tuple[str, str]] = []
+    for row in corpus.limit(16).collect():
+        toks, _ = eng._get_tokens(row["content"])
+        for x, y in zip(toks, toks[1:]):
+            if x != y and len(pairs) < 64:
+                pairs.append((x, y))
+    for i in range(N_Q):
+        a, b = terms[i % len(terms)], terms[(i * 7 + 3) % len(terms)]
+        pa, pb = pairs[i % len(pairs)]
+        if i % 4 == 0:
+            queries[f"q{i}"] = f'"{pa} {pb}"'
+        elif i % 4 == 1:
+            queries[f"q{i}"] = f"{a} -{b}" if a != b else a
+        elif i % 4 == 2:
+            queries[f"q{i}"] = a[:3] + "*"
+        else:
+            queries[f"q{i}"] = f"*N5 {a} {b}" if a != b else a
+else:
+    for i in range(N_Q):
+        a, b = terms[i % len(terms)], terms[(i * 7 + 3) % len(terms)]
+        if i % 3 == 0:
+            queries[f"q{i}"] = a
+        elif i % 3 == 1:
+            queries[f"q{i}"] = f"{a} {b}" if a != b else a
+        else:
+            queries[f"q{i}"] = f"{a} OR {b}" if a != b else a
 
 eng.select(terms[0], k=10, escalate=False).count()  # warmup
 
@@ -68,6 +91,7 @@ for rep in range(REPS):
 med = lambda xs: sorted(xs)[len(xs) // 2]
 out = {
     "metric": "select_batch vs sequential (median of %d interleaved reps)" % REPS,
+    "mix": MIX,
     "n_docs": N_DOCS,
     "n_queries": N_Q,
     "cores": CORES,
