@@ -471,6 +471,7 @@ class SearchEngine:
         unioned in, so the result is always complete."""
         idx = self.index
         spark = idx.dictionary.sparkSession
+        self._clear_cache()  # release the previous query's persisted frames
         weights = self._resolve_weights(None)
         self._tfidf_mode = scorer == "tf_idf"
         if self._tfidf_mode:
