@@ -86,5 +86,39 @@ def test_batch_tfidf_identity(engine):
         assert have == sorted(want, key=lambda x: (-x[1], x[0])), qid
 
 
+def test_batch_tree_lineage_truncated(engine):
+    # past BATCH_TREE_CKPT_MIN fused tree queries the shared decode is
+    # eagerly localCheckpoint'ed: every tree branch must scan the
+    # materialized RDD, and NO Python decode UDF may remain in the final
+    # union plan (a 32-branch union re-embedding the decode lineage per
+    # branch OOM'd the driver merely rendering its plan string)
+    # no NEAR here: its window check is legitimately a post-decode
+    # pandas UDF and would appear as EvalPython in any plan
+    trees = {
+        f"p{i}": q
+        for i, q in enumerate(
+            ['"merge sort"', '"sort partition"', "merge -sort", "sc*"]
+        )
+    }
+    assert len(trees) >= eng_mod.BATCH_TREE_CKPT_MIN
+    df = engine.select_batch(trees, k=5)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan
+    assert "EvalPython" not in plan  # decode already ran, eagerly
+    # and the result is still rank-identical per query
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid, q in trees.items():
+        want = _rows(engine.select(q, k=5, escalate=False))
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+
+
 def test_batch_empty_set(engine):
     assert engine.select_batch({}, k=5).count() == 0
