@@ -459,16 +459,20 @@ class SearchEngine:
           inner-join sum) via a multiplicity column, and requires every
           distinct term present (count == n_req).
         * **tree** — any And/Or/Not tree whose leaves are term, prefix,
-          phrase, or NEAR atoms: evaluated per query by the same
-          :meth:`_eval` planner :meth:`select` uses, but against the
-          SHARED term_doc / position frames (every atom filters by its
-          own tokens, so sharing is exact).  Phrase/NEAR tokens join
-          the shared positional decode; prefix expansions resolve once
-          per distinct prefix across the set.
+          phrase, or NEAR atoms or SCAN-path column operators: evaluated
+          per query by the same :meth:`_eval` planner :meth:`select`
+          uses, but against the SHARED term_doc / position frames (every
+          atom filters by its own tokens, so sharing is exact).
+          Phrase/NEAR tokens join the shared positional decode; prefix
+          expansions resolve once per distinct prefix across the set;
+          scan colops stay the single pruned docs.filter frame _eval
+          plans anyway.
 
-        Anything else — column operators, ``*S``/``*T`` modes, pragma
-        overrides — falls back to a per-query :meth:`select` and is
-        unioned in, so the result is always complete."""
+        Anything else — INDEXED-column match/prefix/suffix operators
+        (their per-atom decode subtree would bloat the union plan past
+        what the shared checkpoint truncates), ``*S``/``*T`` modes,
+        pragma overrides — falls back to a per-query :meth:`select` and
+        is unioned in, so the result is always complete."""
         idx = self.index
         spark = idx.dictionary.sparkSession
         self._clear_cache()  # release the previous query's persisted frames
@@ -477,9 +481,28 @@ class SearchEngine:
         if self._tfidf_mode:
             scorer = "tf"
 
+        col_to_sid = {col: sid for sid, col in idx.stats.sections.items()}
+
+        def _colop_scan_ok(c: "qp.ColumnOp") -> bool:
+            # scan-path colops fuse (they're one docs.filter frame each —
+            # _eval even collapses ANDed ones into a single pruned scan);
+            # INDEXED match/prefix/suffix colops would spawn their own
+            # per-atom decode subtree, which the shared checkpoint can't
+            # truncate, so those still fall back
+            if self.docs is None:
+                return False
+            sid = (
+                None
+                if c.column in self.scan_columns
+                else col_to_sid.get(c.column)
+            )
+            return not (c.op in ("match", "prefix", "suffix") and sid is not None)
+
         def _tree_fusable(node) -> bool:
             if isinstance(node, _Atom):
                 return node.kind in ("term", "prefix", "phrase", "near")
+            if isinstance(node, qp.ColumnOp):
+                return _colop_scan_ok(node)
             if isinstance(node, (qp.And, qp.Or)):
                 return all(_tree_fusable(c) for c in node.children)
             if isinstance(node, qp.Not):

@@ -38,7 +38,8 @@ QUERIES = {
     "t_mixed": 'merge "sort partition"',  # tree tier: And(term, phrase)
     "t_mixed_or": 'qzqzqz OR "merge sort"',  # Or with a dead term branch
     "t_near": "*N5 merge partition",  # tree tier: NEAR atom
-    "t_colop": "content:@merge",  # fallback: column operator
+    "t_colop_scan": "lang:py merge",  # tree tier: scan-path colop + term
+    "t_colop": "content:@merge",  # fallback: INDEXED-column operator
 }
 
 
