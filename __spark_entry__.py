@@ -1765,11 +1765,15 @@ WHERE term NOT IN ({_stop2}) GROUP BY doc_id, term"""
 
     o["dedup_exact"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
+    # double hashing (matches ops/dedup.minhash_bands): one md5 per
+    # shingle, h_i = h1 + i*h2 from the 60-bit md5 halves, r=2 rows/band
+    _h1 = "('0x' || substr(md5(s), 1, 15))::BIGINT"
+    _h2 = "('0x' || substr(md5(s), 17, 15))::BIGINT"
     _bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"list_aggregate(list_transform(shingles, s -> md5(concat('{b}:0|', s))), 'min')"
+        f"list_aggregate(list_transform(shingles, s -> {_h1} + {b * 2} * {_h2}), 'min')::VARCHAR"
         f" || '|' || "
-        f"list_aggregate(list_transform(shingles, s -> md5(concat('{b}:1|', s))), 'min')"
+        f"list_aggregate(list_transform(shingles, s -> {_h1} + {b * 2 + 1} * {_h2}), 'min')::VARCHAR"
         f" AS minhash FROM sh WHERE len(shingles) > 0"
         for b in range(4)
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from groonga_spark.ops.common import spread
+
 
 def exact_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fp) — exact-duplicate fingerprint (hash-groupBy dedup basis)."""
@@ -59,27 +61,39 @@ def minhash_bands(
     on low-entropy corpora the global-minimum shingle dominates and buckets
     collapse into giant candidate cliques (the pair join degenerates toward
     O(n²)) — r>=2 multiplies the per-band collision probability s^r and
-    keeps buckets small."""
-    sh = word_shingles(df, text_col, k).filter(F.size("shingles") > 0)
-    bands = []
+    keeps buckets small.
+
+    Hashing: ONE md5 per shingle; the n_bands*r hash functions are derived
+    by double hashing (Kirsch–Mitzenmacher 2006): h_i = h1 + i*h2 where
+    h1/h2 are the two md5 halves truncated to 60 bits (15 hex chars), so
+    h1 + 7*h2 < 2^63 never overflows int64 — hence the n_bands*r <= 8
+    bound.  All bands come out of one projection (explode over the band
+    structs), so the source is scanned once, not n_bands times — vs the
+    naive per-(band,row) md5 this is 8x less hashing and 4x less scan."""
+    if n_bands * r > 8:
+        raise ValueError("n_bands * r must be <= 8 (int64 overflow bound)")
+    sh = word_shingles(spread(df), text_col, k).filter(F.size("shingles") > 0)
+    h1 = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+    h2 = "cast(conv(substr(md5(s), 17, 15), 16, 10) as bigint)"
+    hs = sh.withColumn(
+        "hs", F.expr(f"transform(shingles, s -> struct({h1} AS h1, {h2} AS h2))")
+    )
+    band_structs = []
     for b in range(n_bands):
         mins = [
             F.array_min(
-                F.expr(f"transform(shingles, s -> md5(concat('{b}:{j}|', s)))")
-            )
+                F.expr(f"transform(hs, p -> p.h1 + {b * r + j}L * p.h2)")
+            ).cast("string")
             for j in range(r)
         ]
-        bands.append(
-            sh.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *mins).alias("minhash"),
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.concat_ws("|", *mins).alias("minhash")
             )
         )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    return hs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bm")
+    ).select(id_col, "bm.band", "bm.minhash")
 
 
 def minhash_candidate_pairs(
@@ -90,15 +104,33 @@ def minhash_candidate_pairs(
     k: int = 3,
     r: int = 1,
 ) -> DataFrame:
-    """(a, b) candidate near-duplicate pairs via band-bucket self-join —
-    the shuffle is on (band, minhash), never on the pair space."""
+    """(a, b) candidate near-duplicate pairs from the band buckets.
+
+    One groupBy on (band, minhash) collects each bucket's ids, then the
+    a<b combinations are generated JVM-side from the (small) bucket
+    arrays — semantically the classic bucket self-join, but the bands are
+    computed ONCE (a self-join would re-evaluate the whole shingle+hash
+    pipeline for each side) and the only shuffle is the bucket groupBy.
+    Bucket sizes are bounded by the banding itself (r>=2 keeps collision
+    probability s^r — see minhash_bands); a bucket of B docs emits B(B-1)/2
+    pairs either way, so the join formulation has no scale advantage."""
     mb = minhash_bands(df, text_col, id_col, n_bands, k, r)
-    left = mb.select(F.col(id_col).alias("a"), "band", "minhash")
-    right = mb.select(F.col(id_col).alias("b"), "band", "minhash")
+    buckets = (
+        mb.groupBy("band", "minhash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(right, ["band", "minhash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -129,7 +161,7 @@ def ngram_jaccard_pairs(
     Identical output to the naive all-shingles join (the filter is
     lossless), but the shuffle is bounded by prefix df, not raw df."""
     sh = (
-        word_shingles(df, text_col, k)
+        word_shingles(spread(df), text_col, k)
         .select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
         .distinct()
     )
@@ -168,7 +200,7 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     JVM-side: each token's 16 hash bits come from the first 4 hex digits of
     md5(token); bit j contributes +tf / -tf to dimension j; simhash bit j is
     the sign.  Deterministic across engines (md5-based)."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
@@ -246,7 +278,7 @@ def dedup_documents(
         raise ValueError(method)
     cand = minhash_candidate_pairs(df, text_col, id_col, n_bands, k, r)
     sh = (
-        word_shingles(df, text_col, k)
+        word_shingles(spread(df), text_col, k)
         .select(F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
         .distinct()
     )
@@ -287,7 +319,7 @@ def decontaminate(
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
-    dg = word_shingles(docs, text_col, n).select(
+    dg = word_shingles(spread(docs), text_col, n).select(
         F.col(id_col), F.explode("shingles").alias("s")
     )
     contaminated = (
@@ -383,7 +415,7 @@ def simhash60(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     the banded bucket join (:func:`simhash_dup_pairs`) selective — the r1
     16-bit version had only 256 buckets and its self-join degenerated to
     O(N²/256) at scale."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
@@ -427,26 +459,37 @@ def simhash_dup_pairs(
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     s = simhash60(df, text_col, id_col)
-    bands = None
-    for b in range(n_bands):
-        part = s.select(
-            "id",
-            "simhash",
+    # all bands in ONE projection (explode over band structs) — a
+    # per-band union would re-evaluate the whole simhash aggregation
+    # n_bands times, and the former self-join doubled that again
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
             F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
         )
-        bands = part if bands is None else bands.unionByName(part)
-    left = bands.select(
-        F.col("id").alias("a"), F.col("simhash").alias("ha"), "band", "bv"
+        for b in range(n_bands)
+    ]
+    bands = s.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.bv")
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("xs"))
+        .filter(F.size("xs") > 1)
     )
-    right = bands.select(
-        F.col("id").alias("b"), F.col("simhash").alias("hb"), "band", "bv"
-    )
-    joined = left.join(right, ["band", "bv"]).filter(F.col("a") < F.col("b"))
-    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    # a<b pairs from each bucket's sorted members; hamming verified inline
     return (
-        joined.withColumn("hamming", F.bit_count(xor))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (x, i) ->"
+                    " transform(slice(xs, i + 2, size(xs) - i - 1),"
+                    " y -> struct(x.id AS a, y.id AS b,"
+                    " bit_count(x.simhash ^ y.simhash) AS hamming))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
         .distinct()
     )

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from groonga_spark.ops.common import spread
 from pyspark.sql.types import LongType
 
 
@@ -40,7 +42,9 @@ def cosine_topk(
     q = df.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec")
     )
-    cand = df.filter(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q))
+    cand = spread(df.filter(F.col(id_col) != query_vec_id)).crossJoin(
+        F.broadcast(q)
+    )
     cos = F.expr(_dot_expr(vec_col, "_qvec")) / (
         F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("_qvec"))
     )
@@ -62,7 +66,7 @@ def cosine_neardup_pairs(
     a < b with cosine >= threshold.  The O(N²) self-join is the correctness
     baseline — at scale, run :func:`lsh_neardup_pairs` (bucketed candidates)
     and verify survivors with this expression."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    a = spread(df).select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     cos = F.expr(_dot_expr("_va", "_vb")) / (
         F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb"))
@@ -222,7 +226,9 @@ def lsh_signatures(
             out |= bits[:, j].astype(np.int64) << j
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sig"))
+    return spread(df).select(
+        F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sig")
+    )
 
 
 def lsh_ann_topk(

@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from groonga_spark.ops.common import spread
+
 # tiny English function-word list for the stopword-ratio heuristics
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
@@ -90,7 +92,7 @@ def lm_bigram_scores(
     docs with < 2 tokens score null."""
     arr = F.split(F.col(text_col), " ")
     pairs = (
-        df.select(F.col(id_col), arr.alias("a"))
+        spread(df).select(F.col(id_col), arr.alias("a"))
         .filter(F.size("a") >= 2)
         .select(
             id_col,
@@ -172,7 +174,7 @@ def langid_trigram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ).cast("long")
         for lang in ("en", "fr", "de", "es")
     }
-    out = df.select(F.col(id_col), *[scores[l].alias(f"s_{l}") for l in scores])
+    out = spread(df).select(F.col(id_col), *[scores[l].alias(f"s_{l}") for l in scores])
     pred = F.when(
         (F.col("s_en") >= F.col("s_fr"))
         & (F.col("s_en") >= F.col("s_de"))
@@ -201,7 +203,7 @@ def repetition_signals(
     shuffle (groupBy id,n,gram → groupBy id) + a broadcast-size join back.
     Docs with < 3 words report 0 for the gram fractions."""
     arr = F.split(F.col(text_col), " ")
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col),
         F.size(arr).cast("long").alias("n_words"),
         F.round(
@@ -323,4 +325,4 @@ def rolling_fingerprints(
                     out[d] = (buf[starts[d] : ends[d]] * p).sum()
         return pd.Series(out.view(np.int64))
 
-    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))
+    return spread(df).select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))

@@ -32,12 +32,12 @@ def test_duplicate_and_reversed_edges(spark):
 
 def test_dedup_minhash_cc_chain(spark):
     # doc3 is a near-dup of BOTH doc1 and doc2 (J = 0.368 each, verified
-    # offline that the md5 band minima collide so LSH proposes both pairs)
-    # while doc1 vs doc2 share nothing.  Greedy-by-id drops only doc3
-    # (keeps {1, 2}); transitive-closure clustering merges {1, 2, 3} into
-    # one component and keeps only its min, doc1.
-    u = [f"u{i}" for i in range(12)]
-    v = [f"v{i}" for i in range(12)]
+    # offline that the double-hashed band minima collide so LSH proposes
+    # both pairs) while doc1 vs doc2 share nothing.  Greedy-by-id drops
+    # only doc3 (keeps {1, 2}); transitive-closure clustering merges
+    # {1, 2, 3} into one component and keeps only its min, doc1.
+    u = [f"x0{i}" for i in range(12)]
+    v = [f"y0{i}" for i in range(12)]
     df = spark.createDataFrame(
         [
             (1, " ".join(u)),
