@@ -121,14 +121,43 @@ class InvertedIndex:
     # on a checkpoint-loaded index
     n_pbuckets: int = DEFAULT_N_PBUCKETS
 
+    # query-layout sizing: every query job schedules one task per cached
+    # partition of the frame it scans, so a small index persisted at the
+    # BUILD parallelism (2x cores) pays ~64 near-empty tasks per stage —
+    # measured 40% of warm query latency at the 5k-doc bench scale.  The
+    # build keeps its wide repartition (throughput); persist() then
+    # re-lays the materialized frames out at a data-sized partition count
+    # via a narrow coalesce over the cached wide frame (no recompute).
+    # At cluster scale tokens/TOKENS_PER_PART exceeds the build width and
+    # the coalesce is a no-op.
+    TOKENS_PER_PART = 1_000_000
+    DOCS_PER_PART = 500_000
+
+    def _query_parts(self) -> int:
+        tokens = sum(self.stats.section_tokens.values())
+        return max(8, -(-tokens // self.TOKENS_PER_PART))
+
+    @staticmethod
+    def _relayout(df: DataFrame, target: int) -> DataFrame:
+        if df.rdd.getNumPartitions() <= target:
+            df.count()  # materialize in place
+            return df
+        wide = df.persist()
+        wide.count()
+        out = wide.coalesce(target).persist()
+        out.count()  # narrow scan of the cached wide frame
+        wide.unpersist()
+        return out
+
     def persist(self) -> "InvertedIndex":
-        self.dictionary = self.dictionary.persist()
-        self.postings = self.postings.persist()
-        self.doclens = self.doclens.persist()
-        # materialize now so query latency measurements are honest
-        self.dictionary.count()
-        self.postings.count()
-        self.doclens.count()
+        self.dictionary = self._relayout(
+            self.dictionary.persist(), self._query_parts()
+        )
+        self.postings = self._relayout(self.postings.persist(), self._query_parts())
+        self.doclens = self._relayout(
+            self.doclens.persist(),
+            max(4, -(-self.stats.n_docs // self.DOCS_PER_PART)),
+        )
         return self
 
     def unpersist(self) -> "InvertedIndex":

@@ -13,7 +13,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    # 1x cores, not 2x: every reduce stage schedules shuffle_partitions
+    # tasks regardless of data volume, and the measured per-stage cost of
+    # the extra near-empty tasks exceeds any load-balance win at this
+    # node size (A/B: corpus build 8.2k->8.7k files/s cold and 13.2k->15.1k
+    # warm going 64->32 at local[32]; small-shuffle latency 0.34s->0.30s).
+    # On a real cluster this is sized to data (bytes / 128MB target), and
+    # AQE coalesces the small end either way.
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
     # Python workers inherit the driver's environment, not its sys.path:
     # UDFs defined in this package pickle by reference and need the repo
     # root importable on the worker regardless of the driver's cwd.  On a
