@@ -1247,16 +1247,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geo_in_rectangle_q=geo_in_rectangle_q,
         geo_distance_q=geo_distance_q,
         geo_in_circle_q=geo_in_circle_q,
+        # digest-replay / modular-arithmetic-replay oracles
+        audio_features=audio_features,
+        video_frames=video_frames,
+        image_features=image_features,
+        fingerprint_q=fingerprint_q,
         # ---- rows-only (engine-specific; no reasonable SQL oracle) ----
         bpe_train_q=bpe_train_q,
         bpe_encode_q=bpe_encode_q,
         ann_lsh_topk=ann_lsh_topk,
         lsh_neardup_q=lsh_neardup_q,
         ivf_topk_q=ivf_topk_q,
-        fingerprint_q=fingerprint_q,
-        audio_features=audio_features,
-        video_frames=video_frames,
-        image_features=image_features,
     )
     return q
 
@@ -1982,7 +1983,59 @@ sha256(text) AS sha FROM documents"""
     # text:$er through query syntax == the suffix-search API
     o["q_col_suffix"] = o["ft_suffix"]
 
-    # ann_lsh_topk, lsh_neardup_q, ivf_topk_q, fingerprint_q, image_features:
-    # engine-specific (seeded hyperplanes / IVF cells / rolling hash / fake
-    # decode) → rows-only check.
+    # The multimodal fake decodes are sha256-digest arithmetic
+    # (ops/multimodal.py _fake_decode and friends), so DuckDB CAN replay
+    # them: byte k of the digest is hex chars 2k+1..2k+2 of sha256(text).
+    o["image_features"] = """SELECT doc_id AS media_id,
+(16 + (('0x' || substr(sha256(text), 1, 2))::INT % 64))::INT AS width,
+(16 + (('0x' || substr(sha256(text), 3, 2))::INT % 64))::INT AS height
+FROM documents"""
+
+    o["audio_features"] = """SELECT doc_id AS media_id,
+(100 + (('0x' || substr(sha256(text), 5, 4))::INT % 60000))::INT AS duration_ms
+FROM documents"""
+
+    # sample_video_frames: n_frames = max(1, n_bytes // (every_n*16)),
+    # every_n=10, capped at 4 emitted frames
+    o["video_frames"] = """SELECT media_id, unnest(range(0, cnt))::INT AS frame_no
+FROM (SELECT doc_id AS media_id,
+        least(greatest(octet_length(text::BLOB) // 160, 1), 4) AS cnt
+      FROM documents)"""
+
+    # Winnowing fingerprint (ops/textstats.rolling_fingerprints): the
+    # rolling hash is plain polynomial arithmetic mod 2^64, so DuckDB can
+    # replay it with a precomputed power table + HUGEINT modular math.
+    # The documents table is pure ASCII, so ord(char) == utf-8 byte.
+    _fp_pw = "[" + ",".join(
+        f"{pow(1000003, k, 1 << 64)}::HUGEINT" for k in range(32)
+    ) + "]"
+    o["fingerprint_q"] = f"""WITH base AS (
+  SELECT doc_id, text, length(text) AS n, {_fp_pw} AS pw FROM documents
+),
+long_docs AS (
+  SELECT doc_id,
+    min(list_sum(list_transform(range(0, 32),
+        j -> ord(substr(text, i + j, 1))::HUGEINT * pw[32 - j])) %
+        18446744073709551616::HUGEINT) AS h
+  FROM (SELECT *, unnest(range(1, n - 30)) AS i FROM base WHERE n >= 32)
+  GROUP BY doc_id
+),
+short_docs AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN 0::HUGEINT ELSE
+      list_sum(list_transform(range(0, n),
+        j -> ord(substr(text, j + 1, 1))::HUGEINT * pw[n - j])) %
+        18446744073709551616::HUGEINT END AS h
+  FROM base WHERE n < 32
+),
+u AS (SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs)
+SELECT doc_id,
+  (CASE WHEN h >= 9223372036854775808::HUGEINT
+        THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT
+  AS fingerprint
+FROM u"""
+
+    # ann_lsh_topk, lsh_neardup_q, ivf_topk_q, bpe_*: engine-specific
+    # (seeded hyperplanes / Lloyd-refined IVF cells / iterative merges)
+    # → rows-only check.
     return o
