@@ -154,10 +154,15 @@ class InvertedIndex:
             self.dictionary.persist(), self._query_parts()
         )
         self.postings = self._relayout(self.postings.persist(), self._query_parts())
-        self.doclens = self._relayout(
-            self.doclens.persist(),
-            max(4, -(-self.stats.n_docs // self.DOCS_PER_PART)),
-        )
+        # doclens is persisted LAZY: the query path never reads it (dls are
+        # denormalized into the posting blocks), so its doc-wide shuffle
+        # would be pure build-latency waste.  update/checkpoint/doclen-stat
+        # consumers materialize it on first use, at a data-sized partition
+        # count (coalesce on the lazy frame narrows the agg's reduce stage,
+        # which is fine — the agg is one narrow pass over cached tf).
+        self.doclens = self.doclens.coalesce(
+            max(4, -(-self.stats.n_docs // self.DOCS_PER_PART))
+        ).persist()
         return self
 
     def unpersist(self) -> "InvertedIndex":
@@ -508,14 +513,21 @@ def collect_stats(
     )
 
 
-def make_dictionary(tf: DataFrame) -> DataFrame:
+def make_dictionary(tf: DataFrame, single_section: bool = False) -> DataFrame:
     """Stage D: df/cf per term.  No dense term_id: the engine keys postings
     by the term string itself (Groonga needs a tid to index its mmap arrays,
     lib/ii.c; a columnar engine doesn't) — skipping the id assignment drops
     four driver-synchronized jobs and a window shuffle from the hot build
-    path.  ``dense_term_ids`` recovers PAT-key-ordered ids on demand."""
+    path.  ``dense_term_ids`` recovers PAT-key-ordered ids on demand.
+
+    ``single_section``: with one text column, tf has exactly one row per
+    (term, doc), so ``count(*)`` equals ``countDistinct(doc_id)`` — a plain
+    partial-aggregating count instead of the two-phase distinct."""
+    df_expr = (
+        F.count("*") if single_section else F.countDistinct("doc_id")
+    )
     dictionary = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
+        df_expr.cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
     # rterm = reversed term: suffix search becomes a prefix predicate on a
@@ -539,6 +551,7 @@ def salted_tf(
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
     n_pbuckets: int = DEFAULT_N_PBUCKETS,
     single_section: bool = False,
+    heavy: DataFrame | None = None,
 ) -> DataFrame:
     """Attach dl, df, salt and pbucket.  The salt spreads a heavy term's
     docs over ceil(df / postings_per_bucket) reducers — explicit skew split;
@@ -555,7 +568,12 @@ def salted_tf(
     (known at tokenize time) instead of a shuffle join onto doclens, so
     stage P performs exactly ONE wide exchange: the repartition by
     (term, salt)."""
-    if single_section:
+    if heavy is not None:
+        # caller already holds a materialized df-per-term frame (the
+        # single-section fused build derives it from the cached dictionary)
+        # — reuse it instead of re-scanning tf
+        pass
+    elif single_section:
         # One section ⇒ each tf row is a distinct doc, so postings-per-term
         # == df exactly and a plain count(*) — cheap partial-aggregating
         # counts, no distinct — replaces the dictionary's two-phase
@@ -665,16 +683,37 @@ def build_index(
     if cache_tf:
         tf = tf.persist()
         doclens = doclens.persist()
-    stats = collect_stats(df, doclens, text_cols, tf=tf if cache_tf else None)
+    single = len(text_cols) == 1
+    heavy = None
+    if single and cache_tf:
+        # Fused single-section build: ONE aggregation pass over tf serves
+        # the dictionary (count(*) == df with one section), the section
+        # token total (Σcf — no separate groupBy(sid) job), and the heavy
+        # set (a filter over the cached dictionary — no separate
+        # groupBy(term) job).  Cuts the blocking path from three full tf
+        # scans to one before the encode exchange.
+        dictionary = make_dictionary(tf, single_section=True).persist()
+        tot = dictionary.agg(F.sum("cf").alias("t")).collect()[0]["t"]
+        stats = IndexStats(
+            n_docs=int(df.count()),
+            section_tokens={1: int(tot or 0)},
+            sections={1: text_cols[0]},
+        )
+        heavy = dictionary.filter(F.col("df") > postings_per_bucket).select(
+            "term", F.col("df").alias("_heavy_df")
+        )
+    else:
+        stats = collect_stats(df, doclens, text_cols, tf=tf if cache_tf else None)
+        dictionary = make_dictionary(tf)
     avgdl_by_sid = {sid: stats.avgdl(sid) for sid in stats.section_tokens}
-    dictionary = make_dictionary(tf)
     tf2 = salted_tf(
         tf,
         doclens,
         dictionary,
         postings_per_bucket,
         n_pbuckets,
-        single_section=len(text_cols) == 1,
+        single_section=single,
+        heavy=heavy,
     )
     postings = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
     return InvertedIndex(
