@@ -1130,6 +1130,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = to_media(docs, "payload", "doc_id", "video", "video/mp4")
         return sample_video_frames(media).select("media_id", "frame_no")
 
+    # ---- sampling / mixing / scrubbing pipeline ops -----------------------
+    def sample_hash_q(spark, sf):
+        # deterministic Bernoulli sample — pure pushdown-eligible filter
+        from groonga_spark.ops.sampling import hash_sample
+
+        docs = _read(spark, sf, "documents")
+        return hash_sample(docs, rate=0.25, seed="s1").select("doc_id", "source")
+
+    def sample_strat_q(spark, sf):
+        # exact n-per-group stratified sample (two-phase verified
+        # oversample — never wide-sorts a heavy group)
+        from groonga_spark.ops.sampling import stratified_sample
+
+        docs = _read(spark, sf, "documents")
+        out = stratified_sample(docs, n_per_group=7, group_col="source", seed="s2")
+        return out.orderBy("source", "doc_id")
+
+    def sample_budget_q(spark, sf):
+        # token-budget quota fill per source in deterministic hash order
+        from groonga_spark.ops.sampling import token_budget_sample
+
+        docs = _read(spark, sf, "documents")
+        out = token_budget_sample(
+            docs, budget=5000, token_col="n_chars", group_col="source", seed="s3"
+        )
+        return out.orderBy("source", "doc_id")
+
+    def mix_weighted_q(spark, sf):
+        # mixture sampling to per-source token budgets: one |groups|-row
+        # aggregate broadcast back + a pure filter (single map pass)
+        from groonga_spark.ops.sampling import weighted_mix
+
+        docs = _read(spark, sf, "documents")
+        out = weighted_mix(
+            docs,
+            weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            total_tokens=40000,
+            token_col="n_chars",
+            group_col="source",
+            seed="s4",
+        )
+        return out.orderBy("source", "doc_id")
+
+    def redact_q(spark, sf):
+        # PII scrub (email/IPv4/hex-secret) with per-type counts; the
+        # synthetic corpus is clean, so deterministic PII is planted
+        # first (same construction in the oracle SQL)
+        from groonga_spark.ops.redact import redact_pii
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 token "),
+                F.md5(F.col("text")),
+            ).alias("text"),
+        )
+        r = redact_pii(planted)
+        return r.select("doc_id", "redacted", "n_email", "n_ipv4", "n_hexkey")
+
     # Registration ORDER is deliberate: the r1 driver checked exactly the
     # first 50 dict entries, so the leading 50 are a representative
     # cross-section of every subsystem (fulltext core, query syntax +
@@ -1247,6 +1312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geo_in_rectangle_q=geo_in_rectangle_q,
         geo_distance_q=geo_distance_q,
         geo_in_circle_q=geo_in_circle_q,
+        sample_hash_q=sample_hash_q,
+        sample_strat_q=sample_strat_q,
+        sample_budget_q=sample_budget_q,
+        mix_weighted_q=mix_weighted_q,
+        redact_q=redact_q,
         # digest-replay / modular-arithmetic-replay oracles
         audio_features=audio_features,
         video_frames=video_frames,
@@ -2034,6 +2104,74 @@ SELECT doc_id,
         THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT
   AS fingerprint
 FROM u"""
+
+    # ---- sampling / mixing / scrubbing ops --------------------------------
+    # 60-bit md5 hash of an arbitrary SQL expression (ops/sampling._hash60)
+    def _h60(e: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr(md5({e}), {i + 1}, 1)) - 1)"
+                f"::BIGINT * {1 << (4 * (14 - i))}"
+                for i in range(15)
+            )
+            + ")"
+        )
+
+    _SPACE = float(1 << 60)
+
+    o["sample_hash_q"] = f"""SELECT doc_id, source FROM documents
+WHERE {_h60("('s1' || doc_id::VARCHAR)")} < {int(0.25 * _SPACE)}"""
+
+    o["sample_strat_q"] = f"""WITH h AS (SELECT source, doc_id,
+  {_h60("('s2' || doc_id::VARCHAR)")} AS hh FROM documents),
+r AS (SELECT source, doc_id,
+  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk FROM h)
+SELECT source, doc_id FROM r WHERE rk <= 7 ORDER BY source, doc_id"""
+
+    o["sample_budget_q"] = f"""WITH h AS (SELECT source, doc_id,
+  n_chars::BIGINT AS tok, {_h60("('s3' || doc_id::VARCHAR)")} AS hh
+  FROM documents),
+c AS (SELECT source, doc_id, tok,
+  coalesce(sum(tok) OVER (PARTITION BY source ORDER BY hh, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+  FROM h)
+SELECT source, doc_id, tok AS tokens, (prev + tok)::BIGINT AS cum_tokens
+FROM c WHERE prev < 5000 ORDER BY source, doc_id"""
+
+    o["mix_weighted_q"] = f"""WITH tot AS (
+  SELECT source, sum(n_chars)::BIGINT AS t FROM documents GROUP BY source),
+rates AS (SELECT source, least(1.0,
+  CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+              WHEN 'src2' THEN 0.2 ELSE 0.0 END * 40000 / t::DOUBLE) AS rate
+  FROM tot)
+SELECT d.source, d.doc_id, d.n_chars::BIGINT AS tokens,
+       round(rate, 6) AS rate
+FROM documents d JOIN rates USING (source)
+WHERE {_h60("('s4' || doc_id::VARCHAR)")} < floor(rate * {_SPACE!r})::BIGINT
+ORDER BY source, doc_id"""
+
+    # redact_q: plant the same deterministic PII, then replay the chained
+    # regexp_replace (the patterns use only the Java∩RE2-identical regex
+    # subset — see ops/redact.py)
+    _planted = (
+        "(text || ' contact user' || doc_id::VARCHAR || '@example.com"
+        " from 10.0.' || (doc_id % 256)::VARCHAR || '.7 token ' || md5(text))"
+    )
+    _re_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _re_ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    _re_hex = "\\b[0-9a-f]{32,}\\b"
+    o["redact_q"] = f"""WITH p AS (
+  SELECT doc_id, {_planted} AS t FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '{_re_email}', '<EMAIL>', 'g'),
+    '{_re_ip}', '<IP>', 'g'),
+    '{_re_hex}', '<KEY>', 'g') AS redacted,
+  len(regexp_extract_all(t, '{_re_email}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '{_re_ip}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t, '{_re_hex}'))::BIGINT AS n_hexkey
+FROM p"""
 
     # ann_lsh_topk, lsh_neardup_q, ivf_topk_q, bpe_*: engine-specific
     # (seeded hyperplanes / Lloyd-refined IVF cells / iterative merges)
