@@ -686,22 +686,39 @@ def build_index(
     single = len(text_cols) == 1
     heavy = None
     if single and cache_tf:
-        # Fused single-section build: ONE aggregation pass over tf serves
-        # the dictionary (count(*) == df with one section), the section
-        # token total (Σcf — no separate groupBy(sid) job), and the heavy
-        # set (a filter over the cached dictionary — no separate
-        # groupBy(term) job).  Cuts the blocking path from three full tf
-        # scans to one before the encode exchange.
-        dictionary = make_dictionary(tf, single_section=True).persist()
-        tot = dictionary.agg(F.sum("cf").alias("t")).collect()[0]["t"]
+        # Fused single-section build: ONE aggregation job over tf yields
+        # BOTH the section token total (Σcf — no separate groupBy(sid)
+        # stats job) and the heavy-term set for salting.  collect_list
+        # skips the when()-nulls, and the heavy set is mathematically
+        # bounded by total_postings / postings_per_bucket (a term is heavy
+        # only past that df), so the collect is a few-thousand-row driver
+        # transfer at worst.  The dictionary frame itself stays LAZY — an
+        # earlier revision persisted it here and the cache insert competed
+        # with the tf cache for memory on the blocking path (measured
+        # slower at 1M docs); consumers that need it materialized
+        # (query-engine persist, checkpoint) do so themselves.
+        agg = tf.groupBy("term").agg(
+            F.count("*").cast("long").alias("hdf"),
+            F.sum("tf").cast("long").alias("hcf"),
+        )
+        row = agg.agg(
+            F.sum("hcf").alias("tot"),
+            F.collect_list(
+                F.when(
+                    F.col("hdf") > postings_per_bucket,
+                    F.struct(F.col("term"), F.col("hdf").alias("_heavy_df")),
+                )
+            ).alias("hv"),
+        ).collect()[0]
         stats = IndexStats(
             n_docs=int(df.count()),
-            section_tokens={1: int(tot or 0)},
+            section_tokens={1: int(row["tot"] or 0)},
             sections={1: text_cols[0]},
         )
-        heavy = dictionary.filter(F.col("df") > postings_per_bucket).select(
-            "term", F.col("df").alias("_heavy_df")
+        heavy = df.sparkSession.createDataFrame(
+            row["hv"] or [], "term string, _heavy_df long"
         )
+        dictionary = make_dictionary(tf, single_section=True)
     else:
         stats = collect_stats(df, doclens, text_cols, tf=tf if cache_tf else None)
         dictionary = make_dictionary(tf)
