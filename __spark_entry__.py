@@ -1132,7 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- sampling / mixing / scrubbing pipeline ops -----------------------
     def sample_hash_q(spark, sf):
-        # deterministic Bernoulli sample — pure pushdown-eligible filter
+        # deterministic Bernoulli sample — pure map-side codegen filter
         from groonga_spark.ops.sampling import hash_sample
 
         docs = _read(spark, sf, "documents")
@@ -1322,11 +1322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         video_frames=video_frames,
         image_features=image_features,
         fingerprint_q=fingerprint_q,
+        # hyperplane-literal-replay oracles (lsh_planes embedded in SQL)
+        ann_lsh_topk=ann_lsh_topk,
+        lsh_neardup_q=lsh_neardup_q,
         # ---- rows-only (engine-specific; no reasonable SQL oracle) ----
         bpe_train_q=bpe_train_q,
         bpe_encode_q=bpe_encode_q,
-        ann_lsh_topk=ann_lsh_topk,
-        lsh_neardup_q=lsh_neardup_q,
         ivf_topk_q=ivf_topk_q,
     )
     return q
@@ -2173,7 +2174,56 @@ SELECT doc_id,
   len(regexp_extract_all(t, '{_re_hex}'))::BIGINT AS n_hexkey
 FROM p"""
 
-    # ann_lsh_topk, lsh_neardup_q, ivf_topk_q, bpe_*: engine-specific
-    # (seeded hyperplanes / Lloyd-refined IVF cells / iterative merges)
-    # → rows-only check.
+    # ---- LSH similarity (hyperplane-literal replay) -----------------------
+    # The signature UDF accumulates dot-product dimensions in ascending
+    # order (ops/similarity.lsh_signatures), so DuckDB can replay every
+    # sign bit by embedding the exact plane coefficients as literals.
+    from groonga_spark.ops.similarity import lsh_planes
+
+    def _lsh_sig(n_planes: int, seed: int) -> tuple[str, str]:
+        P = lsh_planes(64, n_planes, seed)
+        dots = ",\n  ".join(
+            "list_aggregate(list_transform(range(1, 65), i ->"
+            " embedding[i]::DOUBLE * (["
+            + ",".join(repr(float(P[d][j])) for d in range(64))
+            + f"])[i]), 'sum') AS d{j}"
+            for j in range(n_planes)
+        )
+        sig = " + ".join(
+            f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        return dots, sig
+
+    _COS64 = (
+        "list_aggregate(list_transform(range(1, 65), i ->"
+        " {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+        " / (sqrt(list_aggregate(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+        " * sqrt(list_aggregate(list_transform({b}, x -> x::DOUBLE * x::DOUBLE), 'sum')))"
+    )
+
+    _d12, _s12 = _lsh_sig(12, 42)
+    o["ann_lsh_topk"] = f"""WITH s AS (
+  SELECT vec_id, embedding, ({_s12})::BIGINT AS sig FROM (
+    SELECT vec_id, embedding, {_d12} FROM embeddings)),
+q AS (SELECT sig AS qsig, embedding AS qv FROM s WHERE vec_id = 0),
+c AS (SELECT s.vec_id,
+  {_COS64.format(a='s.embedding', b='q.qv')} AS cos
+  FROM s CROSS JOIN q
+  WHERE bit_count(xor(s.sig, q.qsig)) <= 2 AND s.vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cosine FROM c
+ORDER BY cos DESC, vec_id LIMIT 20"""
+
+    _d8, _s8 = _lsh_sig(8, 42)
+    o["lsh_neardup_q"] = f"""WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+s AS (SELECT vec_id, embedding, ({_s8})::BIGINT AS sig FROM (
+    SELECT vec_id, embedding, {_d8} FROM e)),
+c AS (SELECT x.vec_id AS a, y.vec_id AS b,
+  {_COS64.format(a='x.embedding', b='y.embedding')} AS cos
+  FROM s x JOIN s y ON x.sig = y.sig AND x.vec_id < y.vec_id)
+SELECT a, b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.3"""
+
+    # ivf_topk_q, bpe_*: engine-specific (Lloyd-refined IVF cells /
+    # iterative merges) → rows-only check.
     return o

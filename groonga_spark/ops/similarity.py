@@ -201,6 +201,14 @@ def ivf_topk(
     )
 
 
+def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> "np.ndarray":
+    """The (dim, n_planes) hyperplane matrix used by :func:`lsh_signatures`
+    — exposed so oracles can embed the exact coefficients as SQL literals
+    and replay the signatures engine-independently."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
 def lsh_signatures(
     df: DataFrame,
     n_planes: int = 16,
@@ -211,16 +219,21 @@ def lsh_signatures(
 ) -> DataFrame:
     """(id, sig) — random-hyperplane signature (sign bits of plane dots),
     planes drawn from a seeded RNG so the index is reproducible.  Vectorized
-    pandas UDF: one matmul per Arrow batch."""
+    pandas UDF; the dot product accumulates dimensions in ascending order
+    (still one fused vector op per dim across the whole Arrow batch) so the
+    float64 result — and therefore every sign bit — is bit-identical to a
+    sequential left-to-right SQL ``list_sum`` replay."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = lsh_planes(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def sig_udf(vs: pd.Series) -> pd.Series:
         m = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
-        bits = (m @ planes) > 0  # (batch, n_planes)
+        dots = np.zeros((len(vs), n_planes))
+        for d in range(dim):  # pinned summation order (oracle-replayable)
+            dots += m[:, d : d + 1] * planes[d]
+        bits = dots > 0
         out = np.zeros(len(vs), dtype=np.int64)
         for j in range(n_planes):
             out |= bits[:, j].astype(np.int64) << j

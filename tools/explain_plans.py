@@ -150,6 +150,29 @@ def main() -> None:
         + "```\n"
     )
 
+    out.append("## Mixture sampling (mix_weighted_q)\n")
+    out.append(
+        "Check: the per-group rates frame (|groups| rows) comes back via "
+        "`BroadcastHashJoin` and the keep decision is a pure codegen "
+        "filter on the scan side — the corpus data itself is never "
+        "shuffled; one map pass regardless of corpus size.\n"
+    )
+    out.append(
+        "```\n" + grab(entry.queries()["mix_weighted_q"](spark, sf)) + "```\n"
+    )
+
+    out.append("## Exact stratified sample (sample_strat_q)\n")
+    out.append(
+        "Check: the oversample prefilter (`_h < _thr` after the broadcast "
+        "threshold join) cuts each group to ~O(n) rows BEFORE the "
+        "row_number window — the per-group sort never sees a heavy "
+        "group's full membership; the fallback branch joins against the "
+        "(normally empty) under-sampled-group list.\n"
+    )
+    out.append(
+        "```\n" + grab(entry.queries()["sample_strat_q"](spark, sf)) + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
