@@ -12,9 +12,10 @@ Every operator here keys randomness off ``md5(seed || id)`` truncated to
 
 Scale notes per operator:
 
-* ``hash_sample`` — a pure Column filter (no shuffle, no state); the
-  predicate is pushdown-eligible, so at 100 TB the scan itself skips
-  row groups where a min/max on the id column allows it.
+* ``hash_sample`` — a pure Column filter (no shuffle, no state),
+  evaluated map-side inside whole-stage codegen; a hash is uniform by
+  construction, so no row-group statistics can skip data — the cost is
+  exactly one scan, which is the floor for any exact sample.
 * ``stratified_sample`` (exact n per group) — avoids sorting whole
   groups: an oversampled hash-threshold prefilter (E[survivors] =
   ``oversample * n``) cuts each group to ~O(n) rows BEFORE the
