@@ -64,6 +64,9 @@ HEADLINE = [
     "cosine_topk_q",
     "token_counts_q",
     "quality_q",
+    "sample_strat_q",
+    "mix_weighted_q",
+    "redact_q",
 ]
 
 
