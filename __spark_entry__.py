@@ -1195,6 +1195,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = redact_pii(planted)
         return r.select("doc_id", "redacted", "n_email", "n_ipv4", "n_hexkey")
 
+    def chunk_q(spark, sf):
+        # overlapping token-window chunking — map-side explode, no shuffle
+        from groonga_spark.ops.chunking import chunk_documents
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        return chunk_documents(docs, max_tokens=32, overlap=8)
+
+    def pack_q(spark, sf):
+        # deterministic sequence packing of those chunks into 64-token
+        # bins across 4 hash-sharded streams
+        from groonga_spark.ops.chunking import chunk_documents, pack_chunks
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        ch = chunk_documents(docs, max_tokens=32, overlap=8)
+        return pack_chunks(ch, budget=64, n_streams=4).orderBy(
+            "stream", "bin_id", "offset", "doc_id"
+        )
+
     # Registration ORDER is deliberate: the r1 driver checked exactly the
     # first 50 dict entries, so the leading 50 are a representative
     # cross-section of every subsystem (fulltext core, query syntax +
@@ -1317,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_budget_q=sample_budget_q,
         mix_weighted_q=mix_weighted_q,
         redact_q=redact_q,
+        chunk_q=chunk_q,
+        pack_q=pack_q,
         # digest-replay / modular-arithmetic-replay oracles
         audio_features=audio_features,
         video_frames=video_frames,
@@ -2173,6 +2193,37 @@ SELECT doc_id,
   len(regexp_extract_all(t, '{_re_ip}'))::BIGINT AS n_ipv4,
   len(regexp_extract_all(t, '{_re_hex}'))::BIGINT AS n_hexkey
 FROM p"""
+
+    # ---- chunking / sequence packing --------------------------------------
+    # chunk_documents(max_tokens=32, overlap=8) → stride 24
+    _CHUNKS = """WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE doc_id < 200),
+b AS (SELECT doc_id, a, len(a) AS n,
+  CASE WHEN len(a) <= 32 THEN 1
+       ELSE 1 + (len(a) - 32 + 23) // 24 END AS nc FROM d),
+c AS (SELECT doc_id, unnest(range(0, nc)) AS ck, a, n FROM b),
+chunks AS (SELECT doc_id, ck::BIGINT AS chunk_no,
+  least(32, n - ck * 24)::BIGINT AS n_tokens,
+  array_to_string(list_slice(a, ck * 24 + 1, ck * 24 + 32), ' ') AS chunk
+  FROM c)"""
+
+    o["chunk_q"] = _CHUNKS + "\nSELECT doc_id, chunk_no, n_tokens, chunk FROM chunks"
+
+    _PH = _h60("(doc_id::VARCHAR || ':' || chunk_no::VARCHAR)")
+    o["pack_q"] = (
+        _CHUNKS
+        + f""",
+h AS (SELECT doc_id, chunk_no, n_tokens, {_PH} AS hh FROM chunks),
+s AS (SELECT *, hh % 4 AS stream FROM h),
+p AS (SELECT doc_id, chunk_no, n_tokens, stream,
+  coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY hh, doc_id, chunk_no
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+  FROM s)
+SELECT doc_id, chunk_no, n_tokens, stream::BIGINT AS stream,
+  (prev // 64)::BIGINT AS bin_id, (prev % 64)::BIGINT AS "offset"
+FROM p ORDER BY stream, bin_id, "offset", doc_id"""
+    )
 
     # ---- LSH similarity (hyperplane-literal replay) -----------------------
     # The signature UDF accumulates dot-product dimensions in ascending
