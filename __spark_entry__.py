@@ -78,6 +78,43 @@ def _engine3(spark: SparkSession, sf_dir: str):
     return _ENGINES[key]
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Persisted IVF index over embeddings — built once per sf (the
+    build/query split: centroids + assignment partitioned by _cell on
+    disk; queries only probe).  refine_iters=0 (centroids = first 16
+    vectors verbatim) + pinned cosines so the SQL oracle rebuilds the
+    identical index from the base table."""
+    import os
+
+    from groonga_spark.ops.similarity import build_ivf_index
+
+    key = sf_dir + "#ivf"
+    if key not in _ENGINES:
+        path = f"/tmp/gs_ivf/{os.path.basename(sf_dir.rstrip('/'))}"
+        emb = _read(spark, sf_dir, "embeddings")
+        _ENGINES[key] = build_ivf_index(
+            emb, path=path, n_cells=16, refine_iters=0, pinned=True
+        )
+    return _ENGINES[key]
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str):
+    """Persisted LSH signature index over embeddings — (id, vec, sig)
+    partitioned by the top 6 signature bits; probes prune partitions."""
+    import os
+
+    from groonga_spark.ops.similarity import build_lsh_index
+
+    key = sf_dir + "#lsh"
+    if key not in _ENGINES:
+        path = f"/tmp/gs_lsh/{os.path.basename(sf_dir.rstrip('/'))}"
+        emb = _read(spark, sf_dir, "embeddings")
+        _ENGINES[key] = build_lsh_index(
+            emb, path=path, n_planes=12, seed=42, pinned=True, prefix_bits=6
+        )
+    return _ENGINES[key]
+
+
 def _topk(eng, query: str, k: int = 10) -> DataFrame:
     res = eng.select(query, k=k, escalate=False)
     return res.select("doc_id", F.round("score", 4).alias("score"))
@@ -1023,10 +1060,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy(F.desc("cosine"), F.asc("vec_id"))
 
     def ann_lsh_topk(spark, sf):
+        # multi-probe LSH: the Hamming-ball probe signatures are
+        # enumerated driver-side and equi-joined (no full signature
+        # scan); pinned=True pins dot summation order for the oracle
         from groonga_spark.ops.similarity import lsh_ann_topk
 
         emb = _read(spark, sf, "embeddings")
-        res = lsh_ann_topk(emb, query_vec_id=0, k=20, n_planes=12, seed=42)
+        res = lsh_ann_topk(emb, query_vec_id=0, k=20, n_planes=12, seed=42, pinned=True)
+        return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    def lsh_probe_q(spark, sf):
+        # probe-only query against the PERSISTED LshIndex (partitioned by
+        # sig prefix — partition-pruned probe, build/query split)
+        idx = _lsh_index(spark, sf)
+        qv = (
+            _read(spark, sf, "embeddings")
+            .filter(F.col("vec_id") == 7)
+            .select("embedding")
+            .collect()[0][0]
+        )
+        from groonga_spark.ops.similarity import lsh_probe_topk
+
+        res = lsh_probe_topk(idx, qv, k=15, max_probe_hamming=2, exclude_id=7)
         return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     def cosine_neardup(spark, sf):
@@ -1040,14 +1095,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from groonga_spark.ops.similarity import lsh_neardup_pairs
 
         emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
-        p = lsh_neardup_pairs(emb, threshold=0.3, n_planes=8, seed=42)
+        p = lsh_neardup_pairs(emb, threshold=0.3, n_planes=8, seed=42, pinned=True)
         return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
     def ivf_topk_q(spark, sf):
-        from groonga_spark.ops.similarity import ivf_topk
+        # build/query split: the IVF index (centroids + cell-partitioned
+        # assignment) is built ONCE per sf and persisted; this query only
+        # probes its 4 nearest cells (partition-pruned scan) and
+        # exact-cosine re-ranks inside them.  refine_iters=0 + pinned=True
+        # make every float SQL-replayable, so the entry is fully oracled.
+        from groonga_spark.ops.similarity import ivf_probe_topk
 
-        emb = _read(spark, sf, "embeddings")
-        res = ivf_topk(emb, query_vec_id=0, k=20, n_cells=16, n_probe=4)
+        idx = _ivf_index(spark, sf)
+        qv = (
+            _read(spark, sf, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        )
+        res = ivf_probe_topk(idx, qv, k=20, n_probe=4, exclude_id=0)
         return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     # ---- text analysis ------------------------------------------------------
@@ -1345,10 +1411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hyperplane-literal-replay oracles (lsh_planes embedded in SQL)
         ann_lsh_topk=ann_lsh_topk,
         lsh_neardup_q=lsh_neardup_q,
+        lsh_probe_q=lsh_probe_q,
+        # base-table-replay oracle (centroids = first-16 vectors verbatim)
+        ivf_topk_q=ivf_topk_q,
         # ---- rows-only (engine-specific; no reasonable SQL oracle) ----
         bpe_train_q=bpe_train_q,
         bpe_encode_q=bpe_encode_q,
-        ivf_topk_q=ivf_topk_q,
     )
     return q
 
@@ -2275,6 +2343,43 @@ c AS (SELECT x.vec_id AS a, y.vec_id AS b,
   FROM s x JOIN s y ON x.sig = y.sig AND x.vec_id < y.vec_id)
 SELECT a, b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.3"""
 
-    # ivf_topk_q, bpe_*: engine-specific (Lloyd-refined IVF cells /
-    # iterative merges) → rows-only check.
+    # lsh_probe_q: probe-only query against the persisted LshIndex —
+    # candidate set (Hamming ball, radius 2) is identical to the full
+    # bit_count(xor) filter, so the oracle replays it that way.
+    o["lsh_probe_q"] = f"""WITH s AS (
+  SELECT vec_id, embedding, ({_s12})::BIGINT AS sig FROM (
+    SELECT vec_id, embedding, {_d12} FROM embeddings)),
+q AS (SELECT sig AS qsig, embedding AS qv FROM s WHERE vec_id = 7),
+c AS (SELECT s.vec_id,
+  {_COS64.format(a='s.embedding', b='q.qv')} AS cos
+  FROM s CROSS JOIN q
+  WHERE bit_count(xor(s.sig, q.qsig)) <= 2 AND s.vec_id <> 7)
+SELECT vec_id, round(cos, 6) AS cosine FROM c
+ORDER BY cos DESC, vec_id LIMIT 15"""
+
+    # ivf_topk_q: the oracle rebuilds the IDENTICAL index from the base
+    # table alone — centroids are the first 16 vectors verbatim
+    # (refine_iters=0), every cosine is a sequential left-to-right sum on
+    # both sides (pinned=True ↔ list_aggregate 'sum'), assignment
+    # tie-break = lowest cell (np.argmax first-max ↔ ORDER BY cos DESC,
+    # cell), probe tie-break likewise.
+    _CC = _COS64.format(a="e.embedding", b="c.cv")
+    _CQ = _COS64.format(a="c.cv", b="q.qv")
+    _CE = _COS64.format(a="cand.embedding", b="q.qv")
+    o["ivf_topk_q"] = f"""WITH c AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+x AS (SELECT e.vec_id, e.embedding, c.cell, {_CC} AS cos
+  FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, embedding, cell,
+  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+  FROM x),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pc AS (SELECT c.cell FROM c CROSS JOIN q ORDER BY {_CQ} DESC, c.cell LIMIT 4),
+cand AS (SELECT a.vec_id, a.embedding FROM a
+  WHERE a.rn = 1 AND a.vec_id <> 0 AND a.cell IN (SELECT cell FROM pc))
+SELECT vec_id, round({_CE}, 6) AS cosine
+FROM cand CROSS JOIN q
+ORDER BY {_CE} DESC, vec_id LIMIT 20"""
+
+    # bpe_*: engine-specific (iterative merges) → rows-only check.
     return o

@@ -715,6 +715,26 @@ def build_index(
             section_tokens={1: int(row["tot"] or 0)},
             sections={1: text_cols[0]},
         )
+        # Guardrail: the heavy set is bounded by total_postings /
+        # postings_per_bucket, so a large collect means postings_per_bucket
+        # is misconfigured for this corpus — fail loudly before the
+        # broadcast instead of silently straining the driver.
+        n_heavy = len(row["hv"] or [])
+        if n_heavy > 1_000_000:
+            raise ValueError(
+                f"heavy-term set has {n_heavy} entries (> 1M): "
+                f"postings_per_bucket={postings_per_bucket} is too small for "
+                "this corpus — raise it so the salting metadata stays a "
+                "driver-sized broadcast"
+            )
+        if n_heavy > 100_000:
+            import warnings
+
+            warnings.warn(
+                f"heavy-term set has {n_heavy} entries; consider raising "
+                f"postings_per_bucket (={postings_per_bucket})",
+                stacklevel=2,
+            )
         heavy = df.sparkSession.createDataFrame(
             row["hv"] or [], "term string, _heavy_df long"
         )

@@ -45,12 +45,14 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    w = f"split({text_col}, ' ')"
+    w = f"split(`{text_col}`, ' ')"
     n = f"size({w})"
-    # integer ceil((n - max_tokens)/stride) + 1, clamped to >= 1
+    # integer ceil((n - max_tokens)/stride) + 1, clamped to >= 1 — DIV is
+    # SQL integer division, so no double-rounding divergence from the
+    # oracle's `//` at any token count
     n_chunks = (
         f"IF({n} <= {max_tokens}, 1,"
-        f" 1 + CAST(({n} - {max_tokens} + {stride - 1}) / {stride} AS INT))"
+        f" 1 + (({n} - {max_tokens} + {stride - 1}) DIV {stride}))"
     )
     chunk_struct = (
         f"transform(sequence(0, {n_chunks} - 1), c -> named_struct("
@@ -111,7 +113,7 @@ def pack_chunks(
             chunk_col,
             F.col(tokens_col),
             F.col("_s").alias("stream"),
-            (F.col("_prev") / budget).cast("long").alias("bin_id"),
+            F.expr(f"_prev DIV {int(budget)}").alias("bin_id"),
             F.pmod(F.col("_prev"), F.lit(budget)).cast("long").alias("offset"),
         )
     )

@@ -26,10 +26,13 @@ Scale notes per operator:
   Groonga's partial qsort (db.c:10184-10240): rank only the window you
   will keep.
 * ``token_budget_sample`` — a per-group running-total window in hash
-  order; the shuffle is one hash-partition per group key and the same
-  oversample prefilter applies when ``budget / avg_tokens_per_doc``
-  bounds the kept count (left as the plain window here: the budget is a
-  token count, so the kept prefix is usually the scale-bounded side).
+  order, but the window never sees a whole heavy group: because the
+  hash-threshold prefilter keeps an exact *prefix* of the (hash, id)
+  order, running totals over survivors equal running totals over the
+  full group, so the quota boundary is found inside a pool of
+  E[oversample · budget] tokens per group.  A per-group verification
+  (survivor tokens ≥ budget, or the whole group survived) guarantees
+  exactness; only failing groups fall back to the full window.
 * ``weighted_mix`` — one tiny per-group aggregate (collected: one row
   per group) sets each group's keep-rate; the filter itself is again a
   pure Column predicate.  No shuffle of the data at all.
@@ -117,6 +120,59 @@ def stratified_sample(
     )
 
 
+def _budget_pool(
+    hashed: DataFrame,
+    budget: int,
+    group_col: str,
+    id_col: str,
+    oversample: float,
+) -> DataFrame:
+    """The bounded pool the quota-fill window runs over: a hash-threshold
+    prefilter keeping E[oversample · budget] tokens per group, with a
+    verified full-group fallback.
+
+    Why this is exact: the prefilter ``_h < thr`` keeps a *prefix* of the
+    (``_h``, id) order (the filter depends only on ``_h``, and all rows at
+    equal ``_h`` are kept or dropped together), so every survivor's running
+    total over the pool equals its running total over the full group.  Any
+    row beyond the prefix has a running total ≥ the survivors' token sum,
+    so whenever that sum ≥ budget (or the prefix is the whole group) the
+    quota boundary provably lies inside the pool.  Groups failing that
+    check — vanishingly rare at the default oversample — are re-pooled in
+    full."""
+    tot = hashed.groupBy(group_col).agg(
+        F.count("*").alias("_g"), F.sum("_tok").alias("_gt")
+    )
+    thr = tot.select(
+        group_col,
+        F.least(
+            F.lit(float(_HASH_SPACE)),
+            F.lit(oversample * budget)
+            / F.greatest(F.col("_gt").cast("double"), F.lit(1.0))
+            * _HASH_SPACE,
+        ).alias("_thr"),
+        "_g",
+    )
+    surv = (
+        hashed.join(F.broadcast(thr), group_col)
+        .filter(F.col("_h") < F.col("_thr"))
+        .select(group_col, id_col, "_tok", "_h")
+    )
+    sc = tot.join(
+        surv.groupBy(group_col).agg(
+            F.count("*").alias("_s"), F.sum("_tok").alias("_st")
+        ),
+        group_col,
+        "left",
+    ).fillna(0, ["_s", "_st"])
+    bad = sc.filter((F.col("_s") < F.col("_g")) & (F.col("_st") < budget)).select(
+        group_col
+    )
+    full_bad = hashed.join(F.broadcast(bad), group_col, "left_semi")
+    ok = surv.join(F.broadcast(bad), group_col, "left_anti")
+    return ok.unionByName(full_bad)
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,
@@ -124,20 +180,24 @@ def token_budget_sample(
     group_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "",
+    oversample: float = 4.0,
 ) -> DataFrame:
     """Fill each group up to ``budget`` tokens: walk the group's docs in
     hash order and keep every doc that STARTS before the budget is spent
     (running total of previous docs < budget) — the standard quota-fill
-    whose output is a deterministic function of the doc set.  Returns
+    whose output is a deterministic function of the doc set.  The window
+    runs over the verified :func:`_budget_pool` prefix, never a whole
+    heavy group (see module docstring).  Returns
     (group, id, tokens, cum_tokens)."""
     h = _hash60(id_col, seed).alias("_h")
     hashed = df.select(group_col, id_col, F.col(token_col).cast("long").alias("_tok"), h)
+    pool = _budget_pool(hashed, budget, group_col, id_col, oversample)
     w = Window.partitionBy(group_col).orderBy("_h", id_col)
     prev = F.coalesce(
         F.sum("_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return (
-        hashed.withColumn("_prev", prev)
+        pool.withColumn("_prev", prev)
         .filter(F.col("_prev") < budget)
         .select(
             group_col,

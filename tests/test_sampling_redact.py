@@ -93,6 +93,84 @@ def test_token_budget_boundary(docs):
             assert rs[-1].cum_tokens >= 50
 
 
+def _plain_budget(df, budget, seed):
+    """Reference: the pre-r3 implementation — running-total window over
+    the FULL group (what the oracle SQL does)."""
+    from pyspark.sql import Window
+
+    from groonga_spark.ops.sampling import _hash60
+
+    h = _hash60("doc_id", seed).alias("_h")
+    hashed = df.select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("_tok"), h
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    prev = F.coalesce(
+        F.sum("_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        hashed.withColumn("_prev", prev)
+        .filter(F.col("_prev") < budget)
+        .select(
+            "source",
+            "doc_id",
+            F.col("_tok").alias("tokens"),
+            (F.col("_prev") + F.col("_tok")).alias("cum_tokens"),
+        )
+    )
+
+
+def test_token_budget_pool_bounded_on_dominant_group(spark):
+    # one dominant source (20k docs) — the window input must be the
+    # oversampled pool (~oversample·budget tokens), never the whole group
+    rows = [(i, "big", 10) for i in range(20000)] + [
+        (100000 + i, "small", 30) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from groonga_spark.ops.sampling import _budget_pool, _hash60
+
+    hashed = df.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("_tok"),
+        _hash60("doc_id", "sk").alias("_h"),
+    )
+    pool = _budget_pool(hashed, 100, "source", "doc_id", 4.0)
+    counts = {
+        r["source"]: r["n"]
+        for r in pool.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # E[pool tokens] = 4·budget = 400 → ~40 docs of 10 tokens; assert a
+    # generous bound far below the 20k-group size
+    assert counts["big"] < 500
+    # exactness vs the full-window reference
+    got = {tuple(r) for r in token_budget_sample(df, 100, group_col="source", seed="sk").collect()}
+    want = {tuple(r) for r in _plain_budget(df, 100, "sk").collect()}
+    assert got == want
+
+
+def test_token_budget_fallback_path_is_exact(docs):
+    # oversample≈0 under-keeps every group → all groups take the verified
+    # full fallback; result must still equal the full-window reference
+    got = {
+        tuple(r)
+        for r in token_budget_sample(
+            docs, 50, group_col="source", seed="z", oversample=1e-12
+        ).collect()
+    }
+    want = {tuple(r) for r in _plain_budget(docs, 50, "z").collect()}
+    assert got == want
+
+
+def test_token_budget_matches_plain_window(docs):
+    got = {
+        tuple(r)
+        for r in token_budget_sample(docs, 50, group_col="source", seed="z").collect()
+    }
+    want = {tuple(r) for r in _plain_budget(docs, 50, "z").collect()}
+    assert got == want
+
+
 def test_weighted_mix_rates(docs):
     out = weighted_mix(
         docs, weights={"g0": 1.0}, total_tokens=10**9, group_col="source"
