@@ -1031,6 +1031,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("source")
         )
 
+    def dedup_index_q(spark, sf):
+        # persisted near-dup index (band table partitioned by band +
+        # shingle-hash table): built ONCE per sf over doc_id < 300, then
+        # the 300-599 delta is deduped AGAINST the index — no
+        # recomputation for the indexed corpus (the dedup analogue of the
+        # posting index's build/query split)
+        import os
+
+        from groonga_spark.ops.dedup import dedup_against_index, write_dedup_index
+
+        key = sf + "#dedup_idx"
+        if key not in _ENGINES:
+            path = f"/tmp/gs_dedup/{os.path.basename(sf.rstrip('/'))}"
+            base = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+            _ENGINES[key] = write_dedup_index(base, path, n_bands=4, r=2)
+        idx = _ENGINES[key]
+        new = _read(spark, sf, "documents").filter(
+            (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+        )
+        kept = dedup_against_index(new, idx, threshold=0.5)
+        return kept.select("doc_id", "source")
+
     def bpe_train_q(spark, sf):
         # distributed BPE training on the distinct-word frequency table —
         # iterative (rows-only: no closed-form SQL), deterministic merges
@@ -1391,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid_trigram_q=langid_trigram_q,
         bpe_counts_q=bpe_counts_q,
         minhash_bands_q=minhash_bands_q,
+        dedup_index_q=dedup_index_q,
         multimodal_meta=multimodal_meta,
         table_tokenize_cmd=table_tokenize_cmd,
         geo_in_rectangle_q=geo_in_rectangle_q,
@@ -1929,14 +1952,18 @@ WHERE term NOT IN ({_stop2}) GROUP BY doc_id, term"""
     # shingle, h_i = h1 + i*h2 from the 60-bit md5 halves, r=2 rows/band
     _h1 = "('0x' || substr(md5(s), 1, 15))::BIGINT"
     _h2 = "('0x' || substr(md5(s), 17, 15))::BIGINT"
-    _bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"list_aggregate(list_transform(shingles, s -> {_h1} + {b * 2} * {_h2}), 'min')::VARCHAR"
-        f" || '|' || "
-        f"list_aggregate(list_transform(shingles, s -> {_h1} + {b * 2 + 1} * {_h2}), 'min')::VARCHAR"
-        f" AS minhash FROM sh WHERE len(shingles) > 0"
-        for b in range(4)
-    )
+
+    def _bands_from(tbl: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"list_aggregate(list_transform(shingles, s -> {_h1} + {b * 2} * {_h2}), 'min')::VARCHAR"
+            f" || '|' || "
+            f"list_aggregate(list_transform(shingles, s -> {_h1} + {b * 2 + 1} * {_h2}), 'min')::VARCHAR"
+            f" AS minhash FROM {tbl} WHERE len(shingles) > 0"
+            for b in range(4)
+        )
+
+    _bands = _bands_from("sh")
     o["minhash_bands_q"] = f"""WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
 {_bands}"""
 
@@ -1945,6 +1972,34 @@ mb AS ({_bands})
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM mb x JOIN mb y ON x.band = y.band AND x.minhash = y.minhash
 WHERE x.doc_id < y.doc_id"""
+
+    # persisted-dedup-index probe: the oracle replays BOTH sides from the
+    # base table (index side = doc_id < 300, delta = 300-599), bands via
+    # the same double-hash fragment, verify = exact Jaccard on the 60-bit
+    # shingle hashes (identical md5 math on both engines)
+    o["dedup_index_q"] = f"""WITH idx AS (SELECT * FROM documents WHERE doc_id < 300),
+new AS (SELECT * FROM documents WHERE doc_id >= 300 AND doc_id < 600),
+shi AS (SELECT doc_id, {_SHINGLES} AS shingles FROM idx),
+shn AS (SELECT doc_id, {_SHINGLES} AS shingles FROM new),
+mbi AS ({_bands_from("shi")}),
+mbn AS ({_bands_from("shn")}),
+cand AS (SELECT DISTINCT i.doc_id AS a, n.doc_id AS b
+         FROM mbn n JOIN mbi i ON n.band = i.band AND n.minhash = i.minhash
+         WHERE i.doc_id <> n.doc_id),
+hdi AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM shi)),
+hdn AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM shn)),
+sza AS (SELECT doc_id, count(*)::BIGINT AS sz FROM hdi GROUP BY doc_id),
+szb AS (SELECT doc_id, count(*)::BIGINT AS sz FROM hdn GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(*)::BIGINT AS i
+          FROM cand c JOIN hdi x ON c.a = x.doc_id
+          JOIN hdn y ON c.b = y.doc_id AND x.sh = y.sh GROUP BY c.a, c.b),
+ver AS (SELECT inter.b FROM inter
+        JOIN sza ON inter.a = sza.doc_id
+        JOIN szb ON inter.b = szb.doc_id
+        WHERE i::DOUBLE / (sza.sz + szb.sz - i) >= 0.5)
+SELECT doc_id, source FROM new WHERE doc_id NOT IN (SELECT b FROM ver)"""
 
     o["simhash_q"] = f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -2125,14 +2180,26 @@ FROM s"""
             f"[{lit}]))::BIGINT"
         )
 
+    # pred replay: "first lang >= all later langs" is equivalent to
+    # argmax-with-earliest-tie (the Spark greatest-struct form)
+    from groonga_spark.ops.textstats import LANGID_LANGS
+
+    _langs = list(LANGID_LANGS)
+    _score_cols = ",\n  ".join(
+        f"{_score_sql(l)} AS s_{l}" for l in _langs
+    )
+    _pred_cases = "\n".join(
+        "WHEN "
+        + " AND ".join(f"s_{l} >= s_{m}" for m in _langs[i + 1 :])
+        + f" THEN '{l}'"
+        for i, l in enumerate(_langs[:-1])
+    )
     o["langid_trigram_q"] = f"""WITH s AS (SELECT doc_id,
-  {_score_sql('en')} AS s_en, {_score_sql('fr')} AS s_fr,
-  {_score_sql('de')} AS s_de, {_score_sql('es')} AS s_es
+  {_score_cols}
 FROM documents)
-SELECT doc_id, s_en, s_fr, s_de, s_es,
-CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-     WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred
+SELECT doc_id, {', '.join('s_' + l for l in _langs)},
+CASE {_pred_cases}
+     ELSE '{_langs[-1]}' END AS pred
 FROM s"""
 
     o["multimodal_meta"] = """SELECT doc_id AS media_id, 'image' AS kind,

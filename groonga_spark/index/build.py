@@ -50,7 +50,7 @@ from pyspark.sql.types import (
 )
 
 from .. import encoding, scoring
-from ..tokenize import tokenize_batch
+from ..tokenize import resolve_tokenizer, tokenize_batch
 
 BLOCK_SIZE = encoding.UNIT_SIZE  # 128 postings per block (ii.c:451)
 DEFAULT_POSTINGS_PER_BUCKET = 65536
@@ -180,6 +180,7 @@ def _tokenize_udf(mode: str, token_filters: tuple = ()):
         ]
     )
     do_stem = "stem" in token_filters
+    mode = resolve_tokenizer(mode)  # plugin callables ship in the closure
 
     def fn(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         from ..stem import stem_terms
@@ -470,6 +471,7 @@ def tf_stage(
     regardless of parallelism.)  ``doclens`` derives from tf with one
     narrow-column exchange."""
     do_stem = "stem" in token_filters
+    tokenizer = resolve_tokenizer(tokenizer)  # plugin callables ship in closure
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

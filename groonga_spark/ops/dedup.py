@@ -195,6 +195,137 @@ def ngram_jaccard_pairs(
     return _jaccard_on_pairs(sh, sizes, cand).filter(F.col("jaccard") >= threshold)
 
 
+def _shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh) — the DISTINCT 60-bit shingle hashes of each doc (the same
+    ``h1`` half ``minhash_bands`` derives its band hashes from, so index
+    build and verify share one md5 per shingle).  Jaccard on these hashed
+    sets replays engine-independently; md5 collisions are negligible and,
+    because both engines hash identically, never cause a divergence."""
+    sh = word_shingles(spread(df), text_col, k).select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("s")
+    )
+    return sh.select(
+        "id",
+        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").alias("sh"),
+    ).distinct()
+
+
+class DedupIndex:
+    """A persisted near-dup index: the MinHash band table partitioned by
+    ``band`` (sorted by minhash within partitions → parquet min/max
+    pruning on the bucket join) plus the distinct shingle-hash table used
+    for exact-Jaccard verification — the dedup analogue of the posting
+    index (build once, probe per delta, append-only growth)."""
+
+    def __init__(self, bands, shingles, n_bands, k, r):
+        self.bands = bands
+        self.shingles = shingles
+        self.n_bands = n_bands
+        self.k = k
+        self.r = r
+
+
+def write_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    k: int = 3,
+    r: int = 2,
+    mode: str = "overwrite",
+) -> DedupIndex:
+    """Build (or ``mode='append'``: incrementally extend) the persisted
+    dedup index at ``path``.  Appending new docs writes only THEIR bands
+    and shingle hashes — the existing index files are untouched, so
+    ingest cost is proportional to the delta (grn_ii_update analogue)."""
+    spark = df.sparkSession
+    if mode == "append":
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        if (int(meta["n_bands"]), int(meta["k"]), int(meta["r"])) != (n_bands, k, r):
+            raise ValueError(
+                f"append with (n_bands={n_bands}, k={k}, r={r}) against an index "
+                f"built with ({meta['n_bands']}, {meta['k']}, {meta['r']})"
+            )
+    mb = minhash_bands(df, text_col, id_col, n_bands, k, r)
+    mb.select(F.col(id_col).alias("id"), "band", "minhash").sortWithinPartitions(
+        "minhash"
+    ).write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
+    _shingle_hashes(df, text_col, id_col, k).write.mode(mode).parquet(
+        f"{path}/shingles"
+    )
+    if mode != "append":
+        spark.createDataFrame(
+            [(int(n_bands), int(k), int(r))], "n_bands int, k int, r int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+    return load_dedup_index(spark, path)
+
+
+def load_dedup_index(spark, path: str) -> DedupIndex:
+    """Reopen a persisted dedup index."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return DedupIndex(
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles"),
+        int(meta["n_bands"]),
+        int(meta["k"]),
+        int(meta["r"]),
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DedupIndex,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop every new doc whose k-shingle Jaccard against ANY indexed doc
+    reaches ``threshold`` — without recomputing anything for the indexed
+    corpus.  Shape: the delta's bands equi-join the band table on
+    (band, minhash) — the only corpus-sized scan, band-partitioned and
+    minhash-sorted so it prunes; verification joins the delta's shingle
+    hashes against the stored ones for CANDIDATE ids only (semi-join
+    pruned).  Docs re-ingested under their indexed id are not their own
+    duplicates (id inequality)."""
+    nb = minhash_bands(new_docs, text_col, id_col, index.n_bands, index.k, index.r)
+    cand = (
+        nb.select(F.col(id_col).alias("b"), "band", "minhash")
+        .join(
+            index.bands.select(F.col("id").alias("a"), "band", "minhash"),
+            ["band", "minhash"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    new_sh = _shingle_hashes(new_docs, text_col, id_col, index.k)
+    idx_sh = index.shingles.join(
+        cand.select(F.col("a").alias("id")).distinct(), "id", "left_semi"
+    )
+    new_sizes = new_sh.groupBy("id").agg(F.count("*").alias("szb"))
+    idx_sizes = idx_sh.groupBy("id").agg(F.count("*").alias("sza"))
+    inter = (
+        cand.join(idx_sh.select(F.col("id").alias("a"), "sh"), "a")
+        .join(new_sh.select(F.col("id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    dropped = (
+        inter.join(idx_sizes.withColumnRenamed("id", "a"), "a")
+        .join(new_sizes.withColumnRenamed("id", "b"), "b")
+        .filter(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dropped, id_col, "left_anti")
+
+
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) — 16-bit SimHash over whitespace tokens, entirely
     JVM-side: each token's 16 hash bits come from the first 4 hex digits of

@@ -129,6 +129,8 @@ def lm_bigram_scores(
 # text categorization, profile = padded trigrams of high-frequency
 # function words — public linguistics knowledge, ASCII-only on purpose)
 _LANG_WORDS = {
+    # Cavnar & Trenkle (1994)-style profiles from public stopword lists;
+    # dict ORDER is the deterministic tie priority of langid_trigram
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with",
            "was", "on", "are", "this", "have", "not"],
     "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "est",
@@ -137,7 +139,17 @@ _LANG_WORDS = {
            "mit", "von", "den", "auf", "als", "sich", "dem"],
     "es": ["el", "los", "las", "de", "y", "en", "un", "una", "es", "que",
            "por", "con", "para", "no", "del"],
+    "it": ["il", "la", "le", "di", "che", "un", "una", "per", "con",
+           "non", "sono", "della", "nel", "gli", "anche"],
+    "pt": ["os", "as", "de", "que", "um", "uma", "para", "com", "por",
+           "dos", "mais", "como", "mas", "foi", "ele"],
+    "nl": ["de", "het", "een", "van", "dat", "is", "op", "niet", "met",
+           "voor", "zijn", "aan", "ook", "maar", "naar"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till",
+           "inte", "har", "om", "ett", "men", "var", "vid"],
 }
+
+LANGID_LANGS = tuple(_LANG_WORDS)
 
 
 def lang_profiles() -> dict[str, list[str]]:
@@ -153,11 +165,13 @@ def lang_profiles() -> dict[str, list[str]]:
 
 
 def langid_trigram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, s_en, s_fr, s_de, s_es, pred) — trigram-profile language ID:
-    the doc's distinct padded character trigrams intersect each language
-    profile; pred = argmax score (ties resolved in en,fr,de,es order).
-    Pure Column expressions (one trigram array per row + 4 JVM-side
-    array_intersects) — no UDF, no shuffle; the per-row trigram array is
+    """(id, s_<lang>…, pred) — trigram-profile language ID over every
+    profile in ``LANGID_LANGS`` (8 languages): the doc's distinct padded
+    character trigrams intersect each language profile; pred = argmax
+    score, ties resolved by profile registration order.  Pure Column
+    expressions (one trigram array per row + |langs| JVM-side
+    array_intersects, argmax via one greatest() over (score, rank)
+    structs) — no UDF, no shuffle; the per-row trigram array is
     O(len(text)) and never materialized past the project."""
     grams = F.array_distinct(
         F.expr(
@@ -166,24 +180,27 @@ def langid_trigram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         )
     )
     profs = lang_profiles()
+    langs = list(LANGID_LANGS)
     scores = {
         lang: F.size(
             F.array_intersect(
                 grams, F.array(*[F.lit(g) for g in profs[lang]])
             )
         ).cast("long")
-        for lang in ("en", "fr", "de", "es")
+        for lang in langs
     }
-    out = spread(df).select(F.col(id_col), *[scores[l].alias(f"s_{l}") for l in scores])
-    pred = F.when(
-        (F.col("s_en") >= F.col("s_fr"))
-        & (F.col("s_en") >= F.col("s_de"))
-        & (F.col("s_en") >= F.col("s_es")),
-        F.lit("en"),
-    ).when(
-        (F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")),
-        F.lit("fr"),
-    ).when(F.col("s_de") >= F.col("s_es"), F.lit("de")).otherwise(F.lit("es"))
+    out = spread(df).select(F.col(id_col), *[scores[l].alias(f"s_{l}") for l in langs])
+    n = len(langs)
+    pred = F.greatest(
+        *[
+            F.struct(
+                F.col(f"s_{l}").alias("s"),
+                F.lit(n - i).alias("r"),
+                F.lit(l).alias("lang"),
+            )
+            for i, l in enumerate(langs)
+        ]
+    ).getField("lang")
     return out.withColumn("pred", pred)
 
 

@@ -85,6 +85,43 @@ ALL_TOKENIZERS = (
     *_NGRAM_VARIANTS,
 )
 
+# ---------------------------------------------------------------------------
+# Pluggable tokenizer registry — the GRN_PROC_TOKENIZER plugin surface
+# (grn_tokenizer_register, lib/tokenizers.c:779-828; plugin example
+# plugins/tokenizers/mecab.c:1).  A plugin is a batch callable
+# ``fn(texts: list[str]) -> list[(terms, positions)]`` registered under a
+# name; every consumer (tokenize command, index build, query-side GET
+# tokenize) resolves names through here, so a real TokenMecab drop-in
+# would route end-to-end without touching the engine.  Build-side UDFs
+# resolve the callable DRIVER-side (resolve_tokenizer) so it ships inside
+# the closure — executor processes never see driver registry state.
+# ---------------------------------------------------------------------------
+
+_PLUGIN_TOKENIZERS: dict[str, object] = {}
+
+
+def register_tokenizer(name: str, fn, overwrite: bool = False) -> None:
+    """Register a plugin tokenizer under ``name``.  Builtin names are
+    protected; re-registration requires ``overwrite=True``."""
+    if name in ALL_TOKENIZERS:
+        raise ValueError(f"cannot shadow builtin tokenizer {name!r}")
+    if name in _PLUGIN_TOKENIZERS and not overwrite:
+        raise ValueError(f"tokenizer {name!r} already registered")
+    if not callable(fn):
+        raise TypeError("plugin tokenizer must be callable")
+    _PLUGIN_TOKENIZERS[name] = fn
+
+
+def unregister_tokenizer(name: str) -> None:
+    _PLUGIN_TOKENIZERS.pop(name, None)
+
+
+def resolve_tokenizer(mode):
+    """Driver-side resolution for UDF closures: returns the plugin
+    callable when ``mode`` names one (so it pickles into the closure),
+    else the mode itself (builtin names stay strings)."""
+    return _PLUGIN_TOKENIZERS.get(mode, mode)
+
 # TokenRegexp sentinels (tokenizers.c:489-730): a begin mark before the
 # first content token and an end mark after the last, so \A / \z anchors
 # become ordinary phrase tokens over the regexp index.  The values are the
@@ -95,7 +132,13 @@ REGEXP_END = "￰"
 
 
 def tokenize_batch(texts: Iterable[str], mode: str = "bigram") -> list[tuple[list[str], list[int]]]:
-    """Tokenize a batch. Returns per-text ``(terms, positions)``."""
+    """Tokenize a batch. Returns per-text ``(terms, positions)``.
+    ``mode`` may also be a plugin name (registry above) or a resolved
+    plugin callable (the closure-captured form UDFs ship)."""
+    if callable(mode):
+        return mode(list(texts))
+    if mode in _PLUGIN_TOKENIZERS:
+        return _PLUGIN_TOKENIZERS[mode](list(texts))
     if mode == "delimit":
         return [_delimit(t) for t in texts]
     if mode == "delimit_null":  # TokenDelimitNull (tokenizers.c:236)

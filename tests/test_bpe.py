@@ -80,6 +80,51 @@ def test_encode_applies_merges_greedily(spark, docs):
     assert "low</w>" in toks1
 
 
+def test_batched_equals_sequential_on_disjoint_top_pairs(spark):
+    # corpus engineered so each round's top pairs are symbol-disjoint and
+    # no merge-created pair reaches min_count: 10 distinct words carrying
+    # 'ab' once (unique flanks), 9 carrying 'cd' — batched selection must
+    # reproduce the sequential merge list exactly
+    from groonga_spark.ops.bpe import train_bpe
+
+    w_ab = [chr(0x3B1 + i) + "ab" + chr(0x400 + i) for i in range(10)]
+    w_cd = [chr(0x500 + i) + "cd" + chr(0x600 + i) for i in range(9)]
+    df = spark.createDataFrame(
+        [(1, " ".join(w_ab + w_cd))], "doc_id long, text string"
+    )
+    seq = train_bpe(df, n_merges=2, batch_merges=1)
+    bat = train_bpe(df, n_merges=2, batch_merges=4)
+    assert seq == [("a", "b"), ("c", "d")]
+    assert bat == seq
+
+
+def test_batched_defers_conflicting_pairs(spark):
+    # 'ababab': (a,b) and (b,a) share a symbol — the batch must defer
+    # (b,a) rather than co-select it; here deferral keeps the batched
+    # list identical to sequential for the full run
+    from groonga_spark.ops.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "ababab ababab ababab")], "doc_id long, text string"
+    )
+    seq = train_bpe(df, n_merges=4, batch_merges=1)
+    bat = train_bpe(df, n_merges=4, batch_merges=2)
+    assert bat == seq
+    assert seq[0] == ("a", "b")
+    assert ("b", "a") not in seq
+
+
+def test_batched_deterministic(spark, docs):
+    from groonga_spark.ops.bpe import train_bpe
+
+    a = train_bpe(docs, n_merges=8, batch_merges=8)
+    b = train_bpe(docs, n_merges=8, batch_merges=8)
+    assert a == b
+    assert len(a) == 8
+    # every selected batch is disjoint → the flat list never repeats a pair
+    assert len(set(a)) == len(a)
+
+
 def test_encode_empty_and_missing(spark):
     from groonga_spark.ops.bpe import bpe_encode
 
