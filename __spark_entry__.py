@@ -1309,8 +1309,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup/similarity/textstats pipeline ops the r1 run never saw).
     # Everything after #50 is equally oracled and runs in the local
     # replica (tests/test_entry_oracle.py).
+    # Registration ORDER is deliberate: the driver CORRECTNESS gate
+    # checks a leading window (50 entries in r1/r2), so rotate the
+    # never-driver-checked entries to the FRONT each round (VERDICT r2
+    # item 2): first the entries with no driver row in r1 or r2
+    # (including everything new this round), then the r1-only block
+    # (stalest coverage), then the entries green in CORRECTNESS_r02.
+    # Every entry regardless of position is oracled in the local
+    # replica (tests/test_entry_oracle.py).
     q.update(
-        # -- fulltext core (15)
+        # -- never driver-checked (r3 rotation front window) --
+        jaccard_pairs=jaccard_pairs,
+        cosine_topk_q=cosine_topk_q,
+        cosine_neardup=cosine_neardup,
+        token_counts_q=token_counts_q,
+        quality_q=quality_q,
+        ft_escalate_threshold=ft_escalate_threshold,
+        q_col_ne=q_col_ne,
+        q_col_prefix=q_col_prefix,
+        q_col_suffix=q_col_suffix,
+        q_pragma_similar=q_pragma_similar,
+        lexicon_lcp_q=lexicon_lcp_q,
+        query_expander_q=query_expander_q,
+        lm_bigram_q=lm_bigram_q,
+        suggest_complete_q=suggest_complete_q,
+        suggest_correct_q=suggest_correct_q,
+        suggest_cooccur_q=suggest_cooccur_q,
+        logical_select_q=logical_select_q,
+        logical_range_filter_q=logical_range_filter_q,
+        ordered_topk_q=ordered_topk_q,
+        q_leading_not=q_leading_not,
+        dynamic_column_q=dynamic_column_q,
+        langid_q=langid_q,
+        langid_trigram_q=langid_trigram_q,
+        bpe_counts_q=bpe_counts_q,
+        dedup_index_q=dedup_index_q,
+        multimodal_meta=multimodal_meta,
+        table_tokenize_cmd=table_tokenize_cmd,
+        geo_in_rectangle_q=geo_in_rectangle_q,
+        geo_distance_q=geo_distance_q,
+        geo_in_circle_q=geo_in_circle_q,
+        sample_hash_q=sample_hash_q,
+        sample_strat_q=sample_strat_q,
+        sample_budget_q=sample_budget_q,
+        mix_weighted_q=mix_weighted_q,
+        redact_q=redact_q,
+        chunk_q=chunk_q,
+        pack_q=pack_q,
+        audio_features=audio_features,
+        video_frames=video_frames,
+        image_features=image_features,
+        fingerprint_q=fingerprint_q,
+        ann_lsh_topk=ann_lsh_topk,
+        lsh_neardup_q=lsh_neardup_q,
+        lsh_probe_q=lsh_probe_q,
+        ivf_topk_q=ivf_topk_q,
+        bpe_train_q=bpe_train_q,
+        bpe_encode_q=bpe_encode_q,
+        # -- driver-checked in r1 only (stalest) --
+        ft_near2=ft_near2,
+        scorer_tf_at_most_q=scorer_tf_at_most_q,
+        doclen_stats=doclen_stats,
+        drilldown_labeled=drilldown_labeled,
+        drilldown_vector=drilldown_vector,
+        logical_count_q=logical_count_q,
+        setop_and=setop_and,
+        setop_and_not=setop_and_not,
+        setop_adjust=setop_adjust,
+        setop_difference=setop_difference,
+        filter_between=filter_between,
+        filter_script_math=filter_script_math,
+        in_values_nation=in_values_nation,
+        edit_distance_nation=edit_distance_nation,
+        sub_filter_orders=sub_filter_orders,
+        ref_deref=ref_deref,
+        highlight=highlight,
+        snippet_q=snippet_q,
+        html_untag_q=html_untag_q,
+        stopword_tf_q=stopword_tf_q,
+        minhash_bands_q=minhash_bands_q,
+        # -- driver-checked green in r2 --
         ft_match_single=ft_match_single,
         ft_match_and=ft_match_and,
         ft_match_or=ft_match_or,
@@ -1328,7 +1406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_escalate=ft_escalate,
         ft_escalate_partial=ft_escalate_partial,
         ft_regexp_idx=ft_regexp_idx,
-        # -- query syntax: column ops + pragmas + script selectors (9)
         q_col_eq=q_col_eq,
         q_col_range=q_col_range,
         q_col_at=q_col_at,
@@ -1338,27 +1415,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_pragma_term_extract=q_pragma_term_extract,
         filter_sub_filter_q=filter_sub_filter_q,
         filter_query_fn_q=filter_query_fn_q,
-        # -- scorers + index internals (4)
         scorer_tfidf_q=scorer_tfidf_q,
         adjuster_q=adjuster_q,
         dict_stats=dict_stats,
         ft_topk_tf=ft_topk_tf,
-        # -- drilldowns + commands (6)
         drilldown_lang=drilldown_lang,
         drilldown_calc=drilldown_calc,
         drilldown_params_q=drilldown_params_q,
         cmd_select_q=cmd_select_q,
         tokenize_cmd=tokenize_cmd,
         normalize_cmd=normalize_cmd,
-        # -- set algebra + scans + filters (4)
         setop_or=setop_or,
         scan_topn=scan_topn,
         filter_script_q=filter_script_q,
         range_filter_q=range_filter_q,
-        # -- output functions (2)
         highlight_full_q=highlight_full_q,
         snippet_multi_q=snippet_multi_q,
-        # -- training-data pipeline ops (10) → #50
         dedup_exact=dedup_exact,
         dedup_near_q=dedup_near_q,
         dedup_cc_q=dedup_cc_q,
@@ -1367,79 +1439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_pairs=minhash_pairs,
         simhash_q=simhash_q,
         simhash_pairs_q=simhash_pairs_q,
-        jaccard_pairs=jaccard_pairs,
-        cosine_topk_q=cosine_topk_q,
-        cosine_neardup=cosine_neardup,
-        token_counts_q=token_counts_q,
-        quality_q=quality_q,
-        # ---- entries 51+: oracled in the local replica ----
-        ft_near2=ft_near2,
-        ft_escalate_threshold=ft_escalate_threshold,
-        q_col_ne=q_col_ne,
-        q_col_prefix=q_col_prefix,
-        q_col_suffix=q_col_suffix,
-        q_pragma_similar=q_pragma_similar,
-        lexicon_lcp_q=lexicon_lcp_q,
-        query_expander_q=query_expander_q,
-        lm_bigram_q=lm_bigram_q,
-        suggest_complete_q=suggest_complete_q,
-        suggest_correct_q=suggest_correct_q,
-        suggest_cooccur_q=suggest_cooccur_q,
-        scorer_tf_at_most_q=scorer_tf_at_most_q,
-        doclen_stats=doclen_stats,
-        drilldown_labeled=drilldown_labeled,
-        drilldown_vector=drilldown_vector,
-        logical_count_q=logical_count_q,
-        logical_select_q=logical_select_q,
-        logical_range_filter_q=logical_range_filter_q,
-        ordered_topk_q=ordered_topk_q,
-        q_leading_not=q_leading_not,
-        dynamic_column_q=dynamic_column_q,
-        setop_and=setop_and,
-        setop_and_not=setop_and_not,
-        setop_adjust=setop_adjust,
-        setop_difference=setop_difference,
-        filter_between=filter_between,
-        filter_script_math=filter_script_math,
-        in_values_nation=in_values_nation,
-        edit_distance_nation=edit_distance_nation,
-        sub_filter_orders=sub_filter_orders,
-        ref_deref=ref_deref,
-        highlight=highlight,
-        snippet_q=snippet_q,
-        html_untag_q=html_untag_q,
-        stopword_tf_q=stopword_tf_q,
-        langid_q=langid_q,
-        langid_trigram_q=langid_trigram_q,
-        bpe_counts_q=bpe_counts_q,
-        minhash_bands_q=minhash_bands_q,
-        dedup_index_q=dedup_index_q,
-        multimodal_meta=multimodal_meta,
-        table_tokenize_cmd=table_tokenize_cmd,
-        geo_in_rectangle_q=geo_in_rectangle_q,
-        geo_distance_q=geo_distance_q,
-        geo_in_circle_q=geo_in_circle_q,
-        sample_hash_q=sample_hash_q,
-        sample_strat_q=sample_strat_q,
-        sample_budget_q=sample_budget_q,
-        mix_weighted_q=mix_weighted_q,
-        redact_q=redact_q,
-        chunk_q=chunk_q,
-        pack_q=pack_q,
-        # digest-replay / modular-arithmetic-replay oracles
-        audio_features=audio_features,
-        video_frames=video_frames,
-        image_features=image_features,
-        fingerprint_q=fingerprint_q,
-        # hyperplane-literal-replay oracles (lsh_planes embedded in SQL)
-        ann_lsh_topk=ann_lsh_topk,
-        lsh_neardup_q=lsh_neardup_q,
-        lsh_probe_q=lsh_probe_q,
-        # base-table-replay oracle (centroids = first-16 vectors verbatim)
-        ivf_topk_q=ivf_topk_q,
-        # ---- rows-only (engine-specific; no reasonable SQL oracle) ----
-        bpe_train_q=bpe_train_q,
-        bpe_encode_q=bpe_encode_q,
     )
     return q
 

@@ -81,6 +81,45 @@ def _decode_one(
     return doc_ids, sids, tfs, dls, poss
 
 
+_DOCS_ONLY_SCHEMA = StructType([StructField("doc_ids", ArrayType(LongType()))])
+
+
+def make_docs_only_udf():
+    """Membership decode: only the doc-delta stream is decoded — no
+    tf/sid/dl/position work, no per-posting Python beyond one cumsum per
+    block.  The AND_NOT right side (grn_ii_resolve_sel_and, ii.c:6740)
+    needs nothing else."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for first_doc, n, enc, db in zip(
+                pdf["first_doc_id"], pdf["n"], pdf["enc"], pdf["doc_deltas"]
+            ):
+                n = int(n)
+                deltas = (
+                    encoding.pfor_decode(db, n)
+                    if (int(enc) & 1)
+                    else encoding.vb_decode(db, n)
+                ).astype(np.int64)
+                out.append(
+                    (np.cumsum(deltas) - int(deltas[0]) + int(first_doc)).tolist()
+                )
+            yield pd.DataFrame({"doc_ids": out})
+
+    return F.pandas_udf(fn, _DOCS_ONLY_SCHEMA)
+
+
+def decoded_doc_ids(blocks_df):
+    """blocks → bare ``doc_id`` rows (duplicates across sections/salts
+    retained — membership consumers don't care)."""
+    udf = make_docs_only_udf()
+    d = blocks_df.withColumn(
+        "d", udf(F.struct("first_doc_id", "n", "enc", "doc_deltas"))
+    )
+    return d.select(F.explode("d.doc_ids").alias("doc_id"))
+
+
 def make_decode_udf(with_pos: bool, with_cand: bool = False):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

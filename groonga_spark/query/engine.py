@@ -112,6 +112,12 @@ POS_CAND_MASK = True
 # forced-on driver entry ft_wand_or).
 WAND_OR_CUTOFF = 50_000_000  # summed df must exceed this
 
+# AND_NOT right side: a pure-negative simple term skips the scored decode
+# (no tf/dl decode, no contrib, no groupBy exchange) and anti-joins bare
+# decoded doc ids instead — membership is all grn_ii_resolve_sel_and
+# (ii.c:6740) keeps from that side anyway.  Gate for A/B only.
+NEG_DOCS_ONLY = True
+
 # select_batch: with this many or more fused tree queries, eagerly
 # localCheckpoint the shared decode frames before building the per-query
 # branches — every branch otherwise embeds the full decode lineage, and at
@@ -810,9 +816,35 @@ class SearchEngine:
             else:
                 a.est_df = min((term_meta.get(t, 0) for t in a.tokens), default=0)
 
-        all_terms = sorted(
-            {t for a in atoms for t in (a.expansions if a.kind == "prefix" else a.tokens)}
+        # Terms whose ONLY role is the right side of an AND_NOT need
+        # membership, not scores: they skip the scored decode entirely
+        # (doc-delta-only decode in _eval's Not fast path — no tf/dl
+        # Python decode, no contrib expr, no groupBy exchange).  Terms
+        # that also occur positively stay in the scored set.
+        neg_atoms = _neg_simple_atoms(plan) if NEG_DOCS_ONLY else []
+        neg_ids = {id(a) for a in neg_atoms}
+        pos_terms = {
+            t
+            for a in atoms
+            if id(a) not in neg_ids
+            for t in (a.expansions if a.kind == "prefix" else a.tokens)
+        }
+        self._neg_only_terms = {
+            a.tokens[0] for a in neg_atoms if a.tokens[0] not in pos_terms
+        }
+        all_terms = (
+            sorted(pos_terms)
+            if pos_terms
+            else sorted(
+                {
+                    t
+                    for a in atoms
+                    for t in (a.expansions if a.kind == "prefix" else a.tokens)
+                }
+            )
         )
+        if not pos_terms:
+            self._neg_only_terms = set()
         empty = spark.createDataFrame([], "doc_id long, score double")
         has_colop = _has_colop(plan)
         if (not all_terms or all(term_meta.get(t, 0) == 0 for t in all_terms)) and (
@@ -1563,13 +1595,32 @@ class SearchEngine:
             return out
         if isinstance(node, qp.Not):
             pos = self._eval(node.positive, term_doc, pos_rows, term_meta)
-            neg = self._eval(node.negative, term_doc, pos_rows, term_meta).select(
-                "doc_id"
-            )
+            neg_node = node.negative
+            if (
+                isinstance(neg_node, _Atom)
+                and neg_node.kind == "term"
+                and len(neg_node.tokens) == 1
+                and neg_node.tokens[0] in getattr(self, "_neg_only_terms", ())
+            ):
+                # membership-only decode: the anti-join right side never
+                # needs scores, sections, or distinct docs
+                neg = self._neg_doc_ids(neg_node.tokens[0])
+            else:
+                neg = self._eval(neg_node, term_doc, pos_rows, term_meta).select(
+                    "doc_id"
+                )
             if _est_df(node.negative) <= MAX_BROADCAST_DOCS:
                 neg = F.broadcast(neg)
             return pos.join(neg, "doc_id", "left_anti")
         raise TypeError(node)
+
+    def _neg_doc_ids(self, term: str) -> DataFrame:
+        """doc_ids holding ``term`` (any section; duplicates fine) via the
+        doc-delta-only decode — the cheap AND_NOT right side
+        (grn_ii_resolve_sel_and, ii.c:6740)."""
+        from .decode import decoded_doc_ids
+
+        return decoded_doc_ids(self._filtered_blocks([term], {}))
 
     def _tfidf_idf(self, tis: "list[list[str]]") -> "float | None":
         """Record-level idf of scorer_tf_idf (scorers.c:26-52).  Each
@@ -2212,6 +2263,25 @@ def _required_tokens(node) -> set:
     if isinstance(node, qp.Not):
         return _required_tokens(node.positive)
     return set()
+
+
+def _neg_simple_atoms(node) -> list:
+    """Single-token term atoms standing as the ENTIRE negative side of a
+    Not node — the only atoms whose scores are provably discarded (the
+    anti-join keeps just membership), so select() may exclude them from
+    the scored decode when they occur nowhere else."""
+    out: list = []
+    if isinstance(node, qp.Not):
+        neg = node.negative
+        if isinstance(neg, _Atom) and neg.kind == "term" and len(neg.tokens) == 1:
+            out.append(neg)
+        else:
+            out += _neg_simple_atoms(neg)
+        out += _neg_simple_atoms(node.positive)
+    elif isinstance(node, (qp.And, qp.Or)):
+        for c in node.children:
+            out += _neg_simple_atoms(c)
+    return out
 
 
 def _est_df(node) -> int:
