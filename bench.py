@@ -65,9 +65,25 @@ HEADLINE = [
     "token_counts_q",
     "quality_q",
     "sample_strat_q",
+    "sample_budget_q",
     "mix_weighted_q",
     "redact_q",
+    "pack_q",
+    "langid_trigram_q",
+    # probe-only ANN / dedup-index queries (their one-time builds are
+    # timed separately below as *_build rows)
+    "ivf_topk_q",
+    "lsh_probe_q",
+    "ann_lsh_topk",
+    "dedup_index_q",
 ]
+
+# build-once index artifacts (build/query split): timed as their own rows
+# so the probe-only query rows above never absorb a build
+INDEX_BUILDS = {
+    "ivf_index_build": "_ivf_index",
+    "lsh_index_build": "_lsh_index",
+}
 
 
 def run_bench(sf_dir: str, cores: int, corpus_docs: int) -> dict:
@@ -92,6 +108,18 @@ def run_bench(sf_dir: str, cores: int, corpus_docs: int) -> dict:
 
     # -- headline queries ----------------------------------------------------
     qs = entry.queries()
+    if not lean:
+        # build-once ANN index artifacts, timed as build rows; the probe
+        # entries in HEADLINE then measure query-only against the cache
+        for row, fn_name in INDEX_BUILDS.items():
+            t0 = time.perf_counter()
+            getattr(entry, fn_name)(spark, sf_dir)
+            timings[row] = round(time.perf_counter() - t0, 3)
+        # dedup_index_q builds its index inside the entry on first call:
+        # time that first call as the build row, later probes are cached
+        t0 = time.perf_counter()
+        qs["dedup_index_q"](spark, sf_dir).count()
+        timings["dedup_index_build"] = round(time.perf_counter() - t0, 3)
     if headline:
         # warmup: one untimed engine query so the first timed entry doesn't
         # absorb one-off session costs (python-worker spawn, first broadcast)

@@ -122,6 +122,7 @@ def train_bpe(
     # collect enough ranked candidates per round that the disjointness
     # skip never starves the batch
     n_cand = 1 if batch_merges == 1 else max(64, 4 * batch_merges)
+    rounds = 0
     try:
         while len(merges) < n_merges:
             pairs = (
@@ -151,10 +152,19 @@ def train_bpe(
             if not batch:
                 break
             merges.extend(batch)
-            nxt = words.withColumn(
-                "syms", _merge_pairs_udf(batch)(F.col("syms"))
-            ).persist()
-            nxt.count()
+            rounds += 1
+            nxt = words.withColumn("syms", _merge_pairs_udf(batch)(F.col("syms")))
+            if rounds % 8 == 0:
+                # truncate the chained-UDF lineage: without this, round R's
+                # plan embeds R merge UDF layers and per-job PLANNING time
+                # grows quadratically with the merge count (measured: the
+                # sequential arm of tools/ab_bpe.py crawled past 10 min at
+                # 64 merges before this; same discipline as ops/dedup.py's
+                # connected-components rounds)
+                nxt = nxt.localCheckpoint()
+            else:
+                nxt = nxt.persist()
+                nxt.count()
             words.unpersist()
             words = nxt
     finally:

@@ -46,6 +46,15 @@ def _norm(rows, cols):
 
 QUERY_NAMES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 
+# Entries whose oracle equality rests on DuckDB's list_aggregate('sum')
+# doing plain sequential left-to-right float64 addition (sign bits /
+# thresholds sit on exact float equality).  Verified against the pinned
+# version below; if a future DuckDB switches to pairwise/Kahan summation
+# these xfail with a version message instead of masquerading as engine
+# bugs.  (ADVICE r2: pin the version / add a fallback.)
+DUCKDB_PINNED = "1.0"  # major.minor verified in this repo
+FLOAT_EDGE = {"ann_lsh_topk", "lsh_neardup_q", "lsh_probe_q", "ivf_topk_q"}
+
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
@@ -57,11 +66,21 @@ def test_query_matches_oracle(spark, ddb, name):
     res = ddb.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
-    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
-    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
-    ns, nd = _norm(srows, scols), _norm(drows, dcols)
-    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
-    assert ns == nd, f"{name}: first mismatches {mismatches}"
+    try:
+        assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+        assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+        ns, nd = _norm(srows, scols), _norm(drows, dcols)
+        mismatches = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
+        assert ns == nd, f"{name}: first mismatches {mismatches}"
+    except AssertionError:
+        ver = ".".join(duckdb.__version__.split(".")[:2])
+        if name in FLOAT_EDGE and ver != DUCKDB_PINNED:
+            pytest.xfail(
+                f"{name}: float-edge oracle verified on DuckDB "
+                f"{DUCKDB_PINNED}.x; running {duckdb.__version__} whose "
+                "float summation order may differ"
+            )
+        raise
 
 
 def test_rows_only_queries_run(spark):

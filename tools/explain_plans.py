@@ -173,6 +173,64 @@ def main() -> None:
         "```\n" + grab(entry.queries()["sample_strat_q"](spark, sf)) + "```\n"
     )
 
+    out.append("## IVF ANN probe (ivf_topk_q — build/query split)\n")
+    out.append(
+        "Check: the assignment-table scan carries `PartitionFilters` on "
+        "`_cell` (only the n_probe probed cells are read — the r2 "
+        "per-query-rebuild anti-pattern is gone: no kmeans jobs, no "
+        "full-corpus assignment appear anywhere in this plan), the "
+        "1-row query vector joins via `BroadcastNestedLoopJoin`/broadcast, "
+        "and the top-k is `TakeOrderedAndProject`.\n"
+    )
+    out.append("```\n" + grab(entry.queries()["ivf_topk_q"](spark, sf)) + "```\n")
+
+    out.append("## LSH ANN probe (lsh_probe_q — persisted sig table)\n")
+    out.append(
+        "Check: `PartitionFilters` on the sig-prefix column `_p` (only "
+        "partitions holding Hamming-ball prefixes are read), the probe "
+        "signatures join via `BroadcastHashJoin` on `sig` — there is NO "
+        "full-signature-table scan and no bit_count filter over all rows "
+        "(the r2 anti-pattern).\n"
+    )
+    out.append("```\n" + grab(entry.queries()["lsh_probe_q"](spark, sf)) + "```\n")
+
+    out.append("## Dedup-index probe (dedup_index_q)\n")
+    out.append(
+        "Check: the persisted band table is scanned from parquet (no "
+        "recomputation of the indexed corpus' shingles/bands — the only "
+        "md5/shingle work in the plan belongs to the delta side), the "
+        "candidate join is an equi-join on (band, minhash), and the "
+        "verify joins are restricted to candidate ids (left_semi prune "
+        "before the shingle-hash join).\n"
+    )
+    out.append("```\n" + grab(entry.queries()["dedup_index_q"](spark, sf)) + "```\n")
+
+    out.append("## AND_NOT membership-only negative (ft_match_not path)\n")
+    out.append(
+        "Check: the negative term's subtree is a bare block scan → "
+        "`MapInPandas` (doc-delta-only decode) → explode feeding the "
+        "`BroadcastHashJoin ... LeftAnti` — NO aggregate (`HashAggregate`) "
+        "and no score expression on that side; only the positive subtree "
+        "carries the BM25 contrib + groupBy.\n"
+    )
+    out.append(
+        "```\n"
+        + grab(se.select("merge -sort", k=10, escalate=False))
+        + "```\n"
+    )
+
+    out.append("## Token-budget quota fill (sample_budget_q)\n")
+    out.append(
+        "Check: the running-total window's input is the verified "
+        "oversample pool (broadcast threshold join + `_h < _thr` filter "
+        "upstream of the `Window`), unioned with the (normally empty) "
+        "fallback branch — a heavy group's full membership never reaches "
+        "the window sort.\n"
+    )
+    out.append(
+        "```\n" + grab(entry.queries()["sample_budget_q"](spark, sf)) + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
