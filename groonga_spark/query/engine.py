@@ -1407,6 +1407,24 @@ class SearchEngine:
             pres = scored.filter(F.col("term").isin(gset)).select(
                 "term", "doc_id", "sid", "_blk"
             )
+            rare = min(gset, key=lambda t: term_meta.get(t, 1 << 60))
+            rare_df = term_meta.get(rare, 0)
+            if len(gset) > 1 and 0 < rare_df <= MAX_BROADCAST_DOCS:
+                # rarest-first reduction (token_compare's df-ascending
+                # zipper, ii.c:5532-5537, as a broadcast): candidates must
+                # contain the rarest token, so its (doc, sid) set —
+                # bounded by rare_df — broadcast-semi-filters every other
+                # token's rows MAP-SIDE before any shuffle.  The
+                # countDistinct gate then aggregates ≤ |group|·rare_df
+                # rows instead of the group's full Σ df (measured at 1M
+                # docs, 3-token head phrase: the candidate stage shuffled
+                # 1.25M rows → ~60k).
+                rare_set = F.broadcast(
+                    pres.filter(F.col("term") == rare)
+                    .select("doc_id", "sid")
+                    .distinct()
+                )
+                pres = pres.join(rare_set, ["doc_id", "sid"], "left_semi")
             cand = (
                 pres.groupBy("doc_id", "sid")
                 .agg(F.countDistinct("term").alias("_nt"))
@@ -1441,7 +1459,11 @@ class SearchEngine:
             pos_rows = decoded_postings(pos_blocks, with_pos=True).select(
                 "term", "doc_id", "sid", "positions"
             )
-        return term_doc, pos_rows
+        # every phrase/NEAR consumer reads pos_rows once PER TOKEN (the
+        # per-token (doc, sid) joins) — without a persist the whole
+        # phase-2 masked decode re-executes n_tokens times (measured ~3x
+        # the 1.5 s decode at 1M docs).  The frame is candidate-sized.
+        return term_doc, self._persist(pos_rows)
 
     def _contrib_col(self, rows, weights, scorer="bm25"):
         idx = self.index
