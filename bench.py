@@ -280,10 +280,15 @@ def run_qscale(cores: int) -> None:
         build_s = time.perf_counter() - t0
         lat: dict[str, float] = {}
         eng.select(QSCALE_QUERIES["q_single"], k=10).count()  # warmup
-        for name, q in QSCALE_QUERIES.items():
-            t0 = time.perf_counter()
-            eng.select(q, k=10, escalate=False).count()
-            lat[name] = round(time.perf_counter() - t0, 3)
+        reps = int(os.environ.get("SPARK_GRAFT_QSCALE_REPS", "3"))
+        raw: dict[str, list[float]] = {n: [] for n in QSCALE_QUERIES}
+        for _ in range(reps):  # interleaved over the query set; median/query
+            for name, q in QSCALE_QUERIES.items():
+                t0 = time.perf_counter()
+                eng.select(q, k=10, escalate=False).count()
+                raw[name].append(round(time.perf_counter() - t0, 3))
+        for name, xs in raw.items():
+            lat[name] = sorted(xs)[len(xs) // 2]
         per_size[str(n)] = {
             "build_sec": round(build_s, 3),
             "files_per_sec": round(n / build_s, 1),
