@@ -71,17 +71,25 @@ def _select_batch(
     cand: list[tuple[str, str, int]], batch_merges: int, min_count: int
 ) -> list[tuple[str, str]]:
     """Greedy top-m selection of symbol-disjoint pairs from one count
-    snapshot (candidates arrive ordered count desc, then lexicographic)."""
+    snapshot (candidates arrive ordered count desc, then lexicographic).
+
+    Each picked pair's OUTPUT symbol (a+b) is reserved too: if (a,b) and
+    (a+b, c) were co-selected while ``a+b`` already exists as a symbol in
+    some word, the single-sweep UDF would not cascade into the newly
+    created ``a+b`` occurrences, while sequential per-pair passes would —
+    so operand-only disjointness does not guarantee the equivalence
+    _merge_pairs_udf's docstring claims.  Reserving outputs restores it."""
     picked: list[tuple[str, str]] = []
     used: set[str] = set()
     for a, b, n in cand:
         if n < min_count:
             break
-        if a in used or b in used:
+        if a in used or b in used or (a + b) in used:
             continue
         picked.append((a, b))
         used.add(a)
         used.add(b)
+        used.add(a + b)
         if len(picked) >= batch_merges:
             break
     return picked

@@ -30,6 +30,16 @@ def _norm_expr(a: str) -> str:
     return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
 
+def _cos_col(a: str, b: str):
+    """Cosine(a, b) as a Column.  The denominator is clamped at 1e-30 —
+    the same guard as :func:`_np_cos_to_cents` and the DuckDB oracle's
+    ``greatest(..., 1e-30)`` — so a zero vector yields cosine 0, not
+    NaN/null; a bit-for-bit no-op for non-zero inputs."""
+    return F.expr(_dot_expr(a, b)) / F.greatest(
+        F.expr(_norm_expr(a)) * F.expr(_norm_expr(b)), F.lit(1e-30)
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec_id: int,
@@ -45,9 +55,7 @@ def cosine_topk(
     cand = spread(df.filter(F.col(id_col) != query_vec_id)).crossJoin(
         F.broadcast(q)
     )
-    cos = F.expr(_dot_expr(vec_col, "_qvec")) / (
-        F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("_qvec"))
-    )
+    cos = _cos_col(vec_col, "_qvec")
     return (
         cand.withColumn("cosine", cos)
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -68,9 +76,7 @@ def cosine_neardup_pairs(
     and verify survivors with this expression."""
     a = spread(df).select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    cos = F.expr(_dot_expr("_va", "_vb")) / (
-        F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb"))
-    )
+    cos = _cos_col("_va", "_vb")
     return (
         a.join(b, F.col("a") < F.col("b"))
         .withColumn("cosine", cos)
@@ -97,9 +103,7 @@ def lsh_neardup_pairs(
     s = sigs.join(vecs, "id")
     left = s.select(F.col("id").alias("a"), F.col("sig"), F.col("_v").alias("_va"))
     right = s.select(F.col("id").alias("b"), F.col("sig"), F.col("_v").alias("_vb"))
-    cos = F.expr(_dot_expr("_va", "_vb")) / (
-        F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb"))
-    )
+    cos = _cos_col("_va", "_vb")
     return (
         left.join(right, "sig")
         .filter(F.col("a") < F.col("b"))
@@ -126,7 +130,12 @@ def _np_cos_to_cents(m: "np.ndarray", cents: "np.ndarray", pinned: bool) -> "np.
             nb += m[:, d] * m[:, d]
             nc += cents[:, d] * cents[:, d]
             dots += m[:, d : d + 1] * cents[:, d]
-        return dots / (np.sqrt(nb)[:, None] * np.sqrt(nc)[None, :])
+        # clamp like the matmul branch: a zero vector / centroid must give
+        # cosine 0, not NaN (NaN would make np.argmax pick an arbitrary
+        # cell and silently degrade probe ordering).  For non-zero inputs
+        # the clamp is a no-op, so the bit-for-bit SQL replay (which
+        # mirrors the same greatest(..., 1e-30)) is unaffected.
+        return dots / np.maximum(np.sqrt(nb)[:, None] * np.sqrt(nc)[None, :], 1e-30)
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     return mn @ cn.T
@@ -276,9 +285,7 @@ def ivf_probe_topk(
     cand = index.assigned.filter(F.col("_cell").isin([int(c) for c in probe]))
     if exclude_id is not None:
         cand = cand.filter(F.col(index.id_col) != exclude_id)
-    cosx = F.expr(_dot_expr(index.vec_col, "_qvec")) / (
-        F.expr(_norm_expr(index.vec_col)) * F.expr(_norm_expr("_qvec"))
-    )
+    cosx = _cos_col(index.vec_col, "_qvec")
     return (
         cand.crossJoin(F.broadcast(q))
         .withColumn("cosine", cosx)
@@ -451,9 +458,7 @@ def lsh_probe_topk(
     if exclude_id is not None:
         cand = cand.filter(F.col("id") != exclude_id)
     q = spark.createDataFrame([([float(x) for x in qv[0]],)], "_qvec array<double>")
-    cos = F.expr(_dot_expr("vec", "_qvec")) / (
-        F.expr(_norm_expr("vec")) * F.expr(_norm_expr("_qvec"))
-    )
+    cos = _cos_col("vec", "_qvec")
     return (
         cand.crossJoin(F.broadcast(q))
         .withColumn("cosine", cos)
@@ -502,9 +507,7 @@ def lsh_ann_topk(
     )
     cand = df.join(cand_ids, id_col)
     q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
-    cos = F.expr(_dot_expr(vec_col, "_qvec")) / (
-        F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("_qvec"))
-    )
+    cos = _cos_col(vec_col, "_qvec")
     return (
         cand.crossJoin(F.broadcast(q))
         .withColumn("cosine", cos)

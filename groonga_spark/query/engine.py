@@ -688,6 +688,15 @@ class SearchEngine:
                     .filter(F.col("_rn") <= k)
                     .select("query_id", "doc_id", "score")
                 )
+            # the shared decode above already scored every fused token —
+            # including AND_NOT right sides — so the membership-only
+            # re-decode would be a second read of the same postings, not a
+            # saving.  Reset explicitly so _eval never fires the fast path
+            # off stale select() state (e.g. this batch's own fallback
+            # selects), which would also silently inherit select()'s
+            # section-weight gate if batch weights ever become
+            # configurable.
+            self._neg_only_terms = set()
             for qid, (plan, _atoms) in fused.items():
                 sc = self._eval(plan, term_doc, pos_rows, term_meta)
                 parts.append(
@@ -821,7 +830,18 @@ class SearchEngine:
         # (doc-delta-only decode in _eval's Not fast path — no tf/dl
         # Python decode, no contrib expr, no groupBy exchange).  Terms
         # that also occur positively stay in the scored set.
-        neg_atoms = _neg_simple_atoms(plan) if NEG_DOCS_ONLY else []
+        # The membership-only decode reads the negated term's postings
+        # across ALL sections; the scored path it replaces restricts the
+        # match to weighted sections (_contrib_col null-filters unmatched
+        # sids — mirroring the reference, where match_columns scopes
+        # negated terms too).  With restricted --match_columns / *W the
+        # fast path would over-exclude docs whose negated term appears
+        # only in an unmatched section, so it is sound only when every
+        # section is weighted.
+        _all_sections = set(weights) == set(idx.stats.sections)
+        neg_atoms = (
+            _neg_simple_atoms(plan) if (NEG_DOCS_ONLY and _all_sections) else []
+        )
         neg_ids = {id(a) for a in neg_atoms}
         pos_terms = {
             t

@@ -63,3 +63,49 @@ def test_leading_not_unaffected(eng):
     fast, slow = _both(eng, "-merge", query_flags="ALLOW_LEADING_NOT")
     assert fast == slow
     assert len(fast) > 0
+
+
+SEC_ROWS = [
+    # the negated term 'sort' appears ONLY in doc 3's `path` section;
+    # with match_columns restricted to `content`, `-sort` must not
+    # exclude doc 3 (the reference scopes negated terms to the matched
+    # sections too)
+    (1, "alpha", "merge sort"),
+    (2, "beta", "merge tree"),
+    (3, "sort", "merge heap"),
+    (4, "gamma", "other things"),
+]
+
+
+@pytest.fixture(scope="module")
+def sec_eng(spark):
+    e = SearchEngine.build(
+        spark.createDataFrame(
+            SEC_ROWS, "doc_id long, path string, content string"
+        ),
+        ["path", "content"],
+        tokenizer="delimit",
+    )
+    e.index.persist()
+    return e
+
+
+@pytest.mark.parametrize("mc", ["content", "path||content", None])
+def test_restricted_match_columns_sections(sec_eng, mc):
+    fast, slow = _both(sec_eng, "merge -sort", match_columns=mc)
+    assert fast == slow, mc
+    ids = sorted(d for d, _ in fast)
+    if mc == "content":
+        # doc 1 excluded (sort in content); doc 3 KEPT (sort only in
+        # the unmatched path section) — the r3 fast path over-excluded it
+        assert ids == [2, 3]
+    else:
+        # all-section weights: sort in either section excludes
+        assert ids == [2]
+
+
+def test_restricted_sections_weighted_pragma(sec_eng):
+    # *W2 == match only section 2 (content); same scoping rule
+    fast, slow = _both(sec_eng, "*W2 merge -sort")
+    assert fast == slow
+    assert sorted(d for d, _ in fast) == [2, 3]
