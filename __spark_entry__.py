@@ -1306,6 +1306,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream", "bin_id", "offset", "doc_id"
         )
 
+    # ---- streaming ops (batch-replayed through real streaming queries) ----
+    def stream_dedup_q(spark, sf):
+        """Cross-batch streaming exact dedup (ops/stream_dedup.py,
+        applyInPandasWithState) replayed deterministically over a static
+        source: a 500-row feed planting duplicates (row i carries doc
+        (i % 200)'s text) is fed as THREE ascending-doc_id micro-batches
+        through a real Structured Streaming query (file source, memory
+        sink, processAllAvailable between writes pins batch order).
+        Batch 2 admits only the 34 fingerprints batch 1 never saw and
+        batch 3 admits none — the survivors are exactly (md5(text),
+        doc_id) for doc_id < 200, which the DuckDB oracle replays."""
+        import tempfile
+        import uuid
+
+        from groonga_spark.ops.stream_dedup import dedup_stream
+
+        base = _read(spark, sf, "documents").select("doc_id", "text")
+        texts = base.filter(F.col("doc_id") < 200).select(
+            F.col("doc_id").alias("_b"), "text"
+        )
+        feed = (
+            base.select("doc_id", (F.col("doc_id") % 200).alias("_b"))
+            .join(F.broadcast(texts), "_b")
+            .select("doc_id", "text")
+        )
+        tmp = tempfile.mkdtemp(prefix="gs_stream_dedup_")
+        src = f"{tmp}/src"
+
+        def _write(lo, hi):
+            feed.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        _write(0, 166)
+        name = "stream_dedup_" + uuid.uuid4().hex[:8]
+        q = (
+            dedup_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for lo, hi in ((166, 332), (332, 500)):
+                _write(lo, hi)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).select("fp", "doc_id")
+
+    def stream_trends_q(spark, sf):
+        """Watermarked event-time windowed term counts (ops/
+        stream_trends.py) replayed over the static events table: batch 1 =
+        the first half of event time, batch 2 = the rest, batch 3 = one
+        far-future sentinel whose only job is to advance the watermark
+        past every real window's end — Spark then runs a no-data flush
+        batch and append mode emits ALL real windows; the sentinel's own
+        window stays open (never emitted).  No batch-2 event is late (the
+        split is BY event time, so batch 2's minimum exceeds the
+        batch-1-derived watermark).  Deterministic → fully SQL-oracled."""
+        import datetime
+        import tempfile
+        import uuid
+
+        from groonga_spark.ops.stream_trends import windowed_term_counts
+
+        ev = _read(spark, sf, "events").select(
+            "ts", F.col("event_type").alias("text")
+        )
+        tmp = tempfile.mkdtemp(prefix="gs_stream_trends_")
+        src = f"{tmp}/src"
+        mid = "2024-01-15"
+        ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(src)
+        name = "stream_trends_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed_term_counts(
+                spark.readStream.schema("ts timestamp, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                window="6 hours",
+                late="5 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [(datetime.datetime(2024, 3, 1), "zzz_sentinel")],
+                "ts timestamp, text string",
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("ws"),
+            "term",
+            "n",
+        )
+
     # Registration ORDER is deliberate: the r1 driver checked exactly the
     # first 50 dict entries, so the leading 50 are a representative
     # cross-section of every subsystem (fulltext core, query syntax +
@@ -1315,62 +1426,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything after #50 is equally oracled and runs in the local
     # replica (tests/test_entry_oracle.py).
     # Registration ORDER is deliberate: the driver CORRECTNESS gate
-    # checks a leading window (50 entries in r1/r2), so rotate the
-    # never-driver-checked entries to the FRONT each round (VERDICT r2
-    # item 2): first the entries with no driver row in r1 or r2
-    # (including everything new this round), then the r1-only block
-    # (stalest coverage), then the entries green in CORRECTNESS_r02.
-    # Every entry regardless of position is oracled in the local
-    # replica (tests/test_entry_oracle.py).
+    # checks a leading window (50 entries per round), and the rotation
+    # policy is OLDEST-DRIVER-CHECK-FIRST (VERDICT r3 item 9): entries
+    # new this round lead, then the block last driver-checked in r1
+    # (stalest), then the r2-green cohort (the ft core — the engine code
+    # that changed most in r3), and the r3-checked block sits at the end
+    # as the freshest.  Every entry regardless of position is oracled in
+    # the local replica (tests/test_entry_oracle.py) every round.
     q.update(
-        # -- never driver-checked (r3 rotation front window) --
-        jaccard_pairs=jaccard_pairs,
-        cosine_topk_q=cosine_topk_q,
-        cosine_neardup=cosine_neardup,
-        token_counts_q=token_counts_q,
-        quality_q=quality_q,
-        ft_escalate_threshold=ft_escalate_threshold,
-        q_col_ne=q_col_ne,
-        q_col_prefix=q_col_prefix,
-        q_col_suffix=q_col_suffix,
-        q_pragma_similar=q_pragma_similar,
-        lexicon_lcp_q=lexicon_lcp_q,
-        query_expander_q=query_expander_q,
-        lm_bigram_q=lm_bigram_q,
-        suggest_complete_q=suggest_complete_q,
-        suggest_correct_q=suggest_correct_q,
-        suggest_cooccur_q=suggest_cooccur_q,
-        logical_select_q=logical_select_q,
-        logical_range_filter_q=logical_range_filter_q,
-        ordered_topk_q=ordered_topk_q,
-        q_leading_not=q_leading_not,
-        dynamic_column_q=dynamic_column_q,
-        langid_q=langid_q,
-        langid_trigram_q=langid_trigram_q,
-        bpe_counts_q=bpe_counts_q,
-        dedup_index_q=dedup_index_q,
-        multimodal_meta=multimodal_meta,
-        table_tokenize_cmd=table_tokenize_cmd,
-        geo_in_rectangle_q=geo_in_rectangle_q,
-        geo_distance_q=geo_distance_q,
-        geo_in_circle_q=geo_in_circle_q,
-        sample_hash_q=sample_hash_q,
-        sample_strat_q=sample_strat_q,
-        sample_budget_q=sample_budget_q,
-        mix_weighted_q=mix_weighted_q,
-        redact_q=redact_q,
-        chunk_q=chunk_q,
-        pack_q=pack_q,
-        audio_features=audio_features,
-        video_frames=video_frames,
-        image_features=image_features,
-        fingerprint_q=fingerprint_q,
-        ann_lsh_topk=ann_lsh_topk,
-        lsh_neardup_q=lsh_neardup_q,
-        lsh_probe_q=lsh_probe_q,
-        ivf_topk_q=ivf_topk_q,
-        bpe_train_q=bpe_train_q,
-        bpe_encode_q=bpe_encode_q,
+        # -- new in r4 (never driver-checked) --
+        stream_dedup_q=stream_dedup_q,
+        stream_trends_q=stream_trends_q,
         # -- driver-checked in r1 only (stalest) --
         ft_near2=ft_near2,
         scorer_tf_at_most_q=scorer_tf_at_most_q,
@@ -1444,6 +1510,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_pairs=minhash_pairs,
         simhash_q=simhash_q,
         simhash_pairs_q=simhash_pairs_q,
+        # -- driver-checked green in r3 (freshest; end of rotation) --
+        jaccard_pairs=jaccard_pairs,
+        cosine_topk_q=cosine_topk_q,
+        cosine_neardup=cosine_neardup,
+        token_counts_q=token_counts_q,
+        quality_q=quality_q,
+        ft_escalate_threshold=ft_escalate_threshold,
+        q_col_ne=q_col_ne,
+        q_col_prefix=q_col_prefix,
+        q_col_suffix=q_col_suffix,
+        q_pragma_similar=q_pragma_similar,
+        lexicon_lcp_q=lexicon_lcp_q,
+        query_expander_q=query_expander_q,
+        lm_bigram_q=lm_bigram_q,
+        suggest_complete_q=suggest_complete_q,
+        suggest_correct_q=suggest_correct_q,
+        suggest_cooccur_q=suggest_cooccur_q,
+        logical_select_q=logical_select_q,
+        logical_range_filter_q=logical_range_filter_q,
+        ordered_topk_q=ordered_topk_q,
+        q_leading_not=q_leading_not,
+        dynamic_column_q=dynamic_column_q,
+        langid_q=langid_q,
+        langid_trigram_q=langid_trigram_q,
+        bpe_counts_q=bpe_counts_q,
+        dedup_index_q=dedup_index_q,
+        multimodal_meta=multimodal_meta,
+        table_tokenize_cmd=table_tokenize_cmd,
+        geo_in_rectangle_q=geo_in_rectangle_q,
+        geo_distance_q=geo_distance_q,
+        geo_in_circle_q=geo_in_circle_q,
+        sample_hash_q=sample_hash_q,
+        sample_strat_q=sample_strat_q,
+        sample_budget_q=sample_budget_q,
+        mix_weighted_q=mix_weighted_q,
+        redact_q=redact_q,
+        chunk_q=chunk_q,
+        pack_q=pack_q,
+        audio_features=audio_features,
+        video_frames=video_frames,
+        image_features=image_features,
+        fingerprint_q=fingerprint_q,
+        ann_lsh_topk=ann_lsh_topk,
+        lsh_neardup_q=lsh_neardup_q,
+        lsh_probe_q=lsh_probe_q,
+        ivf_topk_q=ivf_topk_q,
+        bpe_train_q=bpe_train_q,
+        bpe_encode_q=bpe_encode_q,
     )
     return q
 
@@ -2454,5 +2568,90 @@ SELECT vec_id, round({_CE}, 6) AS cosine
 FROM cand CROSS JOIN q
 ORDER BY {_CE} DESC, vec_id LIMIT 20"""
 
-    # bpe_*: engine-specific (iterative merges) → rows-only check.
+    # stream_dedup_q: the cross-batch dedup replay is deterministic by
+    # construction (ascending-doc_id batches, pinned order): the survivor
+    # for every fingerprint is the planted base doc (doc_id < 200).
+    o["stream_dedup_q"] = """SELECT md5(text) AS fp, doc_id
+FROM documents WHERE doc_id < 200"""
+
+    # stream_trends_q: the far-future sentinel batch advances the
+    # watermark past every REAL window's end (Spark then runs a no-data
+    # flush batch), so append mode emits exactly the full real windowed
+    # counts; only the sentinel's own still-open window is withheld.
+    # time_bucket's 2000-01-01 origin and Spark window's epoch origin are
+    # both midnight-aligned, so 6-hour buckets agree.
+    o["stream_trends_q"] = """SELECT
+  strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M') AS ws,
+  event_type AS term, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2"""
+
+    # bpe_*: full SQL replay of sequential BPE (batch_merges=1, the
+    # entries' default) as n_merges=6 chained CTE stages.  Words are
+    # represented as chr(31)-wrapped symbol strings ("\x1fs1\x1f\x1fs2\x1f…")
+    # so applying one merge is a plain leftmost-nonoverlapping replace() —
+    # exactly the greedy one-sweep _merge_pairs_udf semantics — and pair
+    # counts re-derive from the split symbols each stage.  Encode applies
+    # the learned merges in rank order via the same replace chain, which
+    # equals ops/bpe.py's lowest-rank-first encode because a merge can
+    # only ever create pairs of HIGHER rank than itself (rank(a,b) <
+    # rank(ab,c) by training order).  chr(31) never occurs in the corpus
+    # (verified); early stop (no pair with count >= 2) degrades each
+    # later stage to a no-op replace on both sides.
+    _BSEP = "chr(31)"
+
+    def _bpe_train_ctes(n_merges: int = 6) -> str:
+        parts = [
+            f"""WITH wf AS (
+  SELECT w AS word, count(*)::BIGINT AS wc FROM (
+    SELECT unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id < 100)
+  WHERE w <> '' GROUP BY 1),
+w0 AS (SELECT wc,
+  {_BSEP} || regexp_replace(word, '(.)', '\\1' || {_BSEP} || {_BSEP}, 'g')
+  || '</w>' || {_BSEP} AS wstr FROM wf)"""
+        ]
+        for k in range(1, n_merges + 1):
+            prev = f"w{k - 1}"
+            parts.append(
+                f"""p{k} AS (
+  SELECT pr.a AS a, pr.b AS b, sum(wc) AS n FROM (
+    SELECT wc, unnest(list_transform(range(1, length(syms)),
+      i -> {{'a': syms[i], 'b': syms[i+1]}})) AS pr FROM (
+      SELECT wc, list_filter(string_split(wstr, {_BSEP}), s -> s <> '') AS syms
+      FROM {prev}) WHERE length(syms) > 1)
+  GROUP BY 1, 2),
+m{k} AS (SELECT a, b FROM p{k} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+w{k} AS (
+  SELECT wc, replace(wstr,
+    COALESCE((SELECT {_BSEP}||a||{_BSEP}||{_BSEP}||b||{_BSEP} FROM m{k}), '|NOPE|'),
+    COALESCE((SELECT {_BSEP}||a||b||{_BSEP} FROM m{k}), '')) AS wstr
+  FROM {prev})"""
+            )
+        return ",\n".join(parts)
+
+    _BPE_N = 6
+    o["bpe_train_q"] = _bpe_train_ctes(_BPE_N) + "\n" + "\nUNION ALL\n".join(
+        f'SELECT {k - 1}::BIGINT AS rank, a AS "left", b AS "right" FROM m{k}'
+        for k in range(1, _BPE_N + 1)
+    )
+
+    _enc = (
+        f"{_BSEP} || regexp_replace(w, '(.)', '\\1' || {_BSEP} || {_BSEP}, 'g')"
+        f" || '</w>' || {_BSEP}"
+    )
+    for k in range(1, _BPE_N + 1):
+        _enc = f"""replace({_enc},
+    COALESCE((SELECT {_BSEP}||a||{_BSEP}||{_BSEP}||b||{_BSEP} FROM m{k}), '|NOPE|'),
+    COALESCE((SELECT {_BSEP}||a||b||{_BSEP} FROM m{k}), ''))"""
+    o["bpe_encode_q"] = _bpe_train_ctes(_BPE_N) + f""",
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 100),
+enc AS (SELECT doc_id,
+  (length(e) - length(replace(e, {_BSEP}, ''))) // 2 AS nsym FROM (
+    SELECT doc_id, {_enc} AS e FROM dw WHERE w <> ''))
+SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, sum(nsym) AS n FROM enc GROUP BY 1) s USING (doc_id)
+WHERE d.doc_id < 100"""
+
     return o

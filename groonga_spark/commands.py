@@ -14,9 +14,7 @@ collects more than the response page the caller asked for.
 from __future__ import annotations
 
 import json
-import os
 import re
-import shutil
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,17 +75,24 @@ def parse_adjuster(spec):
 
 
 class CommandContext:
-    """One database = one directory of parquet tables (``grn_db`` analogue).
+    """One database = one set of named tables behind a
+    :class:`~groonga_spark.storage.TableStorage` (``grn_db`` analogue).
 
-    Production note: swap ``_read``/``_write`` for an Iceberg catalog —
-    ``load --ifexists`` becomes MERGE INTO, ``delete`` DELETE WHERE, and
-    ``truncate`` TRUNCATE; the command semantics are unchanged.
+    The default storage is a parquet directory per table; passing an
+    :class:`~groonga_spark.storage.IcebergTableStorage` (or any other
+    implementation of the seam) retargets every command without touching
+    command semantics — ``load --ifexists`` maps to an overwrite commit
+    (MERGE INTO on Iceberg), ``delete`` to DELETE WHERE, ``truncate`` to
+    TRUNCATE.  See storage.py for the contract and the sandbox
+    constraint notes.
     """
 
-    def __init__(self, spark: SparkSession, db_path: str):
+    def __init__(self, spark: SparkSession, db_path: str, storage=None):
+        from .storage import ParquetDirStorage
+
         self.spark = spark
         self.db_path = db_path
-        os.makedirs(db_path, exist_ok=True)
+        self.storage = storage or ParquetDirStorage(spark, db_path)
         self._engines: dict[str, object] = {}
         self._selectors: dict[str, object] = {}
         self._plugins: dict[str, object] = {}
@@ -122,14 +127,9 @@ class CommandContext:
             foreign_table, foreign_key, local or local_col, array,
         )
 
-    # -- table io ----------------------------------------------------------
-    def _path(self, table: str) -> str:
-        if not table.isidentifier():
-            raise ValueError(f"bad table name {table!r}")
-        return os.path.join(self.db_path, table)
-
+    # -- table io (all through the storage seam) ---------------------------
     def _read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        return self.storage.read(table)
 
     def _invalidate(self, table: str) -> None:
         """After a mutation: drop the cached SearchEngine (its stats are
@@ -141,28 +141,24 @@ class CommandContext:
         # cache on any write (a cached select may depend on other tables
         # via sub_filter), so clear everything, not just this table's keys
         self._select_cache.clear()
-        self.spark.catalog.refreshByPath(self._path(table))
+        self.storage.refresh(table)
 
     def table_list(self) -> list[str]:
-        return sorted(
-            d for d in os.listdir(self.db_path)
-            if os.path.isdir(os.path.join(self.db_path, d))
-        )
+        return self.storage.list_tables()
 
     # -- DDL commands (proc.c table_create:2722, column_create:2930,
     #    column_list:3523, table_remove:2852) --------------------------------
     def table_create(self, table: str, schema: str = "_key string") -> None:
-        """``table_create --name T``: an empty parquet directory with the
-        declared schema (the Iceberg path is CREATE TABLE)."""
-        path = self._path(table)
-        if os.path.exists(path):
+        """``table_create --name T``: an empty table with the declared
+        schema (storage seam: CREATE TABLE on Iceberg)."""
+        if self.storage.exists(table):
             raise ValueError(f"table {table!r} exists")
-        self.spark.createDataFrame([], schema).write.parquet(path)
+        self.storage.create(table, self.spark.createDataFrame([], schema))
         self._invalidate(table)
 
     def table_remove(self, table: str) -> None:
         """``table_remove --name T`` (proc.c:2852)."""
-        shutil.rmtree(self._path(table))
+        self.storage.drop(table)
         self._drop_engines(table)
         self._select_cache.clear()
 
@@ -187,10 +183,7 @@ class CommandContext:
         """``table_rename --name T --new_name U`` (proc.c:2884): a
         directory move — metadata-only, no data rewrite (Iceberg: ALTER
         TABLE RENAME)."""
-        dst = self._path(new_name)  # validates the new identifier
-        if os.path.exists(dst):
-            raise ValueError(f"table {new_name!r} exists")
-        os.rename(self._path(table), dst)
+        self.storage.rename(table, new_name)
         self._drop_engines(table)
         self._select_cache.clear()
         if table in self._refs:
@@ -217,13 +210,9 @@ class CommandContext:
         self._rewrite(table, df.drop(name))
 
     def _rewrite(self, table: str, out: DataFrame) -> None:
-        """Full-table rewrite with tmp-dir swap (the non-Iceberg path for
-        schema changes; see the Iceberg notes on each caller)."""
-        path = self._path(table)
-        tmp = path + ".tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        """Full-table rewrite — the storage seam's atomic commit (tmp-dir
+        swap on parquet; snapshot replace on Iceberg)."""
+        self.storage.overwrite(table, out)
         self._invalidate(table)
 
     def reindex(
@@ -261,9 +250,8 @@ class CommandContext:
             new = self.spark.createDataFrame(values)
         else:
             new = values
-        path = self._path(table)
         n = new.count()
-        if os.path.exists(path):
+        if self.storage.exists(table):
             old = self._read(table)
             if ifexists:
                 keep = old.join(new.select(key_col), key_col, "left_anti")
@@ -272,12 +260,9 @@ class CommandContext:
                 n = new.count()
                 keep = old
             merged = keep.unionByName(new, allowMissingColumns=True)
-            tmp = path + ".tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            os.rename(tmp, path)
+            self.storage.overwrite(table, merged)
         else:
-            new.write.mode("overwrite").parquet(path)
+            self.storage.create(table, new)
         self._invalidate(table)
         return n
 
@@ -300,24 +285,15 @@ class CommandContext:
             raise ValueError("delete needs key or filter")
         kept = df.filter(~F.coalesce(cond, F.lit(False)))
         n_before = df.count()
-        path = self._path(table)
-        tmp = path + ".tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        n_after = self.spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        self.storage.overwrite(table, kept)
         self._invalidate(table)
+        n_after = self._read(table).count()
         return n_before - n_after
 
     # -- truncate (proc.c:6882) --------------------------------------------
     def truncate(self, table: str) -> None:
-        """Drop all records, keep schema."""
-        df = self._read(table)
-        path = self._path(table)
-        tmp = path + ".tmp"
-        df.limit(0).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        """Drop all records, keep schema (Iceberg: TRUNCATE TABLE)."""
+        self.storage.overwrite(table, self._read(table).limit(0))
         self._invalidate(table)
 
     # -- dump (proc.c:6868) ------------------------------------------------

@@ -222,14 +222,22 @@ def _load_stats(stats_path: str) -> IndexStats:
     )
 
 
-def read_index(spark: SparkSession, path: str) -> InvertedIndex:
+def read_index(spark: SparkSession, path: str, storage=None) -> InvertedIndex:
+    """Load a persisted index.  ``storage`` (a TableStorage rooted at the
+    index location) is the parquet↔Iceberg seam for the three index
+    tables; stats.json stays a driver-side metadata file (the Iceberg
+    analogue is table properties)."""
+    if storage is None:
+        from ..storage import ParquetDirStorage
+
+        storage = ParquetDirStorage(spark, path)
     stats = _load_stats(os.path.join(path, "stats.json"))
     with open(os.path.join(path, "stats.json")) as f:
         meta = json.load(f)
     return InvertedIndex(
-        dictionary=spark.read.parquet(os.path.join(path, "dictionary")),
-        postings=spark.read.parquet(os.path.join(path, "postings")),
-        doclens=spark.read.parquet(os.path.join(path, "doclens")),
+        dictionary=storage.read("dictionary"),
+        postings=storage.read("postings"),
+        doclens=storage.read("doclens"),
         stats=stats,
         tokenizer=meta["tokenizer"],
         token_filters=tuple(meta.get("token_filters", [])),
@@ -238,14 +246,26 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
 
 
-def write_index(index: InvertedIndex, path: str):
-    """Persist an in-memory-built index (non-checkpointed path)."""
+def write_index(index: InvertedIndex, path: str, storage=None):
+    """Persist an in-memory-built index (non-checkpointed path).  The
+    three index tables go through the TableStorage seam (parquet dirs by
+    default; an Iceberg catalog in production — see storage.py); the
+    dictionary keeps its term-range-sorted layout either way (footer /
+    manifest min-max stats both prune on sorted layout)."""
+    spark = index.dictionary.sparkSession
+    if storage is None:
+        from ..storage import ParquetDirStorage
+
+        storage = ParquetDirStorage(spark, path)
     os.makedirs(path, exist_ok=True)
-    _write_dictionary(index.dictionary, os.path.join(path, "dictionary"))
-    index.postings.write.mode("overwrite").partitionBy("pbucket").parquet(
-        os.path.join(path, "postings")
+    storage.overwrite(
+        "dictionary",
+        index.dictionary.repartitionByRange(F.col("term")).sortWithinPartitions(
+            "term"
+        ),
     )
-    index.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    storage.overwrite("postings", index.postings, partition_by=["pbucket"])
+    storage.overwrite("doclens", index.doclens)
     with open(os.path.join(path, "stats.json"), "w") as f:
         json.dump(
             {

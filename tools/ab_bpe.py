@@ -47,6 +47,23 @@ for a, b in zip(lists["sequential"], lists["batched"]):
         break
     agree += 1
 
+# quality proxy (VERDICT r3 #5): batched BPE learns a DIFFERENT merge list
+# (agreement prefix is usually tiny) — so report what actually matters:
+# the encoded corpus size under each learned vocabulary.  Comparable token
+# totals = comparable compression quality despite the divergent lists.
+from pyspark.sql import functions as F
+
+from groonga_spark.ops.bpe import bpe_encode
+
+qual = {}
+for arm in ("sequential", "batched"):
+    enc = bpe_encode(
+        corpus.withColumn("doc_id", F.monotonically_increasing_id()),
+        lists[arm],
+        text_col="content",
+    )
+    qual[arm] = int(enc.agg(F.sum("n_tokens")).collect()[0][0])
+
 med = lambda xs: sorted(xs)[len(xs) // 2]
 out = {
     "metric": "train_bpe batched vs sequential (median of %d interleaved reps)" % REPS,
@@ -60,6 +77,11 @@ out = {
     "merge_list_agreement_prefix": agree,
     "n_list_sequential": len(lists["sequential"]),
     "n_list_batched": len(lists["batched"]),
+    "encoded_tokens_sequential": qual["sequential"],
+    "encoded_tokens_batched": qual["batched"],
+    "quality_ratio_batched_over_seq": round(
+        qual["batched"] / max(qual["sequential"], 1), 4
+    ),
     "raw": res,
 }
 print(json.dumps(out))
