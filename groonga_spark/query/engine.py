@@ -1445,14 +1445,28 @@ class SearchEngine:
                     .distinct()
                 )
                 pres = pres.join(rare_set, ["doc_id", "sid"], "left_semi")
-            cand = (
+            # ONE aggregation produces both the all-tokens-present gate
+            # and the surviving (term, _blk, doc) pairs: collecting the
+            # (term, _blk) pairs alongside the distinct-term count and
+            # exploding the survivors replaces the former
+            # groupBy + semi-join-back (a second shuffle of the full
+            # presence frame) with a map-side explode of the (small)
+            # candidate rows — one shuffle and one job fewer per group
+            pairs = (
                 pres.groupBy("doc_id", "sid")
-                .agg(F.countDistinct("term").alias("_nt"))
+                .agg(
+                    F.countDistinct("term").alias("_nt"),
+                    F.collect_list(F.struct("term", "_blk")).alias("_tb"),
+                )
                 .filter(F.col("_nt") == len(gset))
-                .select("doc_id", "sid")
-            )
-            pairs = pres.join(cand, ["doc_id", "sid"], "left_semi").select(
-                "term", "_blk", "doc_id"
+                .select(
+                    "doc_id", F.explode(F.array_distinct("_tb")).alias("_p")
+                )
+                .select(
+                    F.col("_p.term").alias("term"),
+                    F.col("_p._blk").alias("_blk"),
+                    "doc_id",
+                )
             )
             cand_pairs = (
                 pairs if cand_pairs is None else cand_pairs.unionByName(pairs)
