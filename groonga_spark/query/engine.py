@@ -77,7 +77,18 @@ POS_TWO_PHASE_CUTOFF = 200_000
 # grid cells the anchor's docs occupy before any decode.  Gates: the
 # non-anchor postings must be big enough to beat the two extra metadata
 # stages, and the anchor must be selective enough to prune anything.
-ANCHOR_PRUNE_CUTOFF = 2_000_000  # non-anchor summed df must exceed this
+#
+# DEMOTED (r4, measured): after the r3 positional-path improvements
+# (two-phase decode, candidate masking, rarest-first broadcast reduction)
+# the prune lost its own A/Bs at its default firing condition —
+# anchor_ab_4m_pos.json 0.71–1.04×, and the r4 planted sweep
+# (prune_crossover_4m.json pos_anchor rows: anchor df 4k vs non-anchor
+# df 4M, the prune's best case) 0.56×/0.64× on phrase/NEAR.  The
+# rarest-token broadcast semi-filter in the two-phase path already
+# delivers the rid-skip effect with zero extra stages, so the block-level
+# variant pays nothing on top.  Sentinel-off; code + rank-identity tests
+# (tests/test_anchor_prune.py) retained.
+ANCHOR_PRUNE_CUTOFF = 10**15  # effectively off — measured: never pays
 ANCHOR_PRUNE_RATIO = 4  # anchor df ≤ rest/RATIO, else nothing to prune
 ANCHOR_PRUNE_GRID = 64  # min doc ids per grid cell (widens with n_docs)
 # anchor must occupy ≤ 1/COVERAGE of the grid cells, else blocks survive
@@ -101,16 +112,26 @@ POS_CAND_MASK = True
 # term's covering blocks to fix θ (a true lower bound on the k-th score),
 # then blocks are pruned two ways before the full decode — the classic
 # WAND bound (block's own max + every other term's global max < θ) and a
-# BMW-style per-doc-grid-cell upper bound Σ_t max_t(cell).  Same economics
-# as the anchor prune: the extra stages (θ decode job + two metadata
-# aggregations ≈ 5-6 s fixed on this host) must be repaid by skipped
-# decode volume.  Measured at 1M AND 4M docs (wand_ab_{1m,4m}.json):
-# flat-OR decode is vectorized numpy and the prune LOSES ~2x at both
-# scales — the break-even extrapolates to ~50M summed df (decode ~12x
-# the 4M point), beyond locally testable scale, hence the high default.
-# The path stays continuously verified (tests/test_wand_or.py + the
-# forced-on driver entry ft_wand_or).
-WAND_OR_CUTOFF = 50_000_000  # summed df must exceed this
+# BMW-style per-doc-grid-cell upper bound Σ_t max_t(cell).
+#
+# DEMOTED (r4, measured): the r3 theory was a break-even at ~50M summed
+# df; the r4 planted-term crossover sweep (prune_crossover_{4m,8m}.json —
+# exact-df terms give controlled decode volumes of 0.4M/2M/4M/8M/12M
+# estimated decoded postings, plus the natural-term wand_ab_{1m,4m}.json)
+# measured forced-on/off speedups of 0.40–0.64 at EVERY point, with the
+# on/off gap GROWING in volume, not shrinking: the θ-survivor decode
+# scales with the same df as the flat decode (dl-driven score spread
+# keeps most block maxima above θ), so the on arm inherits the off arm's
+# slope PLUS ~3–4 s of fixed θ/metadata stages.  On a 32-core vectorized
+# decode (~0.3 s marginal per 4M postings) there is NO crossover; the
+# path would pay only where decode is orders of magnitude costlier per
+# posting (e.g. row-at-a-time Python — exactly what this engine avoids).
+# The cutoffs are therefore sentinel-off; the implementation, its rank-
+# identity tests (tests/test_wand_or.py) and the forced-on oracle entry
+# ft_wand_or remain as the reference-parity analogue of grn's chunk
+# skipping (grn_ii_cursor_set_min, ii.c:4144-4172), which pays there
+# because grn decodes chunks sequentially on one core.
+WAND_OR_CUTOFF = 10**15  # effectively off — measured: never pays here
 
 # AND_NOT right side: a pure-negative simple term skips the scored decode
 # (no tf/dl decode, no contrib, no groupBy exchange) and anti-joins bare
@@ -133,13 +154,16 @@ BATCH_TREE_CKPT_MIN = 4
 WAND_CELL_MAX_META = 2_000_000
 
 
-# below this df the single-term two-phase block-max costs MORE than it
-# saves: its two driver collects (block pick + θ) are ~1-2 s of extra jobs
-# while decoding 200k postings is ~0.06 s of marginal vectorized work (the
-# measured ~0.3 s/M-postings decode rate, BASELINE.md WAND A/B).  Small
-# terms decode outright in one job; the pruning machinery is for the head
-# of the df distribution, where it is the 100 TB story.
-SINGLE_TERM_PRUNE_CUTOFF = 200_000
+# DEMOTED (r4, measured) — same sweep as WAND_OR_CUTOFF above
+# (prune_crossover_{4m,8m}.json, single_* rows): forced-on/off speedup
+# 0.47/0.65/0.66/0.67 at 0.4M/2M/4M/8M decoded postings.  Both arms grow
+# linearly with df (the θ-survivor set keeps most blocks: per-block dl
+# minima put block maxima above θ), so the extra covering-decode + θ
+# collect jobs are never repaid; the flat one-job decode wins at every
+# measured volume and the gap widens.  Sentinel-off; implementation and
+# tests retained (tests/test_single_term_topk.py) as the grn chunk-skip
+# parity path.
+SINGLE_TERM_PRUNE_CUTOFF = 10**15  # effectively off — measured: never pays
 
 
 def _theta_slack(theta: float) -> float:

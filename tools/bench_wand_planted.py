@@ -102,6 +102,8 @@ eng.select("zzdecile", k=10, escalate=False).count()  # warmup
 
 OFF = 10**18
 results = {}
+only = os.environ.get("PLANT_GROUPS")  # e.g. "single,wand" to subset
+sel_groups = set(only.split(",")) if only else None
 for group, entries, gates_on, gates_off in (
     ("wand", WAND, {"WAND_OR_CUTOFF": -1}, {"WAND_OR_CUTOFF": OFF}),
     (
@@ -119,6 +121,8 @@ for group, entries, gates_on, gates_off in (
         {"ANCHOR_PRUNE_CUTOFF": OFF, "ANCHOR_PRUNE_RATIO": 4},
     ),
 ):
+    if sel_groups is not None and group not in sel_groups:
+        continue
     for name, q in entries:
         res = {"on": [], "off": []}
         for rep in range(REPS):
