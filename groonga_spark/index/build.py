@@ -120,6 +120,15 @@ class InvertedIndex:
     # attach a literal pbucket filter = directory-level partition pruning
     # on a checkpoint-loaded index
     n_pbuckets: int = DEFAULT_N_PBUCKETS
+    # False after an incremental update (index/update.apply_update):
+    # untouched blocks keep their BUILD-time max_score, which is no longer
+    # a sound bound under the new corpus stats (idf grows with N) — the
+    # pruning consumers (_filtered_blocks) then substitute a query-time
+    # derived bound idf'(df)·tfc(max_tf, dl=1, avgdl'_max) instead of ever
+    # rewriting the (immutable) blocks.  Exact-scoring paths never read
+    # max_score, so this flag affects pruning selectivity only, never
+    # results.
+    bounds_exact: bool = True
 
     # query-layout sizing: every query job schedules one task per cached
     # partition of the frame it scans, so a small index persisted at the

@@ -13,10 +13,12 @@ On immutable columnar storage the same semantics become **segment algebra**:
   2. ``affected``    = the union of terms of the old and new content — every
      posting row that must change lives under one of these terms, because a
      tombstoned doc's postings appear exactly under its old content's terms;
-  3. untouched terms keep their encoded blocks byte-for-byte — only their
-     ``max_score`` block-max bound is rewritten JVM-side to a looser but
-     still sound upper bound under the new corpus stats (idf(N', df) ·
-     tfc(max_tf, dl=1, max avgdl'));
+  3. untouched terms keep their encoded blocks BYTE-IDENTICAL — nothing
+     is rewritten.  Their build-time ``max_score`` is stale under the new
+     stats, so the returned index sets ``bounds_exact=False`` and pruning
+     consumers derive a looser-but-sound bound query-time from the stored
+     (df, max_tf) alone (idf(N', df) · tfc(max_tf, dl=1, max avgdl') —
+     :func:`derived_bound_expr`);
   4. affected terms are decoded, tombstoned rows dropped, new rows unioned
      in, and re-encoded with exact block-max bounds (same path as the full
      build — merge_hit_blocks semantics, ii.c:7578);
@@ -45,38 +47,29 @@ from .build import (
     tf_stage,
 )
 
-_BLOCK_FIELDS = [
-    "first_doc_id",
-    "last_doc_id",
-    "n",
-    "enc",
-    "doc_deltas",
-    "sids",
-    "tfs",
-    "dls",
-    "pos_deltas",
-    "max_tf",
-]
-
-
-def _rebound_blocks(posts: DataFrame, n_docs: int, avgdl_max: float) -> DataFrame:
-    """Rewrite each kept block's ``max_score`` to a sound upper bound under
-    the NEW stats, without decoding: idf is exact (df unchanged for
+def derived_bound_expr(n_docs: int, avgdl_max: float) -> str:
+    """A sound ``max_score`` upper bound under NEW corpus stats, derivable
+    per exploded block row from its stored ``df`` and ``max_tf`` alone
+    (no decode, no block rewrite): idf is exact (df unchanged for
     untouched terms), and tfc(tf, dl) ≤ tfc(max_tf, dl=1) evaluated at the
     largest per-section avgdl (tfc is increasing in tf and in avgdl,
-    decreasing in dl ≥ 1).  Looser than the exact per-block max, so block-
-    max pruning stays correct, merely slightly less selective."""
+    decreasing in dl ≥ 1).  Looser than the build's exact per-block max,
+    so block-max pruning stays correct, merely less selective.
+
+    r4 design change: the r3 shape (`_rebound_blocks`) REWROTE every
+    untouched block's max_score inside the blocks array at update time —
+    an O(index) transform that made a 0.1% churn cost more wall-time than
+    a full rebuild (measured; see BASELINE.md incremental row).  Untouched
+    blocks are now kept byte-identical (`InvertedIndex.bounds_exact =
+    False`) and pruning consumers apply THIS expression query-time
+    instead."""
     k1, b = scoring.K1, scoring.B
     idf = f"ln(1.0 + ({float(n_docs)} - df + 0.5) / (df + 0.5))"
     tfc = (
-        f"(bb.max_tf * {k1 + 1.0}) / "
-        f"(bb.max_tf + {k1} * (1.0 - {b} + {b} * 1.0 / {float(avgdl_max)}))"
+        f"(max_tf * {k1 + 1.0}) / "
+        f"(max_tf + {k1} * (1.0 - {b} + {b} * 1.0 / {float(avgdl_max)}))"
     )
-    fields = ", ".join(f"'{f}', bb.{f}" for f in _BLOCK_FIELDS)
-    return posts.withColumn(
-        "blocks",
-        F.expr(f"transform(blocks, bb -> named_struct({fields}, 'max_score', {idf} * {tfc}))"),
-    )
+    return f"({idf}) * ({tfc})"
 
 
 def apply_update(
@@ -151,8 +144,13 @@ def apply_update(
     from ..query.decode import decoded_postings
 
     affected = delta.select("term")
+    # untouched terms' blocks stay BYTE-IDENTICAL (the immutable-segment
+    # contract; at 10^12 files this is what keeps the update
+    # churn-proportional) — their build-time max_score becomes stale
+    # w.r.t. the new stats, so the returned index carries
+    # bounds_exact=False and pruning consumers derive bounds query-time
+    # (derived_bound_expr above)
     keep = index.postings.join(F.broadcast(affected), "term", "left_anti")
-    keep = _rebound_blocks(keep, stats.n_docs, max(avgdl_by_sid.values()))
     touched = (
         index.postings.join(F.broadcast(affected), "term")
         .select("term", "df", F.explode("blocks").alias("b"))
@@ -187,4 +185,5 @@ def apply_update(
         token_filters=index.token_filters,
         stopwords=index.stopwords,
         n_pbuckets=n_pbuckets,
+        bounds_exact=False,
     )

@@ -1325,6 +1325,20 @@ class SearchEngine:
         blocks = posts.select(
             "term", "df", F.explode("blocks").alias("b")
         ).select("term", "df", "b.*")
+        if not getattr(idx, "bounds_exact", True):
+            # incrementally-updated index: untouched blocks are
+            # byte-identical and their build-time max_score is stale under
+            # the new stats — substitute the query-time sound bound
+            # derived from (df, max_tf) (index/update.derived_bound_expr)
+            from ..index.update import derived_bound_expr
+
+            avgdl_max = max(
+                idx.stats.avgdl(sid) for sid in idx.stats.section_tokens
+            )
+            blocks = blocks.withColumn(
+                "max_score",
+                F.expr(derived_bound_expr(idx.stats.n_docs, avgdl_max)),
+            )
         return blocks
 
     def _anchor_pruned_blocks(self, blocks, anchor: str):

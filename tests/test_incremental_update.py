@@ -99,3 +99,49 @@ def test_pure_delete_and_pure_insert(spark, v1_v2):
     assert [(r["doc_id"], round(r["score"], 9)) for r in r_u2] == [
         (r["doc_id"], round(r["score"], 9)) for r in r_f2
     ]
+
+
+def test_pruning_sound_after_update(spark, v1_v2):
+    # after an update the untouched blocks keep their BUILD-time
+    # max_score (bounds_exact=False); the forced-on pruning paths must
+    # substitute the query-time derived bound and stay rank-identical to
+    # the un-pruned decode — inserts RAISE n_docs (idf grows), which is
+    # exactly the case where the stale stored bound would be unsound
+    from groonga_spark.query import engine as eng_mod
+
+    v1, _, _, _ = v1_v2
+    idx1 = build_index(v1, ["content"], tokenizer="code", n_pbuckets=8)
+    extra = corpus_df(spark, 220, seed=11).filter(F.col("doc_id") > 120)
+    upd = apply_update(idx1, v1.limit(0), extra, n_pbuckets=8)
+    assert upd.bounds_exact is False
+    eng = SearchEngine(upd)
+
+    old = (
+        eng_mod.SINGLE_TERM_PRUNE_CUTOFF,
+        eng_mod.WAND_OR_CUTOFF,
+    )
+    try:
+        eng_mod.SINGLE_TERM_PRUNE_CUTOFF = -1
+        eng_mod.WAND_OR_CUTOFF = -1
+        pruned_single = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.select("index", k=15, escalate=False).collect()
+        ]
+        pruned_or = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.select("merge OR index", k=15, escalate=False).collect()
+        ]
+        eng_mod.SINGLE_TERM_PRUNE_CUTOFF = 10**18
+        eng_mod.WAND_OR_CUTOFF = 10**18
+        flat_single = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.select("index", k=15, escalate=False).collect()
+        ]
+        flat_or = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.select("merge OR index", k=15, escalate=False).collect()
+        ]
+    finally:
+        eng_mod.SINGLE_TERM_PRUNE_CUTOFF, eng_mod.WAND_OR_CUTOFF = old
+    assert pruned_single == flat_single
+    assert pruned_or == flat_or
