@@ -19,16 +19,22 @@ On immutable columnar storage the same semantics become **segment algebra**:
      consumers derive a looser-but-sound bound query-time from the stored
      (df, max_tf) alone (idf(N', df) · tfc(max_tf, dl=1, max avgdl') —
      :func:`derived_bound_expr`);
-  4. affected terms are decoded, tombstoned rows dropped, new rows unioned
-     in, and re-encoded with exact block-max bounds (same path as the full
-     build — merge_hit_blocks semantics, ii.c:7578);
+  4. within affected terms, only the BLOCKS that actually contain a
+     tombstoned doc are decoded (exact metadata-only detection: a
+     bucketized range join of block [first, last] spans against the
+     tombstone set), survivors re-encoded together with the new docs'
+     postings (same path as the full build — merge_hit_blocks semantics,
+     ii.c:7578); every other block survives with its row's array filtered
+     JVM-side, no decode;
   5. dictionary / doclens / stats are exactly recomputed by delta merge,
      so query scores are **identical to a full rebuild** (BM25 inputs N,
      df, tf, dl, Σdl are all exact).
 
-Scale: the shuffle touches only the affected terms' postings plus the delta
-docs' tokens; a 0.1% daily churn on a 10^12-file corpus re-encodes ~the
-churn's term neighborhood, not the index.
+Scale: decode/re-encode volume is O(churn · terms-per-doc · block_size) —
+independent of the head terms' posting-list lengths (the r3 term-granular
+shape re-encoded every posting of every affected term, and at natural-
+language churn the affected set is the Zipf head, which measured SLOWER
+than a full rebuild at 0.1% churn / 1M docs; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -140,26 +146,107 @@ def apply_update(
     )
     dictionary = merged
 
-    # ---- postings: keep / re-encode split --------------------------------
+    # ---- postings: block-surgical keep / re-encode split -----------------
+    # r4 redesign.  The r3 shape decoded + re-encoded EVERY posting of
+    # every affected term — but at natural-language churn the affected
+    # term set is the Zipf head (any churned doc contains "the"), so the
+    # touched posting volume approached the whole index and a 0.1% churn
+    # measured SLOWER than a full rebuild.  The unit of work is now the
+    # BLOCK: only blocks that actually contain a tombstoned doc are
+    # decoded and re-encoded; every other block of an affected term
+    # survives inside its row with the array filtered JVM-side (no Python
+    # decode, no Arrow crossing) and the row's ``df`` refreshed; new
+    # docs' postings append as additional rows per term (decode paths
+    # aggregate across rows, so multi-row terms and overlapping block
+    # doc-ranges are fine).  Decode volume is now
+    # O(churn · terms-per-doc · block-size), independent of the head
+    # terms' posting-list lengths — grn_ii's buffer-insert locality
+    # (ii.c:3725) re-expressed on immutable segments.
+    #
+    # Storage note: with the packed blocks-array layout a touched block
+    # still dirties its whole (term, pbucket) row on write; a deployment
+    # wanting minimal WRITE amplification as well stores one block per
+    # row behind the same TableStorage seam (Iceberg row-level deletes),
+    # trading a wider explode at query time.
     from ..query.decode import decoded_postings
 
     affected = delta.select("term")
-    # untouched terms' blocks stay BYTE-IDENTICAL (the immutable-segment
-    # contract; at 10^12 files this is what keeps the update
-    # churn-proportional) — their build-time max_score becomes stale
-    # w.r.t. the new stats, so the returned index carries
-    # bounds_exact=False and pruning consumers derive bounds query-time
-    # (derived_bound_expr above)
-    keep = index.postings.join(F.broadcast(affected), "term", "left_anti")
-    touched = (
-        index.postings.join(F.broadcast(affected), "term")
-        .select("term", "df", F.explode("blocks").alias("b"))
+    untouched = index.postings.join(F.broadcast(affected), "term", "left_anti")
+    aff_rows = index.postings.join(F.broadcast(affected), "term")
+
+    # exact touched-block detection on METADATA only: bucketize doc ids
+    # (blocks span ~block_size ids, so each block overlaps few buckets)
+    # and equi-join tombstones by bucket, then the exact range test
+    _B = 1 << 12
+    blk_meta = aff_rows.select(
+        "term", F.explode("blocks").alias("b")
+    ).select(
+        "term",
+        F.col("b.first_doc_id").alias("first_doc_id"),
+        F.col("b.last_doc_id").alias("last_doc_id"),
+    )
+    spans = blk_meta.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / _B).cast("long"),
+                (F.col("last_doc_id") / _B).cast("long"),
+            )
+        ),
+    )
+    tombk = tomb.select(
+        F.col("doc_id").alias("_tid"),
+        (F.col("doc_id") / _B).cast("long").alias("_bkt"),
+    )
+    touched_keys = (
+        spans.join(tombk, "_bkt")
+        .filter(
+            (F.col("_tid") >= F.col("first_doc_id"))
+            & (F.col("_tid") <= F.col("last_doc_id"))
+        )
+        .select("term", "first_doc_id")
+        .distinct()
+    )
+    touched_per_term = touched_keys.groupBy("term").agg(
+        F.collect_set("first_doc_id").alias("_tb")
+    )
+
+    # kept affected rows: drop touched blocks from the array (JVM filter),
+    # refresh df to the post-update dictionary value (scores read df from
+    # the decoded rows), drop rows left empty (fully-deleted terms)
+    kept_aff = (
+        aff_rows.join(touched_per_term, "term", "left")
+        .join(
+            F.broadcast(dictionary.select("term", F.col("df").alias("_ndf"))),
+            "term",
+            "left",
+        )
+        .withColumn(
+            "blocks",
+            F.when(F.col("_tb").isNull(), F.col("blocks")).otherwise(
+                F.expr(
+                    "filter(blocks, bb -> NOT array_contains(_tb, bb.first_doc_id))"
+                )
+            ),
+        )
+        .withColumn("df", F.coalesce(F.col("_ndf"), F.lit(0)).cast("long"))
+        .withColumn(
+            "n_postings",
+            F.expr("aggregate(blocks, 0L, (a, bb) -> a + bb.n)"),
+        )
+        .drop("_tb", "_ndf")
+        .filter(F.size("blocks") > 0)
+    )
+
+    touched_blocks = (
+        aff_rows.select("term", "df", F.explode("blocks").alias("b"))
         .select("term", "df", "b.*")
+        .join(touched_keys, ["term", "first_doc_id"], "left_semi")
     )
     from .build import _pos_bytes_udf
 
     dec = (
-        decoded_postings(touched, with_pos=True)
+        decoded_postings(touched_blocks, with_pos=True)
         .join(tomb, "doc_id", "left_anti")
         .select(
             "term",
@@ -172,9 +259,26 @@ def apply_update(
     merged_tf = dec.unionByName(
         add_tf.select("term", "doc_id", "sid", F.col("tf").cast("long").alias("tf"), "pos_bytes")
     )
-    tf2 = salted_tf(merged_tf, doclens, dictionary, postings_per_bucket, n_pbuckets)
+    # every affected term's exact NEW df must ride into the encode: the
+    # build's in-group df counting (salted_tf sentinel -1) assumes a group
+    # holds a term's ENTIRE postings, but these groups hold only the
+    # delta — in-group counts would store delta-sized df (and idf-inflated
+    # max_score) on the appended rows.  The affected set is churn-vocab-
+    # sized, so the broadcast stays small even when the full dictionary
+    # would not be.
+    aff_df = dictionary.join(F.broadcast(affected), "term").select(
+        "term", F.col("df").alias("_heavy_df")
+    )
+    tf2 = salted_tf(
+        merged_tf,
+        doclens,
+        dictionary,
+        postings_per_bucket,
+        n_pbuckets,
+        heavy=aff_df,
+    )
     reenc = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
-    postings = keep.unionByName(reenc)
+    postings = untouched.unionByName(kept_aff).unionByName(reenc)
 
     return InvertedIndex(
         dictionary=dictionary,
