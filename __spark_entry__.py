@@ -1559,6 +1559,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_train_q=bpe_train_q,
         bpe_encode_q=bpe_encode_q,
     )
+
+    # r5 rotation (VERDICT r4 item 2): the driver checks the LEADING ~50
+    # entries, so lead with CHANGED-THIS-ROUND-FIRST, THEN STALEST — the
+    # r3 AND_NOT bug shipped precisely because the window didn't track
+    # code changes.  Changed cohort: bpe_train/encode (new chained-CTE
+    # SQL oracle, never driver-green), geo_* (generator Fibonacci-spread
+    # fix — rows must be non-zero now), setop_*/ft_match_not/ft_sectioned/
+    # ft_batch (r4 AND_NOT fast-path scoping + select_batch state fixes),
+    # cmd_select_q (r5 storage.py atomic-create change).  Then the
+    # stalest cohort: last driver-checked in r2, then the oldest r3
+    # block.  Every entry regardless of position is still oracled at
+    # sf0.01 every round by tests/test_entry_oracle.py.
+    _r5_lead = [
+        # changed, never (or not-since-change) driver-checked
+        "bpe_train_q", "bpe_encode_q",
+        "geo_in_rectangle_q", "geo_in_circle_q", "geo_distance_q",
+        "setop_and_not", "setop_difference", "setop_and", "setop_adjust",
+        "setop_or", "ft_match_not", "ft_sectioned", "ft_batch",
+        "cmd_select_q",
+        # stalest: driver-checked r2, untouched since
+        "adjuster_q", "dict_stats", "ft_topk_tf", "drilldown_lang",
+        "drilldown_calc", "drilldown_params_q", "tokenize_cmd",
+        "normalize_cmd", "scan_topn", "filter_script_q", "range_filter_q",
+        "highlight_full_q", "snippet_multi_q", "dedup_exact",
+        "dedup_near_q", "dedup_cc_q", "repetition_q", "decontam_q",
+        "minhash_pairs", "simhash_q", "simhash_pairs_q",
+        # next-stalest: head of the r3-checked block (cosine_topk_q also
+        # carries the r4 zero-vector NaN guard)
+        "jaccard_pairs", "cosine_topk_q", "cosine_neardup",
+        "token_counts_q", "quality_q", "ft_escalate_threshold",
+        "q_col_ne", "q_col_prefix", "q_col_suffix", "q_pragma_similar",
+        "lexicon_lcp_q", "query_expander_q", "lm_bigram_q",
+        "suggest_complete_q", "suggest_correct_q",
+    ]
+    assert all(k in q for k in _r5_lead), [k for k in _r5_lead if k not in q]
+    q = {k: q[k] for k in _r5_lead} | {
+        k: v for k, v in q.items() if k not in _r5_lead
+    }
     return q
 
 

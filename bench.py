@@ -40,7 +40,13 @@ HEADLINE = [
     "ft_match_single",
     "ft_match_and",
     "ft_match_or",
-    "ft_wand_or",
+    # ft_wand_or is deliberately NOT a headline row (VERDICT r4 item 7):
+    # it forces on the demoted block-max WAND path (sentinel-off by
+    # default after the planted-term crossover sweeps showed it losing at
+    # every volume), so timing it in the headline added ~4 s of a
+    # known-slower configuration to every round's total.  It remains a
+    # correctness entry in queries()/oracle_sql() — the driver gate and
+    # the local sf0.01 replica still verify its rank-identity every round.
     "ft_batch",
     "ft_match_not",
     "ft_phrase",

@@ -243,6 +243,11 @@ def read_index(spark: SparkSession, path: str, storage=None) -> InvertedIndex:
         token_filters=tuple(meta.get("token_filters", [])),
         stopwords=frozenset(meta.get("stopwords", [])),
         n_pbuckets=int(meta.get("n_pbuckets", DEFAULT_N_PBUCKETS)),
+        # absent key ⇒ pre-incremental-update index ⇒ exact build-time
+        # bounds; an incrementally-updated index round-tripping through
+        # write_index must NOT regain exact-bounds status (untouched
+        # blocks keep stale build-time max_score under grown n_docs)
+        bounds_exact=bool(meta.get("bounds_exact", True)),
     )
 
 
@@ -276,6 +281,7 @@ def write_index(index: InvertedIndex, path: str, storage=None):
                 "n_pbuckets": index.n_pbuckets,
                 "token_filters": list(index.token_filters),
                 "stopwords": sorted(index.stopwords),
+                "bounds_exact": bool(index.bounds_exact),
             },
             f,
         )

@@ -174,10 +174,18 @@ def apply_update(
     untouched = index.postings.join(F.broadcast(affected), "term", "left_anti")
     aff_rows = index.postings.join(F.broadcast(affected), "term")
 
-    # exact touched-block detection on METADATA only: bucketize doc ids
-    # (blocks span ~block_size ids, so each block overlaps few buckets)
-    # and equi-join tombstones by bucket, then the exact range test
+    # exact touched-block detection on METADATA only, split by span:
+    # *narrow* blocks (dense terms — ids packed ~block_size apart) overlap
+    # few buckets, so bucketize and equi-join tombstones by bucket, then
+    # the exact range test.  A *wide* block (a rare term whose 128
+    # postings straddle a large id range) would explode O(span/bucket)
+    # rows under that scheme — cost scaling with corpus size, not churn —
+    # so wide blocks instead broadcast-range-join the tombstones
+    # directly: both sides are churn-proportional (wide blocks ≈ one per
+    # rare affected term; tombstones = churned docs), keeping detection
+    # churn-proportional at any corpus size.
     _B = 1 << 12
+    _WIDE_BKTS = 64
     blk_meta = aff_rows.select(
         "term", F.explode("blocks").alias("b")
     ).select(
@@ -185,7 +193,10 @@ def apply_update(
         F.col("b.first_doc_id").alias("first_doc_id"),
         F.col("b.last_doc_id").alias("last_doc_id"),
     )
-    spans = blk_meta.withColumn(
+    n_bkts = (F.col("last_doc_id") / _B).cast("long") - (
+        F.col("first_doc_id") / _B
+    ).cast("long")
+    spans = blk_meta.filter(n_bkts < _WIDE_BKTS).withColumn(
         "_bkt",
         F.explode(
             F.sequence(
@@ -198,15 +209,21 @@ def apply_update(
         F.col("doc_id").alias("_tid"),
         (F.col("doc_id") / _B).cast("long").alias("_bkt"),
     )
-    touched_keys = (
+    touched_narrow = (
         spans.join(tombk, "_bkt")
         .filter(
             (F.col("_tid") >= F.col("first_doc_id"))
             & (F.col("_tid") <= F.col("last_doc_id"))
         )
         .select("term", "first_doc_id")
-        .distinct()
     )
+    tomb_b = F.broadcast(tomb.select(F.col("doc_id").alias("_tid")))
+    touched_wide = blk_meta.filter(n_bkts >= _WIDE_BKTS).join(
+        tomb_b,
+        (F.col("_tid") >= F.col("first_doc_id"))
+        & (F.col("_tid") <= F.col("last_doc_id")),
+    ).select("term", "first_doc_id")
+    touched_keys = touched_narrow.unionByName(touched_wide).distinct()
     touched_per_term = touched_keys.groupBy("term").agg(
         F.collect_set("first_doc_id").alias("_tb")
     )

@@ -112,24 +112,25 @@ class ParquetDirStorage(TableStorage):
         return os.path.exists(self.path(table))
 
     def create(self, table: str, df: DataFrame) -> None:
-        df.write.parquet(self.path(table))
+        self.overwrite(table, df)
 
     def overwrite(
         self, table: str, df: DataFrame, partition_by: "list[str] | None" = None
     ) -> None:
+        # tmp-then-rename unconditionally: a mid-write failure on a
+        # FIRST write must not leave a partial directory that exists()
+        # then reports as a real table (the atomic-commit contract
+        # covers creates, not just replaces)
         path = self.path(table)
-        if not os.path.exists(path):
-            w = df.write.mode("overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(path)
-            return
         tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        shutil.rmtree(path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
         os.rename(tmp, path)
 
     def append(

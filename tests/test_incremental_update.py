@@ -145,3 +145,22 @@ def test_pruning_sound_after_update(spark, v1_v2):
         eng_mod.SINGLE_TERM_PRUNE_CUTOFF, eng_mod.WAND_OR_CUTOFF = old
     assert pruned_single == flat_single
     assert pruned_or == flat_or
+
+
+def test_bounds_exact_survives_index_roundtrip(spark, tmp_path, v1_v2):
+    # ADVICE r4: write_index previously dropped bounds_exact, so an
+    # incrementally-updated index reloaded from disk silently regained
+    # exact-bounds status — stale build-time max_score under grown
+    # n_docs could then wrongly prune blocks if a pruning path is on.
+    from groonga_spark.index.checkpoint import read_index, write_index
+
+    v1, _, old_docs, new_docs = v1_v2
+    idx1 = build_index(v1, ["content"], tokenizer="code", n_pbuckets=8)
+    upd = apply_update(idx1, old_docs, new_docs, n_pbuckets=8)
+    assert upd.bounds_exact is False
+    write_index(upd, str(tmp_path / "upd_idx"))
+    reloaded = read_index(spark, str(tmp_path / "upd_idx"))
+    assert reloaded.bounds_exact is False
+    # a fresh build round-trips as exact
+    write_index(idx1, str(tmp_path / "v1_idx"))
+    assert read_index(spark, str(tmp_path / "v1_idx")).bounds_exact is True

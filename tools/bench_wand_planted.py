@@ -34,6 +34,19 @@ from groonga_spark.query import engine as eng_mod
 from groonga_spark.query.engine import SearchEngine
 from groonga_spark.session import get_spark
 
+# snapshot the engine's ACTUAL defaults before the sweep mutates them —
+# hardcoding restore values here silently re-enabled pruning paths when
+# the engine's shipped defaults changed (sentinel-off demotion)
+_SAVED_GATES = {
+    k: getattr(eng_mod, k)
+    for k in (
+        "WAND_OR_CUTOFF",
+        "SINGLE_TERM_PRUNE_CUTOFF",
+        "ANCHOR_PRUNE_CUTOFF",
+        "ANCHOR_PRUNE_RATIO",
+    )
+}
+
 N_DOCS = int(os.environ.get("PLANT_DOCS", "4000000"))
 REPS = int(os.environ.get("PLANT_REPS", "3"))
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -146,11 +159,9 @@ for group, entries, gates_on, gates_off in (
         print(name, results[name]["on_s"], results[name]["off_s"],
               results[name]["speedup_on"], file=sys.stderr)
 
-# restore true defaults so nothing leaks if this module is reused
-eng_mod.WAND_OR_CUTOFF = 50_000_000
-eng_mod.SINGLE_TERM_PRUNE_CUTOFF = 200_000
-eng_mod.ANCHOR_PRUNE_CUTOFF = 2_000_000
-eng_mod.ANCHOR_PRUNE_RATIO = 4
+# restore the pre-sweep defaults so nothing leaks if this module is reused
+for _k, _v in _SAVED_GATES.items():
+    setattr(eng_mod, _k, _v)
 
 out = {
     "metric": "planted-term block-max pruning crossover A/B "
