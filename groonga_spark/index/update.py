@@ -78,32 +78,44 @@ def derived_bound_expr(n_docs: int, avgdl_max: float) -> str:
     return f"({idf}) * ({tfc})"
 
 
-def apply_update(
+def _update_parts(
     index: InvertedIndex,
     old_docs: DataFrame,
     new_docs: DataFrame,
     id_col: str = "doc_id",
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
     n_pbuckets: int = DEFAULT_N_PBUCKETS,
-) -> InvertedIndex:
-    """Apply an upsert/delete batch to ``index``.
-
-    ``old_docs``: the PREVIOUS content of every doc being replaced or
-    deleted (grn_ii_column_update's oldvalue).  ``new_docs``: the new
-    content of replaced + newly added docs (newvalue).  A doc id present
-    only in ``old_docs`` is a delete; only in ``new_docs`` an insert; in
-    both, a replace.  Preconditions: old_docs ids ⊆ indexed ids; new-only
-    ids are not already indexed.
+    append_only: bool = False,
+) -> dict:
+    """Shared core of :func:`apply_update` (packed layout) and
+    :func:`blockrows.commit_update` (one-block-per-row delta commit).
+    Returns every intermediate frame lazily; callers assemble the subset
+    their layout needs (the packed path unions untouched/kept/reenc, the
+    block-rows path commits ``touched_keys`` as deletes + exploded
+    ``reenc`` as appends and never computes ``untouched``/``kept_aff``).
     """
     text_cols = [index.stats.sections[sid] for sid in sorted(index.stats.sections)]
     tok = index.tokenizer
 
+    # The frames below are each consumed by SEVERAL downstream subtrees
+    # (the dictionary merge feeds kept_aff, the heavy-df broadcast AND
+    # salted_tf; the tf stages feed the dictionary delta, the merge and
+    # doclens) — without a persist every materializing action recomputes
+    # the full-vocab outer join and the tokenizer UDF once PER REFERENCE,
+    # which measured as the dominant cost of an update (the arms are
+    # churn- or vocab-sized, so the caches are small by construction).
     rem_tf, _rem_dl = tf_stage(old_docs, text_cols, tok, id_col, index.token_filters)
     add_tf, add_dl = tf_stage(new_docs, text_cols, tok, id_col, index.token_filters)
+    rem_tf = rem_tf.persist()
+    add_tf = add_tf.persist()
     tomb = old_docs.select(F.col(id_col).alias("doc_id")).distinct()
 
     # ---- doclens + stats (exact) -----------------------------------------
-    doclens = index.doclens.join(tomb, "doc_id", "left_anti").unionByName(add_dl)
+    doclens = (
+        index.doclens.join(tomb, "doc_id", "left_anti")
+        .unionByName(add_dl)
+        .persist()
+    )
     n_old_ids = tomb.count()
     n_new_ids = new_docs.select(id_col).distinct().count()
     n_docs = index.stats.n_docs - n_old_ids + n_new_ids
@@ -144,7 +156,7 @@ def apply_update(
         .filter(F.col("df") > 0)
         .withColumn("rterm", F.reverse(F.col("term")))
     )
-    dictionary = merged
+    dictionary = merged.persist()
 
     # ---- postings: block-surgical keep / re-encode split -----------------
     # r4 redesign.  The r3 shape decoded + re-encoded EVERY posting of
@@ -164,15 +176,63 @@ def apply_update(
     # (ii.c:3725) re-expressed on immutable segments.
     #
     # Storage note: with the packed blocks-array layout a touched block
-    # still dirties its whole (term, pbucket) row on write; a deployment
-    # wanting minimal WRITE amplification as well stores one block per
-    # row behind the same TableStorage seam (Iceberg row-level deletes),
-    # trading a wider explode at query time.
+    # still dirties its whole (term, pbucket) row on write; the
+    # one-block-per-row layout (index/blockrows.py) stores the same
+    # blocks as individual rows behind the same TableStorage seam and
+    # commits updates as churn-proportional deletes+appends (Iceberg
+    # row-level deletes) — its commit path shares this function.
     from ..query.decode import decoded_postings
 
     affected = delta.select("term")
-    untouched = index.postings.join(F.broadcast(affected), "term", "left_anti")
-    aff_rows = index.postings.join(F.broadcast(affected), "term")
+    if append_only:
+        # blockrows append-only commit: NO touched detection, NO decode —
+        # old postings stay on disk masked by gen-aware doc tombstones at
+        # decode time; only the new docs' postings are encoded.  The
+        # dictionary/doclens/stats merges above stay exact, which keeps
+        # BM25 scores rebuild-identical (df/idf read from the dictionary
+        # on this layout, never from stale rows).
+        spark = old_docs.sparkSession
+        tf2 = salted_tf(
+            add_tf,
+            doclens,
+            dictionary,
+            postings_per_bucket,
+            n_pbuckets,
+            heavy=dictionary.join(F.broadcast(affected), "term").select(
+                "term", F.col("df").alias("_heavy_df")
+            ),
+        )
+        return dict(
+            dictionary=dictionary,
+            doclens=doclens,
+            stats=stats,
+            untouched=None,
+            kept_aff=None,
+            touched_keys=spark.createDataFrame(
+                [], "term string, first_doc_id long"
+            ),
+            reenc=encode_postings(tf2, stats.n_docs, avgdl_by_sid),
+            tokenizer=tok,
+            tomb=tomb,
+            cached=[rem_tf, add_tf, doclens, dictionary],
+        )
+    prows = getattr(index, "postings_rows", None)
+    if prows is not None:
+        # block_rows-loaded index: the exploded frame IS the table — read
+        # affected blocks straight from it (df attached from the OLD
+        # dictionary, as the packed rows carry) and never touch
+        # index.postings (a full-table regroup on this layout)
+        aff_olddf = index.dictionary.join(F.broadcast(affected), "term").select(
+            "term", "df"
+        )
+        aff_blk = prows.join(F.broadcast(aff_olddf), "term")
+        untouched = aff_rows = None  # packed-only frames (see below)
+    else:
+        untouched = index.postings.join(F.broadcast(affected), "term", "left_anti")
+        aff_rows = index.postings.join(F.broadcast(affected), "term")
+        aff_blk = aff_rows.select(
+            "term", "df", F.explode("blocks").alias("b")
+        ).select("term", "df", "b.*")
 
     # exact touched-block detection on METADATA only, split by span:
     # *narrow* blocks (dense terms — ids packed ~block_size apart) overlap
@@ -186,13 +246,7 @@ def apply_update(
     # churn-proportional at any corpus size.
     _B = 1 << 12
     _WIDE_BKTS = 64
-    blk_meta = aff_rows.select(
-        "term", F.explode("blocks").alias("b")
-    ).select(
-        "term",
-        F.col("b.first_doc_id").alias("first_doc_id"),
-        F.col("b.last_doc_id").alias("last_doc_id"),
-    )
+    blk_meta = aff_blk.select("term", "first_doc_id", "last_doc_id")
     n_bkts = (F.col("last_doc_id") / _B).cast("long") - (
         F.col("first_doc_id") / _B
     ).cast("long")
@@ -223,42 +277,44 @@ def apply_update(
         (F.col("_tid") >= F.col("first_doc_id"))
         & (F.col("_tid") <= F.col("last_doc_id")),
     ).select("term", "first_doc_id")
-    touched_keys = touched_narrow.unionByName(touched_wide).distinct()
+    touched_keys = touched_narrow.unionByName(touched_wide).distinct().persist()
     touched_per_term = touched_keys.groupBy("term").agg(
         F.collect_set("first_doc_id").alias("_tb")
     )
 
-    # kept affected rows: drop touched blocks from the array (JVM filter),
-    # refresh df to the post-update dictionary value (scores read df from
-    # the decoded rows), drop rows left empty (fully-deleted terms)
-    kept_aff = (
-        aff_rows.join(touched_per_term, "term", "left")
-        .join(
-            F.broadcast(dictionary.select("term", F.col("df").alias("_ndf"))),
-            "term",
-            "left",
+    # kept affected rows (PACKED layout only — block_rows keeps untouched
+    # rows by never deleting them): drop touched blocks from the array
+    # (JVM filter), refresh df to the post-update dictionary value
+    # (scores read df from the decoded rows), drop rows left empty
+    # (fully-deleted terms)
+    kept_aff = None
+    if aff_rows is not None:
+        kept_aff = (
+            aff_rows.join(touched_per_term, "term", "left")
+            .join(
+                F.broadcast(dictionary.select("term", F.col("df").alias("_ndf"))),
+                "term",
+                "left",
+            )
+            .withColumn(
+                "blocks",
+                F.when(F.col("_tb").isNull(), F.col("blocks")).otherwise(
+                    F.expr(
+                        "filter(blocks, bb -> NOT array_contains(_tb, bb.first_doc_id))"
+                    )
+                ),
+            )
+            .withColumn("df", F.coalesce(F.col("_ndf"), F.lit(0)).cast("long"))
+            .withColumn(
+                "n_postings",
+                F.expr("aggregate(blocks, 0L, (a, bb) -> a + bb.n)"),
+            )
+            .drop("_tb", "_ndf")
+            .filter(F.size("blocks") > 0)
         )
-        .withColumn(
-            "blocks",
-            F.when(F.col("_tb").isNull(), F.col("blocks")).otherwise(
-                F.expr(
-                    "filter(blocks, bb -> NOT array_contains(_tb, bb.first_doc_id))"
-                )
-            ),
-        )
-        .withColumn("df", F.coalesce(F.col("_ndf"), F.lit(0)).cast("long"))
-        .withColumn(
-            "n_postings",
-            F.expr("aggregate(blocks, 0L, (a, bb) -> a + bb.n)"),
-        )
-        .drop("_tb", "_ndf")
-        .filter(F.size("blocks") > 0)
-    )
 
-    touched_blocks = (
-        aff_rows.select("term", "df", F.explode("blocks").alias("b"))
-        .select("term", "df", "b.*")
-        .join(touched_keys, ["term", "first_doc_id"], "left_semi")
+    touched_blocks = aff_blk.join(
+        touched_keys, ["term", "first_doc_id"], "left_semi"
     )
     from .build import _pos_bytes_udf
 
@@ -295,16 +351,94 @@ def apply_update(
         heavy=aff_df,
     )
     reenc = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
-    postings = untouched.unionByName(kept_aff).unionByName(reenc)
-
-    return InvertedIndex(
+    return dict(
         dictionary=dictionary,
-        postings=postings,
         doclens=doclens,
         stats=stats,
+        untouched=untouched,
+        kept_aff=kept_aff,
+        touched_keys=touched_keys,
+        reenc=reenc,
         tokenizer=tok,
+        tomb=tomb,
+        # persisted intermediates — callers unpersist once the result is
+        # materialized/committed; left cached, successive updates pile up
+        # and EVICT the base index's cache (measured as a bistable 95 s →
+        # 163 s collapse of the update arm in the 1M A/B)
+        cached=[rem_tf, add_tf, doclens, dictionary, touched_keys],
+    )
+
+
+def apply_update(
+    index: InvertedIndex,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
+    n_pbuckets: int = DEFAULT_N_PBUCKETS,
+) -> InvertedIndex:
+    """Apply an upsert/delete batch to ``index``.
+
+    ``old_docs``: the PREVIOUS content of every doc being replaced or
+    deleted (grn_ii_column_update's oldvalue).  ``new_docs``: the new
+    content of replaced + newly added docs (newvalue).  A doc id present
+    only in ``old_docs`` is a delete; only in ``new_docs`` an insert; in
+    both, a replace.  Preconditions: old_docs ids ⊆ indexed ids; new-only
+    ids are not already indexed.
+    """
+    p = _update_parts(
+        index, old_docs, new_docs, id_col, postings_per_bucket, n_pbuckets
+    )
+    if p["untouched"] is not None:
+        postings = (
+            p["untouched"].unionByName(p["kept_aff"]).unionByName(p["reenc"])
+        )
+    else:
+        # block_rows-loaded index: untouched rows = everything minus the
+        # touched keys; regroup_rows attaches the POST-update df (the
+        # packed kept_aff's refresh) and inner-joining the new dictionary
+        # drops fully-deleted terms' rows.  (The delta-commit path —
+        # blockrows.commit_update — never materializes this.)
+        if getattr(index, "n_doc_tombstones", 0):
+            raise RuntimeError(
+                "index has pending doc tombstones (append-only commits): "
+                "run blockrows.compact() before apply_update's packed "
+                "assembly (the packed shape cannot express the decode-"
+                "time mask)"
+            )
+        from .blockrows import regroup_rows
+
+        live = index.postings_rows.join(
+            F.broadcast(p["touched_keys"]),
+            ["term", "first_doc_id"],
+            "left_anti",
+        )
+        postings = regroup_rows(live, p["dictionary"]).unionByName(p["reenc"])
+    out = InvertedIndex(
+        dictionary=p["dictionary"],
+        postings=postings,
+        doclens=p["doclens"],
+        stats=p["stats"],
+        tokenizer=p["tokenizer"],
         token_filters=index.token_filters,
         stopwords=index.stopwords,
         n_pbuckets=n_pbuckets,
         bounds_exact=False,
     )
+    # the persisted intermediates (see _update_parts); release with
+    # release_update_caches(out) once the result is materialized/committed
+    out._update_cached = p["cached"]
+    return out
+
+
+def release_update_caches(index: InvertedIndex) -> None:
+    """Unpersist the intermediates an apply_update result holds.  Call
+    after materializing/committing the result: repeated updates that
+    leave these cached evict the BASE index's cache and collapse update
+    latency (measured 95 s → 163 s across two reps of the 1M A/B)."""
+    for f in getattr(index, "_update_cached", ()):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    index._update_cached = ()

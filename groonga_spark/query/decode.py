@@ -117,7 +117,11 @@ def decoded_doc_ids(blocks_df):
     d = blocks_df.withColumn(
         "d", udf(F.struct("first_doc_id", "n", "enc", "doc_deltas"))
     )
-    return d.select(F.explode("d.doc_ids").alias("doc_id"))
+    out = d.select(
+        *(["_excl"] if "_excl" in blocks_df.columns else []),
+        F.explode("d.doc_ids").alias("doc_id"),
+    )
+    return _apply_excl(out, blocks_df).select("doc_id")
 
 
 def make_decode_udf(with_pos: bool, with_cand: bool = False):
@@ -171,6 +175,7 @@ def decoded_postings(
     block: only those rows are emitted (mask applied INSIDE the UDF,
     before position materialization and Arrow transfer)."""
     udf = make_decode_udf(with_pos, with_cand=cand_col is not None)
+    has_excl = "_excl" in blocks_df.columns
     struct_cols = [
         "first_doc_id", "n", "enc", "doc_deltas", "sids", "tfs", "dls", "pos_deltas"
     ]
@@ -190,7 +195,34 @@ def decoded_postings(
     keep = ["term", "df"] + (
         [F.col("first_doc_id").alias("_blk")] if with_block else []
     )
-    out = d.select(*keep, F.explode(F.expr(row_expr)).alias("p")).select(
-        "term", "df", *(["_blk"] if with_block else []), "p.*"
+    out = d.select(
+        *keep,
+        *(["_excl"] if has_excl else []),
+        F.explode(F.expr(row_expr)).alias("p"),
+    ).select(
+        "term",
+        "df",
+        *(["_blk"] if with_block else []),
+        *(["_excl"] if has_excl else []),
+        "p.*",
     )
+    if has_excl:
+        out = _apply_excl(out, blocks_df).drop("_excl")
     return out
+
+
+def _apply_excl(rows, blocks_df):
+    """Doc-level tombstone mask (blockrows append-only commits): a
+    ``_excl`` column on the blocks frame — array of tombstoned doc ids
+    overlapping the block's [first, last] range, attached at index READ
+    time (blockrows.read_index_block_rows) — drops dead docs' postings
+    right after decode, JVM-side.  Blocks with no overlap carry null and
+    cost one null check.  Exactness: tf/dl of survivors are unchanged,
+    df/idf come from the (exactly delta-merged) dictionary, so scores
+    equal a full rebuild's; only stale block max_score remains, which
+    bounds_exact=False already handles."""
+    if "_excl" not in blocks_df.columns:
+        return rows
+    return rows.filter(
+        F.col("_excl").isNull() | ~F.array_contains("_excl", F.col("doc_id"))
+    )

@@ -1313,7 +1313,8 @@ class SearchEngine:
         closest distributed equivalent."""
         idx = self.index
         npb = idx.n_pbuckets
-        posts = idx.postings
+        prows = getattr(idx, "postings_rows", None)
+        posts = prows if prows is not None else idx.postings
         if npb and "pbucket" in posts.columns:
             buckets = sorted({term_pbucket(t, npb) for t in terms})
             if len(buckets) < npb:
@@ -1322,9 +1323,21 @@ class SearchEngine:
             [(t,) for t in terms], "term string"
         )
         posts = posts.join(F.broadcast(tiny), "term")
-        blocks = posts.select(
-            "term", "df", F.explode("blocks").alias("b")
-        ).select("term", "df", "b.*")
+        if prows is not None:
+            # one-block-per-row layout (index/blockrows.py): rows ARE the
+            # exploded shape; df is not stored per row (write-amp), so
+            # attach it from the term-range-sorted dictionary — both
+            # joins broadcast the same ≤MAX_EXPANSIONS term set
+            ddf = idx.dictionary.join(F.broadcast(tiny), "term").select(
+                "term", "df"
+            )
+            blocks = posts.join(F.broadcast(ddf), "term").drop(
+                "pbucket", "gen"
+            )
+        else:
+            blocks = posts.select(
+                "term", "df", F.explode("blocks").alias("b")
+            ).select("term", "df", "b.*")
         if not getattr(idx, "bounds_exact", True):
             # incrementally-updated index: untouched blocks are
             # byte-identical and their build-time max_score is stale under

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from groonga_spark.corpus import corpus_df
-from groonga_spark.index.update import apply_update
+from groonga_spark.index.update import apply_update, release_update_caches
 from groonga_spark.query.engine import SearchEngine
 from groonga_spark.session import get_spark
 
@@ -68,6 +68,7 @@ def run_update():
     # materialize the changed postings + dictionary (what a commit writes)
     idx2.postings.select(F.count("*")).collect()
     idx2.dictionary.select(F.count("*")).collect()
+    release_update_caches(idx2)  # a real commit also cleans up — timed
     return round(time.perf_counter() - t0, 3)
 
 
