@@ -148,6 +148,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_match_single(spark, sf):
         return _topk(_engine(spark, sf), "spark", 10)
 
+    def blockrows_update_q(spark, sf):
+        """One-block-per-row layout end-to-end (index/blockrows.py): build
+        over the ORIGINAL documents, persist block_rows, apply a replace
+        batch (every doc_id % 37 == 0 gets its text prefixed) as an
+        APPEND-ONLY commit — no decode, gen-aware doc tombstones mask the
+        old postings at query time — then answer top-k BM25 from the
+        committed index.  The oracle recomputes BM25 over the
+        post-update corpus, so a green row proves commit exactness
+        (grn_ii_column_update semantics, lib/ii.c:5120, on immutable
+        rows)."""
+        import tempfile
+
+        from groonga_spark import SearchEngine
+        from groonga_spark.index import blockrows
+
+        key = sf + "#blockrows"
+        if key not in _ENGINES:
+            docs = _read(spark, sf, "documents")
+            eng = SearchEngine.build(
+                docs, ["text"], tokenizer="delimit", id_col="doc_id",
+                n_pbuckets=16,
+            )
+            path = tempfile.mkdtemp(prefix="gs_blockrows_") + "/idx"
+            blockrows.write_index_block_rows(eng.index, path)
+            old_docs = docs.filter(F.col("doc_id") % 37 == 0)
+            new_docs = old_docs.withColumn(
+                "text", F.concat(F.lit("updated revision "), F.col("text"))
+            )
+            upd = blockrows.commit_update(
+                path, old_docs, new_docs, mode="append_only"
+            )
+            _ENGINES[key] = SearchEngine(upd)
+        return _topk(_ENGINES[key], "filter", 10)
+
     def ft_match_and(spark, sf):
         return _topk(_engine(spark, sf), "filter query", 10)
 
@@ -1434,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as the freshest.  Every entry regardless of position is oracled in
     # the local replica (tests/test_entry_oracle.py) every round.
     q.update(
+        # -- new in r5 --
+        blockrows_update_q=blockrows_update_q,
         # -- new in r4 (never driver-checked) --
         stream_dedup_q=stream_dedup_q,
         stream_trends_q=stream_trends_q,
@@ -1573,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.01 every round by tests/test_entry_oracle.py.
     _r5_lead = [
         # changed, never (or not-since-change) driver-checked
+        "blockrows_update_q",
         "bpe_train_q", "bpe_encode_q",
         "geo_in_rectangle_q", "geo_in_circle_q", "geo_distance_q",
         "setop_and_not", "setop_difference", "setop_and", "setop_adjust",
@@ -1649,6 +1686,25 @@ def oracle_sql() -> dict[str, str]:
 
     o["ft_match_single"] = f"""{_CTE}
 SELECT doc_id, round(s, 4) AS score FROM bm WHERE term = 'spark'
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # blockrows append-only commit: BM25 over the POST-update corpus
+    # (every doc_id % 37 == 0 replaced with a prefixed text) — the Spark
+    # side serves this from gen-aware doc tombstones + appended rows
+    o["blockrows_update_q"] = f"""WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 THEN 'updated revision ' || text
+              ELSE text END AS text
+  FROM documents),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM src),
+dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM words),
+stats AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS total_dl FROM words),
+toks AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id, tf.term, {_BM25} AS s
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(s, 4) AS score FROM bm WHERE term = 'filter'
 ORDER BY s DESC, doc_id LIMIT 10"""
 
     o["ft_match_and"] = f"""{_CTE}

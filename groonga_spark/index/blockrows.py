@@ -254,7 +254,7 @@ def commit_update(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     postings_per_bucket: int = DEFAULT_POSTINGS_PER_BUCKET,
-    n_pbuckets: int = DEFAULT_N_PBUCKETS,
+    n_pbuckets: "int | None" = None,
     storage=None,
     mode: str = "surgical",
 ) -> InvertedIndex:
@@ -282,6 +282,15 @@ def commit_update(
 
         storage = ParquetDirStorage(spark, path)
     index = read_index_block_rows(spark, path, storage=storage)
+    # the bucket modulus is a property of the INDEX (queries compute a
+    # term's pbucket driver-side from it) — a mismatched commit would
+    # append rows the pruning filter never reads
+    if n_pbuckets is None:
+        n_pbuckets = index.n_pbuckets
+    elif n_pbuckets != index.n_pbuckets:
+        raise ValueError(
+            f"n_pbuckets={n_pbuckets} != index's {index.n_pbuckets}"
+        )
     with open(_meta_path(path)) as f:
         meta = json.load(f)
     gen = int(meta.get("commit_gen", 0)) + 1
