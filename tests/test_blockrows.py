@@ -172,3 +172,26 @@ def test_append_only_commit_and_compact(spark, corpora, tmp_path):
     e_c = SearchEngine(re)
     for q in QUERIES:
         assert _top(e_c, q) == _top(e_full3, q), q
+
+
+def test_surgical_after_append_only(spark, corpora, tmp_path):
+    # mixed history: an append-only commit (doc tombstones pending)
+    # followed by a SURGICAL commit — the surgical decode must apply the
+    # doc mask (dead docs may not resurrect into re-encoded blocks) and
+    # new rows must outrank older tombstones' generations
+    v1, v2, old_docs, new_docs = corpora
+    idx = build_index(v1, ["content"], tokenizer="code", n_pbuckets=8)
+    path = str(tmp_path / "idx")
+    write_index_block_rows(idx, path)
+    commit_update(path, old_docs, new_docs, mode="append_only")
+
+    old2 = v2.filter(F.col("doc_id").isin([15, 16, 30]))
+    new2 = old2.withColumn(
+        "content", F.concat(F.lit("second revision "), F.col("content"))
+    )
+    v3 = v2.filter(~F.col("doc_id").isin([15, 16, 30])).unionByName(new2)
+    upd = commit_update(path, old2, new2, mode="surgical")
+    full = build_index(v3, ["content"], tokenizer="code", n_pbuckets=8)
+    e_upd, e_full = SearchEngine(upd), SearchEngine(full)
+    for q in QUERIES:
+        assert _top(e_upd, q) == _top(e_full, q), q
