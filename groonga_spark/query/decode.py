@@ -37,11 +37,24 @@ _DECODED_SCHEMA = StructType(
 )
 
 
+def _member_mask(doc_ids: np.ndarray, cand_sorted: np.ndarray) -> np.ndarray:
+    """Membership of ``doc_ids`` in SORTED ``cand_sorted`` via
+    searchsorted — O(n log m), unlike np.isin's sort of the large side
+    per call (the global-candidate path probes a ≤500k array once per
+    128-posting block, where isin's O(m log m) would dominate)."""
+    if cand_sorted.size == 0:
+        return np.zeros(doc_ids.shape, dtype=bool)
+    pos = np.minimum(
+        np.searchsorted(cand_sorted, doc_ids), cand_sorted.size - 1
+    )
+    return cand_sorted[pos] == doc_ids
+
+
 def _decode_one(
     first_doc, n, enc, doc_b, sid_b, tf_b, dl_b, pos_b, with_pos, cand=None
 ):
-    """``cand`` (optional int64 array of candidate doc ids) masks the
-    OUTPUT of the decode: the delta/varbyte streams are sequential so
+    """``cand`` (optional SORTED int64 array of candidate doc ids) masks
+    the OUTPUT of the decode: the delta/varbyte streams are sequential so
     every posting must be decoded, but non-candidate rows are dropped
     before the position cumsum loop and before Arrow serialization —
     for a spread candidate set over head terms this cuts the shipped
@@ -64,7 +77,7 @@ def _decode_one(
         gaps = encoding.vb_decode(pos_b, total).astype(np.int64)
         if cand is not None:
             offs = np.concatenate(([0], np.cumsum(tfs)))
-            keep = np.nonzero(np.isin(doc_ids, cand))[0]
+            keep = np.nonzero(_member_mask(doc_ids, cand))[0]
             poss = [
                 np.cumsum(gaps[offs[i] : offs[i + 1]]).tolist()
                 for i in keep.tolist()
@@ -76,7 +89,7 @@ def _decode_one(
             poss.append(np.cumsum(gaps[off : off + t]).tolist())
             off += t
     elif cand is not None:
-        keep = np.isin(doc_ids, cand)
+        keep = _member_mask(doc_ids, cand)
         return doc_ids[keep], sids[keep], tfs[keep], dls[keep], None
     return doc_ids, sids, tfs, dls, poss
 
@@ -124,11 +137,27 @@ def decoded_doc_ids(blocks_df):
     return _apply_excl(out, blocks_df).select("doc_id")
 
 
-def make_decode_udf(with_pos: bool, with_cand: bool = False):
+def make_decode_udf(
+    with_pos: bool, with_cand: bool = False, cand_global=None
+):
+    """``cand_global``: a sorted int64 numpy array of candidate doc ids
+    applied to EVERY block (the rarest-first positional path: the rare
+    token's doc set, bounded by MAX_BROADCAST_DOCS, captured in the UDF
+    closure).  Blocks whose [first_doc_id, last_doc_id] span contains no
+    candidate are skipped without decoding — grn_ii_cursor_set_min's
+    chunk skip (ii.c:4144) driven by the rarest token's doc ids instead
+    of a score threshold."""
+    cg = (
+        None
+        if cand_global is None
+        else np.asarray(cand_global, dtype=np.int64)
+    )
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"doc_ids": [], "sids": [], "tfs": [], "dls": [], "poss": []}
             cands = pdf["_cand"] if with_cand else None
+            lasts = pdf["last_doc_id"] if cg is not None else None
             for i, (first_doc, n, enc, db, sb, tb, lb, pb) in enumerate(
                 zip(
                     pdf["first_doc_id"],
@@ -141,11 +170,19 @@ def make_decode_udf(with_pos: bool, with_cand: bool = False):
                     pdf["pos_deltas"],
                 )
             ):
-                cand = (
-                    np.asarray(cands.iloc[i], dtype=np.int64)
-                    if with_cand
-                    else None
-                )
+                if cg is not None:
+                    lo = int(np.searchsorted(cg, int(first_doc)))
+                    if lo >= cg.size or cg[lo] > int(lasts.iloc[i]):
+                        for k in rows:
+                            rows[k].append([])
+                        continue
+                    cand = cg
+                else:
+                    cand = (
+                        np.sort(np.asarray(cands.iloc[i], dtype=np.int64))
+                        if with_cand
+                        else None
+                    )
                 doc_ids, sids, tfs, dls, poss = _decode_one(
                     first_doc, n, enc, db, sb, tb, lb, pb, with_pos, cand
                 )
@@ -164,6 +201,7 @@ def decoded_postings(
     with_pos: bool,
     with_block: bool = False,
     cand_col: str | None = None,
+    cand_global=None,
 ):
     """blocks_df: (term, df, block struct fields...) → exploded
     (term, df, doc_id, sid, tf, dl[, positions]) — the explode and field
@@ -173,12 +211,18 @@ def decoded_postings(
     positional decode in ``SearchEngine._scored_term_doc``).
     ``cand_col`` names an array<long> column of candidate doc ids for the
     block: only those rows are emitted (mask applied INSIDE the UDF,
-    before position materialization and Arrow transfer)."""
-    udf = make_decode_udf(with_pos, with_cand=cand_col is not None)
+    before position materialization and Arrow transfer).  ``cand_global``
+    is a sorted int64 array applied to every block (closure-captured;
+    blocks with no candidate in range skip decode entirely)."""
+    udf = make_decode_udf(
+        with_pos, with_cand=cand_col is not None, cand_global=cand_global
+    )
     has_excl = "_excl" in blocks_df.columns
     struct_cols = [
         "first_doc_id", "n", "enc", "doc_deltas", "sids", "tfs", "dls", "pos_deltas"
     ]
+    if cand_global is not None:
+        struct_cols.append("last_doc_id")
     if cand_col is not None:
         struct_cols.append(F.col(cand_col).alias("_cand"))
     d = blocks_df.withColumn("d", udf(F.struct(*struct_cols)))

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -992,6 +993,10 @@ class SearchEngine:
                     a.tokens for a in atoms if a.kind in ("phrase", "near")
                 ],
                 anchor=anchor,
+                pos_only=(
+                    isinstance(plan, _Atom)
+                    and plan.kind in ("phrase", "near")
+                ),
             )
             result = self._eval(plan, term_doc, pos_rows, term_meta)
             if adjuster:
@@ -1128,7 +1133,7 @@ class SearchEngine:
         weights = {sid: 1.0 for sid in self.index.stats.sections}
         term_doc, pos_rows = self._scored_term_doc(
             sorted(set(tokens)), term_meta, weights, need_pos=len(tokens) > 1,
-            pos_groups=[tokens],
+            pos_groups=[tokens], pos_only=len(tokens) > 1,
         )
         cand = self._eval_atom(a, term_doc, pos_rows).select("doc_id")
         return (
@@ -1415,9 +1420,14 @@ class SearchEngine:
         scorer="bm25",
         pos_groups=None,
         anchor=None,
+        pos_only=False,
     ):
         """decoded rows → (term, doc_id) score contributions; optionally the
         per-(term, doc, sid) position arrays for phrase/NEAR checks.
+        ``pos_only=True`` asserts the caller's WHOLE plan is the single
+        positional atom in ``pos_groups`` (its consumers only read
+        term_doc rows for docs matching that atom), enabling the
+        rarest-first masked decode below.
 
         ``pos_groups`` (a list of token lists, one per positional atom)
         turns the positional decode into TWO phases: a tf-only decode
@@ -1446,6 +1456,59 @@ class SearchEngine:
             )
             > POS_TWO_PHASE_CUTOFF
         )
+        # rarest-first single-pass decode (token_compare's df-ascending
+        # zipper, ii.c:5532-5537, pushed INTO the decode): when the whole
+        # plan is ONE phrase/NEAR atom (``pos_only``), every downstream
+        # consumer joins term_doc/pos_rows to the atom's candidates, and
+        # every candidate must contain the group's rarest token — so the
+        # rare token's doc set (collected, ≤ MAX_BROADCAST_DOCS ids) can
+        # mask the OTHER terms' decode at the block level: blocks with no
+        # candidate in [first, last] never decode, surviving blocks emit
+        # only candidate rows.  This removes the head terms' full tf
+        # decode + Arrow ship (the linear-in-df cost that dominated the
+        # 10×-docs phrase/NEAR latency ratio) AND the separate phase-2
+        # candidate aggregation/masked re-decode — one decode pass, with
+        # positions, instead of two plus two shuffles.
+        if (
+            two_phase
+            and pos_only
+            and anchor is None
+            and len(pos_groups) == 1
+            and set(terms) == set(pos_groups[0])
+            and len(set(pos_groups[0])) > 1
+        ):
+            g = sorted(set(pos_groups[0]))
+            rare = min(g, key=lambda t: term_meta.get(t, 1 << 60))
+            rare_df = term_meta.get(rare, 0)
+            if 0 < rare_df <= MAX_BROADCAST_DOCS:
+                rows_rare = self._persist(
+                    decoded_postings(
+                        blocks.filter(F.col("term") == rare), with_pos=True
+                    )
+                )
+                cand = np.sort(
+                    rows_rare.select("doc_id")
+                    .distinct()
+                    .toPandas()["doc_id"]
+                    .to_numpy(dtype=np.int64)
+                )
+                rows_other = decoded_postings(
+                    blocks.filter(F.col("term") != rare),
+                    with_pos=True,
+                    cand_global=cand,
+                )
+                rows = rows_rare.unionByName(rows_other)
+                contrib = self._contrib_col(rows, weights, scorer)
+                scored = self._persist(
+                    rows.withColumn("contrib", contrib).filter(
+                        F.col("contrib").isNotNull()
+                    )
+                )
+                term_doc = scored.groupBy("term", "doc_id").agg(
+                    F.sum("contrib").alias("score")
+                )
+                pos_rows = scored.select("term", "doc_id", "sid", "positions")
+                return term_doc, pos_rows
         rows = decoded_postings(blocks, with_pos=need_pos and not two_phase,
                                 with_block=bool(two_phase))
         contrib = self._contrib_col(rows, weights, scorer)
@@ -1815,7 +1878,7 @@ class SearchEngine:
                     return frame if frame is not None else self._empty_frame()
                 term_doc, pos_rows = self._scored_term_doc(
                     sorted(set(terms)), {}, weights, need_pos=len(terms) > 1,
-                    pos_groups=[terms],
+                    pos_groups=[terms], pos_only=len(terms) > 1,
                 )
                 kind = "phrase" if len(terms) > 1 else "term"
                 a = _Atom(tokens=terms, offsets=offs, kind=kind)

@@ -62,3 +62,46 @@ def test_two_phase_mixed_plan(engine, monkeypatch):
     monkeypatch.setattr(eng_mod, "POS_TWO_PHASE_CUTOFF", 0)
     double = _rows(engine.select(q, k=50, escalate=False))
     assert single == double and single
+
+
+def test_rarest_first_engages_and_is_identical(engine, monkeypatch):
+    # the pos_only single-atom gate must actually take the rarest-first
+    # masked-decode branch (not silently fall through) AND return
+    # rank-identical results.  Spy on decoded_postings' cand_global.
+    from groonga_spark.query import engine as em
+
+    single = _rows(engine.select('"merge sort partition"', k=20, escalate=False))
+    seen = {"cand": 0}
+    real = em.decoded_postings
+
+    def spy(blocks, with_pos, with_block=False, cand_col=None, cand_global=None):
+        if cand_global is not None:
+            seen["cand"] += 1
+            assert len(cand_global) > 0
+        return real(blocks, with_pos, with_block=with_block,
+                    cand_col=cand_col, cand_global=cand_global)
+
+    monkeypatch.setattr(em, "POS_TWO_PHASE_CUTOFF", 0)
+    monkeypatch.setattr(em, "decoded_postings", spy)
+    masked = _rows(engine.select('"merge sort partition"', k=20, escalate=False))
+    assert seen["cand"] == 1  # exactly one masked decode (the non-rare terms)
+    assert single == masked and single
+
+
+def test_rarest_first_near_and_weights(spark, corpus, monkeypatch):
+    # NEAR through the masked path, under a sectioned index with
+    # restricted match_columns weights (contrib-null filtering must not
+    # interact with the doc-level candidate mask)
+    from groonga_spark.query.engine import SearchEngine
+    from groonga_spark.query import engine as em
+
+    df = corpus.withColumn("title", corpus["content"].substr(1, 64))
+    e = SearchEngine.build(df, ["title", "content"], tokenizer="code")
+    e.index.persist()
+    for q in ("*N5 merge partition", '"merge sort partition"'):
+        for mc in (None, "content", "title*3||content"):
+            single = _rows(e.select(q, k=20, escalate=False, match_columns=mc))
+            monkeypatch.setattr(em, "POS_TWO_PHASE_CUTOFF", 0)
+            masked = _rows(e.select(q, k=20, escalate=False, match_columns=mc))
+            monkeypatch.setattr(em, "POS_TWO_PHASE_CUTOFF", 200_000)
+            assert single == masked, (q, mc)
