@@ -1609,6 +1609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.01 every round by tests/test_entry_oracle.py.
     _r5_lead = [
         # changed, never (or not-since-change) driver-checked
+        # (ft_phrase/ft_near/ft_near2/ft_regexp_idx re-lead: the r5
+        # rarest-first masked decode touched the positional path)
+        "ft_phrase", "ft_near", "ft_near2", "ft_regexp_idx",
         "blockrows_update_q",
         "bpe_train_q", "bpe_encode_q",
         "geo_in_rectangle_q", "geo_in_circle_q", "geo_distance_q",
