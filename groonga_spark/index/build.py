@@ -56,6 +56,27 @@ BLOCK_SIZE = encoding.UNIT_SIZE  # 128 postings per block (ii.c:451)
 DEFAULT_POSTINGS_PER_BUCKET = 65536
 DEFAULT_N_PBUCKETS = 64  # term-hash partition buckets for partition pruning
 
+# The (term, salt) exchange is sized to DATA, not core count: each reduce
+# task shuffle-reads and SORTS its whole partition JVM-side before the
+# Arrow stream reaches the encode UDF, so with shuffle.partitions = cores
+# (the default for small jobs) a multi-million-doc corpus pushes ~GBs
+# through every sorter and the 4N arm of the scaling pair runs all of
+# them concurrently in one heap — measured as the non-scaling residual in
+# scaling_2v8_4m_disk.json (C ≈ 192 s at 4M docs).  8M tokens ≈ 4.2M
+# postings rows ≈ ~250 MB pre-compression per task — the usual ~128 MB
+# compressed-shuffle target; a real cluster sizes reduce partitions the
+# same way (bytes / target), never by cluster size.
+ENCODE_PARTITION_TOKENS = 8_000_000
+
+
+def encode_partitions(spark: SparkSession, total_tokens: int) -> int:
+    """Data-sized reduce-partition count for the (term, salt) exchange:
+    never below the session's shuffle.partitions (small corpora keep the
+    configured granularity), growing with corpus tokens past
+    ``ENCODE_PARTITION_TOKENS`` per task."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(conf, -(-int(total_tokens) // ENCODE_PARTITION_TOKENS))
+
 BLOCK_SCHEMA = StructType(
     [
         StructField("first_doc_id", LongType()),
@@ -763,7 +784,14 @@ def build_index(
         single_section=single,
         heavy=heavy,
     )
-    postings = encode_postings(tf2, stats.n_docs, avgdl_by_sid)
+    postings = encode_postings(
+        tf2,
+        stats.n_docs,
+        avgdl_by_sid,
+        num_partitions=encode_partitions(
+            df.sparkSession, sum(stats.section_tokens.values())
+        ),
+    )
     return InvertedIndex(
         dictionary=dictionary,
         postings=postings,

@@ -55,6 +55,7 @@ from .build import (
     IndexStats,
     InvertedIndex,
     collect_stats,
+    encode_partitions,
     encode_postings,
     make_dictionary,
     salted_tf,
@@ -176,7 +177,17 @@ def build_index_checkpointed(
             return None  # simulated interruption
         t0 = time.monotonic()
         tf_w = tf_all.filter(F.col("pbucket").isin([int(b) for b in wave]))
-        posts = encode_postings(tf_w, stats.n_docs, avgdl_by_sid)
+        # data-sized exchange (see build.encode_partitions): this wave
+        # carries ~len(wave)/n_pbuckets of the corpus tokens
+        wave_tokens = (
+            sum(stats.section_tokens.values()) * len(wave) // max(n_pbuckets, 1)
+        )
+        posts = encode_postings(
+            tf_w,
+            stats.n_docs,
+            avgdl_by_sid,
+            num_partitions=encode_partitions(spark, wave_tokens),
+        )
         posts.write.mode("append").partitionBy("pbucket").parquet(
             os.path.join(path, "postings")
         )
