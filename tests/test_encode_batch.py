@@ -136,3 +136,29 @@ class TestEncodeBatch:
             docs.extend((np.cumsum(deltas) + b["first_doc_id"]).tolist())
         sub = frame[frame["term"] == "beta"]["doc_id"].tolist()
         assert docs == sub
+
+
+class _FakeConf:
+    def get(self, key, default=None):
+        assert key == "spark.sql.shuffle.partitions"
+        return "32"
+
+
+class _FakeSpark:
+    conf = _FakeConf()
+
+
+def test_encode_partitions_data_sized():
+    """The (term, salt) exchange is sized by corpus tokens, never below
+    the session's shuffle.partitions (scaling_2v8_4m_disk.json residual)."""
+    from groonga_spark.index.build import ENCODE_PARTITION_TOKENS, encode_partitions
+
+    spark = _FakeSpark()
+    # small corpora keep the configured granularity
+    assert encode_partitions(spark, 0) == 32
+    assert encode_partitions(spark, 10_000) == 32
+    assert encode_partitions(spark, 32 * ENCODE_PARTITION_TOKENS) == 32
+    # past conf * tokens-per-task the count grows with data (ceil division)
+    assert encode_partitions(spark, 32 * ENCODE_PARTITION_TOKENS + 1) == 33
+    # 4M-doc corpus (~624M tokens) lands ~78 reduce tasks, not 8
+    assert encode_partitions(spark, 624_000_000) == 78
