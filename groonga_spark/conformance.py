@@ -1742,12 +1742,10 @@ class ConformanceRunner:
     def _resync(self, table: str) -> None:
         """Rewrite a table's parquet frame from the row mirror (after a
         mutation that edits rows in place, e.g. reference clearing)."""
-        import os
-
         t = self.tables[table]
-        if os.path.isdir(self.ctx._path(table)):
+        if self.ctx.storage.exists(table):
             self.ctx.truncate(table)
-        if t.rows or not os.path.isdir(self.ctx._path(table)):
+        if t.rows or not self.ctx.storage.exists(table):
             self.ctx.load(table, self._frame(t, t.rows), key_col="_id")
 
     def _clear_refs(self, rt: str, deleted_keys: set) -> None:

@@ -46,6 +46,12 @@ DIRS = [
     # lexicon prefix escalation through a vector-reference index
     "select/sort",
     "table_create/default_tokenizer",
+    # _resync (row-mirror rewrite after in-place mutations) goes through
+    # the storage seam; the r4 seam refactor broke these 13 fixtures'
+    # shared path (ctx._path -> storage.exists) and the subset missed it
+    "column_rename",
+    "delete/reference/cross",
+    "truncate/column",
 ]
 
 pytestmark = pytest.mark.skipif(
