@@ -136,6 +136,13 @@ ARMS = {
     "br_surgical": lambda: _arm_br("surgical"),
     "br_append": lambda: _arm_br("append_only"),
 }
+# ABL_ARMS=rebuild,br_append subsets the arms (large-N runs where the
+# measured-slower packed/surgical arms would dominate the machine time);
+# rebuild stays mandatory — it is the comparison denominator.
+_sel = os.environ.get("ABL_ARMS")
+if _sel:
+    keep = {a.strip() for a in _sel.split(",")} | {"rebuild"}
+    ARMS = {a: fn for a, fn in ARMS.items() if a in keep}
 
 res = {a: {"s": [], "bytes": []} for a in ARMS}
 order = list(ARMS)
@@ -167,7 +174,7 @@ out = {
         for a, v in res.items()
     },
 }
-for a in ("packed_commit", "br_surgical", "br_append"):
+for a in [k for k in ("packed_commit", "br_surgical", "br_append") if k in ARMS]:
     out["arms"][a]["speedup_vs_rebuild"] = round(
         out["arms"]["rebuild"]["commit_s"] / max(out["arms"][a]["commit_s"], 1e-9),
         2,

@@ -33,6 +33,7 @@ REPS = int(os.environ.get("SCALE_REPS", "3"))
 CORPUS = os.environ.get(
     "SCALE_CORPUS_PATH", f"/tmp/gs_scale_corpus_{N_DOCS}"
 )
+MEM_PER_CORE_GB = int(os.environ.get("SCALE_MEM_PER_CORE_GB", "8"))
 
 # one measured rep: read the corpus table at local[cores], build the
 # inverted index (scan -> tokenize -> salted repartition-by-term ->
@@ -102,7 +103,14 @@ def main() -> None:
         for cores in (LO, HI):
             code = _WORKER % {"repo": REPO, "cores": cores, "corpus": CORPUS}
             env = dict(os.environ)
-            env.setdefault("SPARK_DRIVER_MEM", "24g")
+            # Memory per core is held CONSTANT across the pair (the
+            # cluster-faithful shape: the north rule scales EXECUTORS,
+            # each bringing its own heap, so a real N -> 4N scale-up has
+            # 4x the total memory).  A fixed local-mode heap instead cuts
+            # memory-per-task 4x at the 4N level, and the 4N build pays
+            # sort/shuffle spill the N build never sees — that asymmetry
+            # is a sandbox artifact, not a property of the job.
+            env.setdefault("SPARK_DRIVER_MEM", f"{cores * MEM_PER_CORE_GB}g")
             out = subprocess.run(
                 [sys.executable, "-c", code],
                 env=env,
@@ -134,6 +142,10 @@ def main() -> None:
                 "value": eff,
                 "unit": "efficiency",
                 "n_docs": N_DOCS,
+                "mem_per_core_gb": MEM_PER_CORE_GB,
+                "driver_mem": {
+                    str(c): f"{c * MEM_PER_CORE_GB}g" for c in (LO, HI)
+                },
                 "build_files_per_sec": {"N": fps[LO], "4N": fps[HI]},
                 "build_secs": {str(c): runs[c] for c in (LO, HI)},
                 "hardware_ceiling_same_pair": ceil,

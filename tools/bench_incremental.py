@@ -95,6 +95,9 @@ out = {
     "n_docs": N_DOCS,
     "n_churn_docs": n_churn,
     "cores": CORES,
+    # local mode: driver heap IS the executor memory — an undersized heap
+    # (the 8g default) makes BOTH arms measure spill, not the algorithm
+    "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     "base_build_s": base_build_s,
     "update_s": med(res["update"]),
     "rebuild_s": med(res["rebuild"]),
