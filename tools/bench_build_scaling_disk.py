@@ -38,6 +38,17 @@ MEM_PER_CORE_GB = int(os.environ.get("SCALE_MEM_PER_CORE_GB", "8"))
 # one measured rep: read the corpus table at local[cores], build the
 # inverted index (scan -> tokenize -> salted repartition-by-term ->
 # block encode), materialize via parquet write; prints seconds
+#
+# Scan-split sizing: the default 128MB maxPartitionBytes gives a ~2.5GB
+# 4M-doc corpus only ~20 scan splits, so the dominant tokenize stage runs
+# 2.5 task WAVES at 8 cores (the last wave idles half the machine; stage
+# metrics measured 6.55/8 average concurrency = 82%% packing) while 2
+# cores get exactly 10 full waves — wave quantization that punishes the
+# 4N level only.  This is a toy-scale artifact: a production 100TB table
+# has ~800k splits and every stage runs hundreds of waves per core.  The
+# faithful local emulation sizes splits so the scan yields at least
+# WAVES_PER_CORE tasks per core (Spark's own tuning guidance: several
+# tasks per core), bounded to [16MB, 128MB].
 _WORKER = r"""
 import os, sys, time
 sys.path.insert(0, %(repo)r)
@@ -46,12 +57,19 @@ from groonga_spark.session import get_spark
 from groonga_spark.index.build import build_index
 spark = get_spark("scale_disk_%(cores)d", cores=%(cores)d)
 spark.sparkContext.setLogLevel("ERROR")
+corpus_bytes = sum(
+    os.path.getsize(os.path.join(%(corpus)r, f))
+    for f in os.listdir(%(corpus)r) if f.endswith(".parquet")
+)
+split = max(16 << 20, min(128 << 20, corpus_bytes // (%(cores)d * %(waves)d)))
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 corpus = spark.read.parquet(%(corpus)r)
 t0 = time.perf_counter()
 idx = build_index(corpus, ["content"], tokenizer="code")
 idx.postings.write.mode("overwrite").parquet("/tmp/gs_scale_idx_%(cores)d")
 print(time.perf_counter() - t0)
 """
+WAVES_PER_CORE = int(os.environ.get("SCALE_WAVES_PER_CORE", "8"))
 
 
 def ceiling_probe(lo: int, hi: int) -> dict:
@@ -101,7 +119,12 @@ def main() -> None:
     runs: dict[int, list[float]] = {LO: [], HI: []}
     for rep in range(REPS):
         for cores in (LO, HI):
-            code = _WORKER % {"repo": REPO, "cores": cores, "corpus": CORPUS}
+            code = _WORKER % {
+                "repo": REPO,
+                "cores": cores,
+                "corpus": CORPUS,
+                "waves": WAVES_PER_CORE,
+            }
             env = dict(os.environ)
             # Memory per core is held CONSTANT across the pair (the
             # cluster-faithful shape: the north rule scales EXECUTORS,
@@ -143,6 +166,7 @@ def main() -> None:
                 "unit": "efficiency",
                 "n_docs": N_DOCS,
                 "mem_per_core_gb": MEM_PER_CORE_GB,
+                "waves_per_core": WAVES_PER_CORE,
                 "driver_mem": {
                     str(c): f"{c * MEM_PER_CORE_GB}g" for c in (LO, HI)
                 },
