@@ -189,22 +189,58 @@ def read_index_block_rows(
     if n_doc_tombs:
         # append-only commits: dead docs are masked at decode time via a
         # per-block ``_excl`` array (tombstoned ids overlapping the
-        # block's [first, last] range) — broadcast range-join on METADATA,
-        # persisted because every query's decode references it
-        # gen-aware: a tombstone only masks rows from OLDER commits — a
-        # replaced doc's re-appended postings (same doc id, gen = the
-        # tombstone's commit) must survive the mask
+        # block's [first, last] range), persisted because every query's
+        # decode references it.  gen-aware: a tombstone only masks rows
+        # from OLDER commits — a replaced doc's re-appended postings
+        # (same doc id, gen = the tombstone's commit) must survive.
+        #
+        # Join strategy (measured, bench_blockrows_read): a plain
+        # broadcast RANGE join is a nested loop over every live block row
+        # × every tombstone — O(n_blocks · tombs), 24 s of per-reader
+        # _excl build at 1M docs × 8 stacked 0.1% commits, and growing
+        # with BOTH index size and churn history.  Reuse update.py's
+        # touched-block split instead: *narrow* blocks (dense terms)
+        # overlap few 4096-id buckets → explode to buckets and broadcast
+        # HASH-join the bucketized tombstones; *wide* blocks (rare terms
+        # whose 128 postings straddle a large id range) would explode
+        # O(span/bucket) rows, so they alone take the broadcast range
+        # join — both sides of every join are now churn- or
+        # density-bounded, never O(n_blocks · tombs).
         tombs = storage.read("doc_deletes").select(
             "doc_id", F.col("gen").alias("_tgen")
         )
-        ex = (
-            live.select("term", "first_doc_id", "last_doc_id", "gen")
-            .join(
-                F.broadcast(tombs),
-                (F.col("doc_id") >= F.col("first_doc_id"))
-                & (F.col("doc_id") <= F.col("last_doc_id"))
-                & (F.col("_tgen") > F.col("gen")),
+        _B = 1 << 12
+        _WIDE_BKTS = 64
+        blk = live.select("term", "first_doc_id", "last_doc_id", "gen")
+        n_bkts = (F.col("last_doc_id") / _B).cast("long") - (
+            F.col("first_doc_id") / _B
+        ).cast("long")
+        tombk = tombs.withColumn("_bkt", (F.col("doc_id") / _B).cast("long"))
+        in_range_newer = (
+            (F.col("doc_id") >= F.col("first_doc_id"))
+            & (F.col("doc_id") <= F.col("last_doc_id"))
+            & (F.col("_tgen") > F.col("gen"))
+        )
+        hits_narrow = (
+            blk.filter(n_bkts < _WIDE_BKTS)
+            .withColumn(
+                "_bkt",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_doc_id") / _B).cast("long"),
+                        (F.col("last_doc_id") / _B).cast("long"),
+                    )
+                ),
             )
+            .join(F.broadcast(tombk), "_bkt")
+            .filter(in_range_newer)
+            .drop("_bkt")
+        )
+        hits_wide = blk.filter(n_bkts >= _WIDE_BKTS).join(
+            F.broadcast(tombs), in_range_newer
+        )
+        ex = (
+            hits_narrow.unionByName(hits_wide)
             .groupBy("term", "first_doc_id", "gen")
             .agg(F.collect_set("doc_id").alias("_excl"))
             .persist()
